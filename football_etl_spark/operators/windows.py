@@ -1,0 +1,116 @@
+"""Window / time-series operators (SURVEY.md §2.5) — the analytical heart.
+
+The reference loops ``for team, group in df.groupby('team')`` and runs
+pandas ``rolling('90D')`` per group (utils/data_utils.py:238-301).
+Here that is ONE range-frame window over the whole table: a single
+hash-shuffle on the partition key, in-partition sort, one pass — no
+Python loop, no per-group materialization, linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..functions.scalars import result_to_points
+
+SECONDS_PER_DAY = 86_400
+
+
+def trailing_days_window(
+    partition_cols: Sequence[str], ts_col: str, days: int
+) -> WindowSpec:
+    """RANGE frame of the trailing `days` days (inclusive of current
+    row) per partition key — the Spark form of rolling('90D')."""
+    order = F.col(ts_col).cast("timestamp").cast("long")
+    return (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order)
+        .rangeBetween(-days * SECONDS_PER_DAY, 0)
+    )
+
+
+def rolling_time_metrics(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    avg_cols: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+    days: int = 90,
+    result_col: str | None = None,
+    prefix: str = "rolling_",
+) -> DataFrame:
+    """Per-key trailing-N-day metrics (utils/data_utils.py:261-287):
+
+    - rolling mean of each ``avg_cols`` (pandas min_periods=1 ≡ Spark
+      range frames: current row always in frame, nulls skipped by avg);
+    - rolling sum of each ``sum_cols`` (total_goals_* at :273-277);
+    - ``win_ratio`` = rolling mean of result points when ``result_col``
+      is given (:279-287).
+    """
+    w = trailing_days_window(partition_cols, ts_col, days)
+    new_cols: dict[str, Column] = {}
+    for c in avg_cols:
+        new_cols[f"{prefix}avg_{c}"] = F.avg(F.col(c)).over(w)
+    for c in sum_cols:
+        new_cols[f"{prefix}total_{c}"] = F.sum(F.col(c)).over(w)
+    if result_col is not None:
+        new_cols["win_ratio"] = F.avg(result_to_points(result_col)).over(w)
+    return df.withColumns(new_cols)
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-group top-N via row_number (scrapers/team_scraper.py:606
+    head(lookback); examples/visualize_data.py:175 top-10). One
+    shuffle; Catalyst plans a partial sort per partition."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n)
+    return out.withColumnRenamed("__rn", rank_col) if rank_col else out.drop("__rn")
+
+
+def latest_per_group(
+    df: DataFrame, partition_cols: Sequence[str], ts_col: str, tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """Latest row per key, deterministic via tiebreak columns —
+    the 'current team metrics' selection used by the as-of flagship."""
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    return top_n_per_group(df, partition_cols, order, 1)
+
+
+def lag_delta(
+    df: DataFrame, partition_cols: Sequence[str], ts_col: str, value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Match-over-match delta (engine extension noted in SURVEY §2.5)."""
+    w = Window.partitionBy(*partition_cols).orderBy(ts_col)
+    return df.withColumn(
+        out_col or f"{value_col}_delta",
+        F.col(value_col) - F.lag(value_col).over(w),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: new session when the gap to the previous
+    event exceeds ``gap_seconds`` — lag + conditional cumsum, two
+    window passes over one shuffle partitioning."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    ts_long = F.col(ts_col).cast("long")
+    gap = ts_long - F.lag(ts_long).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col, F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )

@@ -1,0 +1,903 @@
+"""The query registry — every operator as (Spark callable, DuckDB oracle SQL).
+
+This is the engine's correctness contract (SURVEY.md §5): each entry
+maps a SURVEY §2 operator (or an LLM-pipeline extension) onto the
+driver's synthetic tables, implemented Spark-first, with an ANSI-SQL
+twin DuckDB runs on the same parquet for row-count + schema +
+value-hash comparison.
+
+Cross-engine exactness policy:
+- counts / keys / strings / timestamps: naturally exact.
+- sums of money: inputs cast to DECIMAL in BOTH engines → exact,
+  order-independent sums; final cast to double for a common type.
+- averages of doubles: ROUND(x, 6) both sides (accumulation order
+  differs between engines; rounding absorbs the last-bit noise).
+- ratios of integers: single IEEE double division of identical
+  operands → bit-identical, left unrounded.
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalars, text, vectors
+from ..io.loader import load_table
+from ..operators import aggregates, cleaning, dedup, joins, similarity, windows
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_sum(c, alias: str, scale: int = 2):
+    """Exact money sum: decimal accumulate, double result."""
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# ===========================================================================
+# §2.4 aggregations
+# ===========================================================================
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped group-by multi-agg (SURVEY §2.4; visualize_data.py:154-160)",
+)
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price", 4),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_event_types",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    doc="value-counts ranking (visualize_data.py:71; daily_match_scraper.py:670-723)",
+)
+def top_event_types(spark, sf_dir):
+    return aggregates.value_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+@query(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="count-distinct per group (pipeline.py:105-112 nunique stats)",
+)
+def distinct_users_by_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT r_name AS region,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="multi-way dimension join + agg (SURVEY §2.3 enrichment shape); dims broadcast",
+)
+def regional_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            _dec_sum(F.col("o_totalprice"), "total_revenue"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "null_completion_report",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
+    FROM events
+    """,
+    doc="validation report: null counts in one pass (utils/data_utils.py:222-226)",
+)
+def null_completion_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ],
+    )
+
+
+@query(
+    "duplicate_stats",
+    oracle="""
+    SELECT COUNT(*) - COUNT(DISTINCT (user_id, event_type)) AS n_duplicates,
+           COUNT(DISTINCT (user_id, event_type)) AS n_distinct_keys
+    FROM events
+    """,
+    doc="duplicate counting on a composite key (processors/data_processor.py:102)",
+)
+def duplicate_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        (F.count("*") - F.count_distinct("user_id", "event_type")).alias("n_duplicates"),
+        F.count_distinct("user_id", "event_type").alias("n_distinct_keys"),
+    )
+
+
+@query(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot/cross-tab with bounded value list (visualize_data.py:285-290)",
+)
+def pivot_priority_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["O", "F", "P"]],
+    )
+
+
+@query(
+    "league_table",
+    oracle="""
+    SELECT user_id,
+           AVG(CASE WHEN event_type = 'purchase' THEN 1.0
+                    WHEN event_type = 'error' THEN 0.0 ELSE 0.5 END) AS win_ratio,
+           ROUND(AVG(value), 6) AS avg_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY win_ratio DESC, user_id ASC LIMIT 10
+    """,
+    doc="per-entity multi-agg + top-10 ranking (visualize_data.py:154-175); "
+    "win_ratio sums binary-exact halves so the double is cross-engine exact",
+)
+def league_table(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    points = (
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .when(F.col("event_type") == "error", 0.0)
+        .otherwise(0.5)
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.avg(points).alias("win_ratio"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("win_ratio"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# §2.5 windows / time series
+# ===========================================================================
+
+
+@query(
+    "rolling_customer_metrics",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS r90_total_spend,
+           ROUND(AVG(o_totalprice) OVER w, 6) AS r90_avg_spend,
+           COUNT(*) OVER w AS r90_n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    doc="90-day trailing range frame per key — the reference's rolling('90D') "
+    "(utils/data_utils.py:261-277) as ONE window pass, no per-group loop",
+)
+def rolling_customer_metrics(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = windows.trailing_days_window(["o_custkey"], "o_orderdate", 90)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("r90_total_spend"),
+        F.round(F.avg("o_totalprice").over(w), 6).alias("r90_avg_spend"),
+        F.count("*").over(w).alias("r90_n_orders"),
+    )
+
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+    doc="deterministic latest-per-group (as-of selection, SURVEY §2.3/§2.5)",
+)
+def latest_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return windows.latest_per_group(
+        o, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+    doc="per-group top-N (team_scraper.py:606 head(lookback); visualize top-10)",
+)
+def top3_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = windows.top_n_per_group(
+        o,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+        rank_col="rnk",
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("long"))
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                          - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    doc="sessionization: lag-gap + conditional cumsum (streaming-shaped batch op)",
+)
+def user_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = windows.sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "daily_event_spine",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+    spine AS (SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+    daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT spine.day AS day, COALESCE(daily.n, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    doc="date-spine densification: sequence+explode date range "
+    "(daily_match_scraper.py:574-579) + zero-fill left join",
+)
+def daily_event_spine(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+
+
+# ===========================================================================
+# §2.3 joins (as-of, anti, theta-contains, lookup)
+# ===========================================================================
+
+
+@query(
+    "purchase_asof_login",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+      FROM events WHERE event_type IN ('purchase', 'login')
+    ), carried AS (
+      SELECT event_id, user_id, ts, side,
+             LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS login_event_id,
+             LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS login_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, login_event_id,
+           EPOCH_US(ts) - EPOCH_US(login_ts) AS gap_us
+    FROM carried WHERE side = 1
+    """,
+    doc="as-of join via union + last_value(ignore nulls) carry-forward — one "
+    "shuffle, zero fan-out (SURVEY §2.3 caveat; the 100 TB-safe as-of shape)",
+)
+def purchase_asof_login(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    logins = ev.filter(F.col("event_type") == "login").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    joined = joins.asof_join(
+        purchases,
+        logins,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "ts"],
+        prefix="login_",
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("login_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("login_ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "users_without_purchase",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    doc="anti-join retry-set shape (scrapers/team_scraper.py:963-1002)",
+)
+def users_without_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return joins.anti_join(users, purchasers, ["user_id"])
+
+
+@query(
+    "part_type_contains",
+    oracle="""
+    SELECT p_partkey, p_type FROM part
+    WHERE CONTAINS(LOWER(p_type), 'eco') OR CONTAINS(LOWER(p_type), 'promo')
+    """,
+    doc="case-insensitive substring theta-join vs a pattern dim — the league "
+    "filter (scrapers/fixtures_scraper.py:92-105); patterns broadcast",
+)
+def part_type_contains(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    patterns = spark.createDataFrame([("eco",), ("promo",)], ["pattern"])
+    return joins.theta_contains_join(p, patterns, "p_type", "pattern").select(
+        "p_partkey", "p_type"
+    )
+
+
+@query(
+    "union_mixed_projection",
+    oracle="""
+    SELECT l_orderkey, l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice, 'r' AS src
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, CAST(NULL AS DOUBLE) AS l_quantity, l_extendedprice, 'n' AS src
+    FROM lineitem WHERE l_returnflag = 'N'
+    """,
+    doc="unionByName with schema alignment (utils/data_utils.py:297-299, "
+    "allowMissingColumns ≡ reference concat of ragged frames)",
+)
+def union_mixed_projection(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_quantity", F.lit("r").alias("src")
+    )
+    b = li.filter(F.col("l_returnflag") == "N").select(
+        "l_orderkey", "l_extendedprice", F.lit("n").alias("src")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# ===========================================================================
+# §2.7 scalar expression surface
+# ===========================================================================
+
+
+@query(
+    "order_tags_cleaning",
+    oracle="""
+    SELECT o_orderkey,
+           CONCAT_WS('_', STRFTIME(o_orderdate, '%Y%m%d'),
+                     REGEXP_REPLACE(LOWER(c_name), '[^a-z0-9]', '', 'g')) AS order_tag,
+           CONCAT_WS('-',
+             CAST(CASE WHEN MONTH(o_orderdate) >= 8 THEN YEAR(o_orderdate)
+                       ELSE YEAR(o_orderdate) - 1 END AS VARCHAR),
+             CAST(CASE WHEN MONTH(o_orderdate) >= 8 THEN YEAR(o_orderdate)
+                       ELSE YEAR(o_orderdate) - 1 END + 1 AS VARCHAR)) AS season,
+           TRY_CAST(REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)', 1) AS BIGINT) AS priority_num
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="scalar expression surface: match-id generation (utils/data_utils.py:"
+    "101-119), season derivation (team_scraper.py:152-174), numeric extraction",
+)
+def order_tags_cleaning(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.select(
+        "o_orderkey",
+        F.concat_ws(
+            "_",
+            F.date_format("o_orderdate", "yyyyMMdd"),
+            F.regexp_replace(F.lower("c_name"), "[^a-z0-9]", ""),
+        ).alias("order_tag"),
+        scalars.derive_season("o_orderdate").alias("season"),
+        F.regexp_extract("o_orderpriority", "^([0-9]+)", 1)
+        .try_cast("long")
+        .alias("priority_num"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(TRY_CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(TRY_CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="semi-structured extraction from JSON-ish props "
+    "(nested ingest shape, daily_match_scraper.py:449-527)",
+)
+def json_extract_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "first_event_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts ASC, event_id ASC) = 1
+    """,
+    doc="deterministic keep-first dedup (processors/data_processor.py:101-106 "
+    "made deterministic per SURVEY §7.4)",
+)
+def first_event_dedup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return cleaning.dedup_deterministic(
+        ev, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ===========================================================================
+# LLM-pipeline extensions: text analysis / dedup / similarity
+# ===========================================================================
+
+# Shared DuckDB fragments mirroring functions/text.py semantics exactly.
+_SQL_TOKS = r"""
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+              ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS toks
+  FROM documents
+"""
+
+_SQL_SHINGLES = r"""
+  SELECT doc_id,
+         CASE WHEN LEN(toks) >= 3
+              THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                                  i -> ARRAY_TO_STRING(toks[i:i+2], ' '))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS shingles
+  FROM toks_cte
+"""
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS})
+    SELECT doc_id,
+           LEN(toks) AS n_tokens,
+           LENGTH(text) AS n_chars,
+           LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+           LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+               ['the','a','and','of','to','in','is','it','for','on'], LOWER(t)))) AS n_stopwords,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
+           CASE WHEN LEN(toks) > 0
+                THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) / LEN(toks)
+                ELSE CAST(0 AS DOUBLE) END AS avg_token_len,
+           (LEAST(LEN(toks) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+            + (CAST(1 AS DOUBLE) - LEAST(CASE WHEN LENGTH(text) > 0
+                   THEN LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) / LENGTH(text)
+                   ELSE CAST(0 AS DOUBLE) END * 5, CAST(1 AS DOUBLE)))
+            + LEAST(CASE WHEN LEN(toks) > 0
+                THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+                    ['the','a','and','of','to','in','is','it','for','on'], LOWER(t)))) / LEN(toks)
+                ELSE CAST(0 AS DOUBLE) END * 4, CAST(1 AS DOUBLE))) / 3 AS quality
+    FROM toks_cte
+    """,
+    doc="text analysis: token/char/punct/stopword counts, BPE-ish token "
+    "estimate, quality score — all JVM-side array exprs (functions/text.py)",
+)
+def text_quality_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in text.STOPWORDS_EN])
+    n_stop = F.size(
+        F.filter(text.tokens("text"), lambda t: F.array_contains(sw, F.lower(t)))
+    )
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        text.punct_count("text").alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        text.avg_token_len("text").alias("avg_token_len"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "lang_id_counts",
+    oracle="""
+    WITH toks_cte AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                  ELSE LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), t -> LOWER(t))
+             END AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','and','of','is','for'], t))) AS s_en,
+             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['el','la','de','que','los'], t))) AS s_es,
+             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['le','la','les','des','est'], t))) AS s_fr,
+             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['der','die','und','das','ist'], t))) AS s_de,
+             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['的','是','了','在','我'], t))) AS s_zh
+      FROM toks_cte
+    ), pred AS (
+      SELECT doc_id,
+        CASE WHEN s_zh > GREATEST(s_en, s_es, s_fr, s_de, 0) THEN 'zh'
+             WHEN s_de > GREATEST(s_en, s_es, s_fr, 0) THEN 'de'
+             WHEN s_fr > GREATEST(s_en, s_es, 0) THEN 'fr'
+             WHEN s_es > GREATEST(s_en, 0) THEN 'es'
+             WHEN s_en > 0 THEN 'en'
+             ELSE 'und' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred
+    """,
+    doc="language-ID heuristic (marker-token argmax; earlier language wins ties)",
+)
+def lang_id_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(text.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT doc_id FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    doc="exact dedup on content fingerprint, deterministic survivor "
+    "(hash-groupBy; uniform 128-bit key → no skew at 100 TB)",
+)
+def dedup_exact_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select("doc_id")
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mh_cols = ",\n      ".join(
+        f"MIN(MD5('{k}:' || s)) AS mh{k}" for k in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, MD5({expr}) AS bkey FROM mh".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CAST(ma.mh{k} = mb.mh{k} AS INT)" for k in range(num_hashes)
+    )
+    return f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    mh AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ({matches}) / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+    FROM cand
+    JOIN mh ma ON ma.doc_id = cand.id_a
+    JOIN mh mb ON mb.doc_id = cand.id_b
+    WHERE ({matches}) / CAST({num_hashes} AS DOUBLE) >= {threshold}
+    """
+
+
+@query(
+    "minhash_near_dups",
+    oracle=_minhash_oracle(16, 4, 0.5),
+    doc="MinHash+LSH near-dup pairs: shingle → 16 md5-minhashes (one agg "
+    "pass) → 4-band bucket join → signature-estimated Jaccard ≥ 0.5. "
+    "Never a cross join (operators/dedup.py)",
+)
+def minhash_near_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+    """,
+    doc="exact n-gram Jaccard pairs via shingle inverted index; "
+    "jaccard = int/int division → bit-identical cross-engine",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.1)
+
+
+# DuckDB mirror of functions/vectors.py: sequential double accumulation
+# over the array, same operation order as Spark's aggregate().
+_SQL_DOT = (
+    "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_NORM.format(a=a)
+    nb = _SQL_NORM.format(a=b)
+    return f"(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cosine_sim
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           ROUND(cosine_sim, 6) AS cosine_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="brute-force cosine top-k ANN baseline: broadcast queries × corpus "
+    "scan, per-query rank window (operators/similarity.py); LSH variant "
+    "provides the bucketed scale path",
+)
+def ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(e, e.filter(F.col("vec_id") < 8), k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+@query(
+    "embedding_near_dups",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    """,
+    doc="embedding-cosine near-dup pairs (exact verify path; LSH sign-bucket "
+    "variant in operators/similarity.py is the 100 TB candidate generator)",
+)
+def embedding_near_dups(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(e, threshold=0.35, exact=True)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+# ===========================================================================
+# Flagship: the minimum end-to-end slice (SURVEY §7.1)
+# ===========================================================================
+
+
+@query(
+    "flagship_order_enrichment",
+    oracle="""
+    WITH rolled AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS r90_total_spend,
+             ROUND(AVG(o_totalprice) OVER w, 6) AS r90_avg_spend,
+             COUNT(*) OVER w AS r90_n_orders
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           r90_total_spend, r90_avg_spend, r90_n_orders,
+           c_mktsegment AS segment, n_name AS nation, r_name AS region
+    FROM rolled
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+    doc="flagship (SURVEY §7.1): scan → 90-day range window per customer → "
+    "broadcast dimension enrichment — the reference's team-form query shape "
+    "(rolling metrics + as-of enrichment join) on the testdata star schema",
+)
+def flagship_order_enrichment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = windows.trailing_days_window(["o_custkey"], "o_orderdate", 90)
+    rolled = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("r90_total_spend"),
+        F.round(F.avg("o_totalprice").over(w), 6).alias("r90_avg_spend"),
+        F.count("*").over(w).alias("r90_n_orders"),
+    )
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        rolled.join(c, rolled.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            "r90_total_spend",
+            "r90_avg_spend",
+            "r90_n_orders",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

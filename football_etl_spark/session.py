@@ -1,0 +1,59 @@
+"""SparkSession factory with engine defaults.
+
+The engine pins the handful of configs that its semantics rely on
+(SURVEY.md §7.4):
+
+- ``spark.sql.ansi.enabled=false`` — the reference's pandas
+  ``to_numeric(errors='coerce')`` / permissive date parsing semantics
+  (null-on-failure) require non-ANSI casts; the expression library
+  additionally uses ``try_*`` forms so it stays correct either way.
+- ``spark.sql.session.timeZone=UTC`` — oracle comparison against
+  DuckDB's UTC-naive timestamps.
+- AQE on — runtime partition coalescing + skew-join handling is the
+  scale story for skewed keys (big leagues / hot customers).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Worker threads for local mode (driver-set via SPARK_GRAFT_CPUS)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "football-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — the right
+    size for local mode; on a real cluster the engine relies on AQE
+    coalescing from a larger initial number, so callers pass it
+    explicitly there.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,71 @@
+"""Incremental / Structured Streaming variants (SURVEY.md §2.9, M7).
+
+The reference's ingest loop appends one file per day
+(/root/reference/daily_match_scraper.py:587-628) — a micro-batch
+pattern. Its Spark-native forms:
+
+- ``incremental_daily_job``: file-source stream +
+  ``trigger(availableNow=True)`` — catch-up batch with streaming
+  exactly-once bookkeeping (checkpointed), the engine's bronze feed.
+- ``windowed_event_counts``: watermarked sliding event-time window —
+  the streaming twin of the 90-day batch range window (late data
+  bounded by the watermark, state bounded by window × watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_event_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """File-source stream over a (date-partitioned) parquet feed; one
+    input file per micro-batch ≡ the reference's per-day CSV appends."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked tumbling/sliding counts per event_type — the
+    streaming form of the rolling batch aggregate (SURVEY §2.9).
+    Works on both batch and streaming DataFrames (same expression)."""
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(win.alias("win"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drive a streaming aggregation to completion over all currently
+    available input (availableNow trigger), land it in an in-memory
+    sink, return the result table. This is the catch-up/incremental
+    execution mode; on a cluster the sink would be a parquet/Delta
+    bronze table with the same checkpoint discipline."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,83 @@
+"""Local replica of the driver's Spark-vs-DuckDB comparison.
+
+Used by tests/test_oracle.py so every registry entry is cross-checked
+before the driver ever sees it: row count, sorted-by-name column sets,
+and order-insensitive value comparison (exact, matching the driver's
+value-hash discipline)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_run(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _key(row):
+    return tuple((x is None, str(type(x)), x) if not isinstance(x, tuple) else (False, "t", x) for x in row)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_cols, d_rows = duckdb_run(oracle_sql, sf_dir)
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
+
+    # align column order by sorted name (driver sorts columns by name)
+    s_idx = [s_cols.index(c) for c in sorted(s_cols)]
+    d_idx = [d_cols.index(c) for c in sorted(d_cols)]
+    s_set = sorted((tuple(_norm(r[i]) for i in s_idx) for r in s_rows), key=repr)
+    d_set = sorted((tuple(_norm(r[i]) for i in d_idx) for r in d_rows), key=repr)
+    if problems:
+        return problems
+
+    n_bad = 0
+    for a, b in zip(s_set, d_set):
+        if a != b:
+            n_bad += 1
+            if n_bad <= 5:
+                problems.append(f"row mismatch:\n  spark : {a}\n  duckdb: {b}")
+    if n_bad > 5:
+        problems.append(f"... {n_bad} mismatching rows total")
+    return problems

@@ -1,0 +1,213 @@
+"""Unit tests for operator modules beyond what the oracle suite covers:
+cleaning/schema-repair, as-of join semantics, dedup (minhash/simhash),
+similarity (LSH vs brute force), text functions, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_etl_spark.functions import text, vectors
+from football_etl_spark.operators import cleaning, dedup, joins, multimodal, similarity, windows
+
+
+# ---------------------------------------------------------------- cleaning
+
+
+def test_canonicalize_and_repair(spark):
+    df = spark.createDataFrame([("2024-01-01", "2", "x")], ["Match Date", "GF", "other"])
+    out = cleaning.canonicalize_columns(df, {"date": ["date"], "goals_for": ["gf"]})
+    assert set(out.columns) == {"date", "goals_for", "other"}
+    out2 = cleaning.add_missing_columns(out, {"venue": None, "other": "IGNORED"})
+    assert "venue" in out2.columns
+    assert out2.collect()[0]["other"] == "x"  # existing column untouched
+    assert cleaning.validate_required(out2, ["date", "missing_col"]) == ["missing_col"]
+
+
+def test_flatten_header(spark):
+    df = spark.createDataFrame([(1.0,)], ["Pass Completion %"])
+    assert cleaning.flatten_header(df).columns == ["pass_completion_pct"]
+
+
+def test_coerce_numerics(spark):
+    df = spark.createDataFrame([("55%", "3"), ("bad", None)], ["possession", "shots"])
+    rows = cleaning.coerce_numerics(df, ["possession", "shots"]).collect()
+    assert rows[0]["possession"] == 55.0 and rows[0]["shots"] == 3.0
+    assert rows[1]["possession"] is None
+
+
+def test_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "second"), ("k", 1, "first"), ("j", 9, "only")], ["id", "seq", "tag"]
+    )
+    rows = cleaning.dedup_deterministic(df, ["id"], [F.asc("seq")]).collect()
+    assert {(r["id"], r["tag"]) for r in rows} == {("k", "first"), ("j", "only")}
+
+
+# ---------------------------------------------------------------- joins
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-10"), (1, "2024-01-01"), (2, "2024-01-05")], ["k", "lts"]
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-05", 100.0), (1, "2024-01-09", 200.0), (1, "2024-02-01", 999.0)],
+        ["k", "rts", "v"],
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = joins.asof_join(left, right, "k", "lts", "rts", ["v"])
+    got = {(r["k"], str(r["lts"])): r["asof_v"] for r in out.collect()}
+    assert got[(1, "2024-01-10 00:00:00")] == 200.0  # latest at-or-before
+    assert got[(1, "2024-01-01 00:00:00")] is None  # nothing before
+    assert got[(2, "2024-01-05 00:00:00")] is None  # key with no right rows
+    assert out.count() == left.count()  # never fans out
+
+
+def test_asof_join_tie_at_equal_ts(spark):
+    """A right row AT the left timestamp is visible (<= semantics)."""
+    left = spark.createDataFrame([(1, "2024-01-05")], ["k", "lts"]).withColumn(
+        "lts", F.col("lts").cast("timestamp")
+    )
+    right = spark.createDataFrame([(1, "2024-01-05", 7.0)], ["k", "rts", "v"]).withColumn(
+        "rts", F.col("rts").cast("timestamp")
+    )
+    assert joins.asof_join(left, right, "k", "lts", "rts", ["v"]).collect()[0]["asof_v"] == 7.0
+
+
+def test_lookup_join_defaults(spark):
+    df = spark.createDataFrame([("Man United",), ("Arsenal",)], ["team"])
+    dim = spark.createDataFrame([("Man United", "Manchester United")], ["alias", "canonical"])
+    out = joins.lookup_join(df, dim, "team", "alias", "canonical", out_col="norm")
+    got = dict((r["team"], r["norm"]) for r in out.collect())
+    assert got == {"Man United": "Manchester United", "Arsenal": "Arsenal"}
+
+
+def test_prefix_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    assert joins.prefix_columns(df, "home_", exclude=["a"]).columns == ["a", "home_b"]
+
+
+# ---------------------------------------------------------------- windows
+
+
+def test_rolling_time_metrics_window_bounds(spark):
+    rows = [
+        ("t", "2024-01-01", 1.0, "W"),
+        ("t", "2024-02-01", 3.0, "L"),
+        ("t", "2024-06-01", 5.0, "D"),  # >90d after the first two
+    ]
+    df = spark.createDataFrame(rows, ["team", "date", "gf", "result"]).withColumn(
+        "date", F.col("date").cast("date")
+    )
+    out = windows.rolling_time_metrics(
+        df, ["team"], "date", avg_cols=["gf"], sum_cols=["gf"], result_col="result"
+    )
+    got = {str(r["date"]): r for r in out.collect()}
+    assert got["2024-01-01"]["rolling_avg_gf"] == 1.0
+    assert got["2024-02-01"]["rolling_avg_gf"] == 2.0
+    assert got["2024-06-01"]["rolling_avg_gf"] == 5.0  # old rows left the window
+    assert got["2024-02-01"]["rolling_total_gf"] == 4.0
+    assert got["2024-02-01"]["win_ratio"] == 0.5
+
+
+def test_sessionize(spark):
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"), (1, "2024-01-01 02:00:00")]
+    df = spark.createDataFrame(rows, ["u", "ts"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.sessionize(df, "u", "ts", gap_seconds=1800)
+    assert [r["session_id"] for r in out.orderBy("ts").collect()] == [1, 1, 2]
+
+
+# ---------------------------------------------------------------- text & dedup
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("the cat, sat!",), ("",)], ["text"])
+    out = df.select(
+        text.token_count("text").alias("n"),
+        text.punct_count("text").alias("p"),
+        text.lang_id("text").alias("lang"),
+        text.fingerprint("text").alias("fp"),
+    ).collect()
+    assert out[0]["n"] == 3 and out[0]["p"] == 2 and out[0]["lang"] == "en"
+    assert out[1]["n"] == 0 and out[1]["lang"] == "und"
+    assert len(out[0]["fp"]) == 32
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  Doc"), (2, "same doc"), (3, "other")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]  # whitespace/case-normalized fingerprint
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words everywhere nothing shared at all " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_near_dup_pairs(df, threshold=0.4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jac} == {(1, 2)}
+
+
+def test_simhash_near_dups(spark):
+    # a realistic doc: many distinct tokens so single-token edits only
+    # nudge a few majority votes
+    base = " ".join(f"tok{i}" for i in range(120))
+    near = base.replace("tok37 ", "tokXX ")
+    far = " ".join(f"other{i}" for i in range(120))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+    assert bin(sh[1] ^ sh[2]).count("1") < bin(sh[1] ^ sh[3]).count("1")
+    pairs = dedup.simhash_near_dup_pairs(df, max_hamming=12, band_bits=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_vectors_and_lsh_topk(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    d = df.select(vectors.cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c"))
+    cs = [r["c"] for r in d.collect()]
+    assert cs[0] == pytest.approx(1.0) and cs[2] == pytest.approx(-1.0)
+
+    exact = similarity.cosine_topk(df, df.filter("vec_id = 0"), k=1)
+    assert exact.collect()[0]["neighbor_id"] == 1
+
+    approx = similarity.lsh_topk(df, df.filter("vec_id = 0"), k=1, dim=2, n_planes=2)
+    rows = approx.collect()
+    # LSH bucket of vec 0 contains its near neighbor, not the opposite vector
+    assert all(r["neighbor_id"] != 2 for r in rows)
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text", mime="text/plain")
+    assert [f.name for f in media.schema] == ["media_id", "payload", "meta"]
+    meta = media.select("meta.n_bytes", "meta.mime").collect()
+    assert meta[0]["n_bytes"] == 5 and meta[0]["mime"] == "text/plain"
+
+    decoded = multimodal.decode_media(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == 2
+    assert rows[1]["width"] >= 16 and len(rows[1]["features"]) == 8
+
+    frames = multimodal.sample_frames(decoded, every_n=2)
+    assert frames.count() >= 2
+    resized = multimodal.resize_features(decoded, out_dim=4)
+    assert all(len(r["features_resized"]) == 4 for r in resized.collect())
