@@ -105,6 +105,38 @@ def fingerprint(c: ColumnOrName) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(_col(c))), TOKEN_SPLIT_RE, " "))
 
 
+def profile_columns(text_col: ColumnOrName, toks_col: ColumnOrName) -> dict[str, Column]:
+    """All per-doc text metrics computed from a PRE-tokenized column —
+    one split per row instead of one per metric (the naive form's
+    expression tree re-tokenizes ~15× per row, which both slows
+    codegen and bloats the generated code). Values are identical to
+    the per-metric functions above."""
+    txt, toks = _col(text_col), _col(toks_col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tok = F.size(toks)
+    n_punct = F.length(F.regexp_replace(txt, PUNCT_CLASS, ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    punct_ratio_ = F.when(F.length(txt) > 0, n_punct / F.length(txt)).otherwise(F.lit(0.0))
+    stop_ratio_ = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+        + (F.lit(1.0) - F.least(punct_ratio_ * 5, F.lit(1.0)))
+        + F.least(stop_ratio_ * 4, F.lit(1.0))
+    ) / 3
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "n_chars": F.length(txt).cast("long"),
+        "n_punct": n_punct.cast("long"),
+        "n_stopwords": n_stop.cast("long"),
+        "n_bpe_tokens": F.regexp_count(
+            txt, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+        ).cast("long"),
+        "avg_token_len": F.when(n_tok > 0, tok_chars / n_tok).otherwise(F.lit(0.0)),
+        "quality": quality,
+    }
+
+
 def shingles(c: ColumnOrName, n: int = 3) -> Column:
     """Token n-gram shingles as an array<string> (for MinHash/Jaccard).
     Docs shorter than n tokens yield a single whole-doc shingle."""

@@ -13,10 +13,14 @@ Designed for 100 TB document tables:
 - n-gram Jaccard: exact verification on shingle sets for candidate
   pairs (or bounded self-join at small scale).
 
-Hashing uses md5 hex strings so every step is reproducible across
-engines (the DuckDB oracle mirrors it byte-for-byte): for fixed-width
-hex, lexicographic min ≡ numeric min, so minhash values are plain
-``min(md5(seed || shingle))``.
+Hashing is engine-reproducible (the DuckDB oracle mirrors it exactly):
+each shingle is md5'd ONCE into a 48-bit integer (12 hex chars through
+conv/hex-cast — both engines agree), and the K minhash values derive
+from that single hash by affine mixing ``(a_k·h + b_k) mod P`` over
+exact int64 arithmetic — the classic universal-hash construction,
+16× cheaper than hashing every shingle K times. Where a hash is only
+an internal join key (not part of the output), Spark-native xxhash64
+is used instead — outputs stay engine-identical.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
+from .scale import ensure_min_partitions
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,6 +45,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# Affine-mixing constants for the minhash family (a_k·h + b_k) mod P.
+# P is the largest prime below 2^48; with h < 2^48 and a_k ≤ 33 the
+# product stays well inside int64, so both engines compute it exactly.
+MINHASH_P = 281474976710597
+
+
+def minhash_params(k: int) -> tuple[int, int]:
+    return 3 + 2 * k, 1 + 7 * k
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -47,14 +62,20 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: explode token n-gram shingles, take
-    ``min(md5(k || ':' || shingle))`` per hash index k in ONE groupBy
-    pass (K aggregate expressions, map-side partial agg)."""
-    sh = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("__s")).distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("__s")))).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
+    """Per-doc MinHash signature: explode token n-gram shingles, md5
+    each shingle ONCE into a 48-bit int, then take K affine-mixed mins
+    in ONE groupBy pass (K aggregate expressions, map-side partial
+    agg). No distinct pass is needed: min over the shingle bag ≡ min
+    over the set."""
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    sh = src.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("__s")).select(
+        id_col,
+        F.conv(F.substring(F.md5("__s"), 1, 12), 16, 10).cast("long").alias("__h"),
+    )
+    aggs = []
+    for k in range(num_hashes):
+        a, b = minhash_params(k)
+        aggs.append(F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"mh{k}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -67,21 +88,12 @@ def lsh_candidate_pairs(
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows, bucket-key each band, and emit
     candidate pairs that collide in ≥1 band. Equi-join on
-    (band, key) — the scalable alternative to all-pairs."""
-    rows_per_band = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
-            )
-        )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    (band, key) — the scalable alternative to all-pairs.
+
+    The band keys materialize via ONE posexplode over a per-row array
+    (a union of per-band projections would recompute the upstream
+    signature aggregation once per band)."""
+    buckets = _banded(signatures, id_col, num_hashes, bands).select(id_col, "band", "bkey")
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
     return (
@@ -89,6 +101,25 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def _banded(signatures: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, signature array, band, bkey) — one row per band per doc."""
+    rows_per_band = num_hashes // bands
+    sig = F.array(*[F.col(f"mh{k}") for k in range(num_hashes)])
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        id_col, sig.alias("sig"), F.posexplode(band_keys).alias("band", "bkey")
     )
 
 
@@ -103,22 +134,28 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates from LSH
     banding, verified by estimated Jaccard = fraction of matching
-    signature positions. Returns (id_a, id_b, est_jaccard)."""
+    signature positions. Returns (id_a, id_b, est_jaccard).
+
+    Signatures ride along through the band join as arrays, so
+    verification is a zip_with over the pair — no join back to the
+    signature table (two fewer shuffles than the naive plan)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sig_a = sigs.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"mh{k}").alias(f"a{k}") for k in range(num_hashes)]
+    banded = _banded(sigs, id_col, num_hashes, bands)
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sig_b = sigs.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"mh{k}").alias(f"b{k}") for k in range(num_hashes)]
-    )
-    matches: Column = sum(
-        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(num_hashes)
+    matches = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
-        cands.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+        pairs.withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -136,8 +173,18 @@ def ngram_jaccard_pairs(
     index: explode distinct shingles, self-join on shingle to count
     intersections, derive |A∪B| from per-doc set sizes. At scale,
     ``max_shingle_df`` drops ubiquitous shingles (df > cap), the
-    standard way to bound the inverted-index fan-out."""
-    sh = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("s")).distinct()
+    standard way to bound the inverted-index fan-out.
+
+    Shingles are joined by xxhash64 key, not by string — the hash is
+    purely an internal equi-join key (never in the output), so the
+    cheap Spark-native hash is safe; a collision would need two
+    distinct shingles of the same doc pair among ~2^64 values."""
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    sh = (
+        src.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("__s"))
+        .select(id_col, F.xxhash64("__s").alias("s"))
+        .distinct()
+    )
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("s").agg(F.count("*").alias("df"))
@@ -176,7 +223,8 @@ def simhash_signatures(
     Bit b of the signature is set when votes are non-negative.
 
     Returns (id_col, simhash). Docs with zero tokens are absent."""
-    toks = df.select(id_col, F.explode(tokens(text_col)).alias("__tok"))
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    toks = src.select(id_col, F.explode(tokens(text_col)).alias("__tok"))
     h = F.conv(F.substring(F.md5("__tok"), 1, bits // 4), 16, 10).cast("long")
     votes = toks.groupBy(id_col).agg(
         *[
@@ -225,11 +273,15 @@ def simhash_near_dup_pairs(
     n_bands = bits // band_bits
     assert max_hamming < n_bands, "need max_hamming < n_bands for pigeonhole guarantee"
     mask = (1 << band_bits) - 1
-    bands_df = None
-    for b in range(n_bands):
-        seg = F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
-        part = sh.select(id_col, "simhash", F.lit(b).alias("band"), seg.alias("seg"))
-        bands_df = part if bands_df is None else bands_df.unionByName(part)
+    segs = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    bands_df = sh.select(
+        id_col, "simhash", F.posexplode(segs).alias("band", "seg")
+    )
     a = bands_df.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "seg"
     )

@@ -19,10 +19,20 @@ JVM-side, no Python UDF in the scan path.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import dot, norm
+from .scale import ensure_min_partitions
+
+
+def _pair_cosine(qv: str, cv: str, qn: str, cn: str) -> Column:
+    """Cosine from a pair's dot product and the two PREcomputed norms
+    (one norm per vector instead of one per pair — the norms of an
+    N×M scoring job cost N+M instead of 2·N·M). Same expression shape
+    as functions.vectors.cosine, so values are identical."""
+    d = F.col(qn) * F.col(cn)
+    return F.when(d > 0, dot(qv, cv) / d).otherwise(F.lit(0.0))
 
 
 def cosine_topk(
@@ -36,18 +46,27 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, rank, cosine_sim). Queries are
-    broadcast; ranking ties broken by neighbor id for determinism."""
+    broadcast; ranking ties broken by neighbor id for determinism.
+    Norms are computed once per vector, not once per pair."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(vec_col).alias("__qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = ensure_min_partitions(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col).alias("__cn"),
+    )
     pairs = q.crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine("__qv", "__cv").alias("cosine_sim"),
+        _pair_cosine("__qv", "__cv", "__qn", "__cn").alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -90,12 +109,20 @@ def lsh_topk(
     bigger buckets → higher recall)."""
     planes = _hyperplanes(dim, n_planes, seed)
     qb = lsh_bucket(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(vec_col).alias("__qn"),
+        ),
         "__qv",
         planes,
     )
     cb = lsh_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        ensure_min_partitions(corpus.select(id_col, vec_col)).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm(vec_col).alias("__cn"),
+        ),
         "__cv",
         planes,
     )
@@ -103,7 +130,7 @@ def lsh_topk(
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine_sim")
+        "query_id", "neighbor_id", _pair_cosine("__qv", "__cv", "__qn", "__cn").alias("cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -127,20 +154,29 @@ def embedding_near_dup_pairs(
     LSH first (near-identical vectors share all sign bits with high
     probability) and verifies exactly; ``exact=True`` forces the
     all-pairs O(n²) check (only sane for dimension-sized tables)."""
+    src = ensure_min_partitions(df.select(id_col, vec_col)).select(
+        id_col, vec_col, norm(vec_col).alias("__n")
+    )
     if exact:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        a = src.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na")
+        )
+        b = src.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb")
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        bucketed = lsh_bucket(df.select(id_col, vec_col), vec_col, _hyperplanes(dim, n_planes, seed))
+        bucketed = lsh_bucket(src, vec_col, _hyperplanes(dim, n_planes, seed))
         a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+            F.col("__n").alias("__na"), "__bucket",
         )
         b = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+            F.col("__n").alias("__nb"), "__bucket",
         )
         pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine("__va", "__vb").alias("cosine_sim"))
+        pairs.select("id_a", "id_b", _pair_cosine("__va", "__vb", "__na", "__nb").alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions import scalars, text, vectors
 from ..io.loader import load_table
 from ..operators import aggregates, cleaning, dedup, joins, similarity, windows
+from ..operators.scale import ensure_min_partitions
 
 
 @dataclass(frozen=True)
@@ -614,20 +615,11 @@ _SQL_SHINGLES = r"""
     "estimate, quality score — all JVM-side array exprs (functions/text.py)",
 )
 def text_quality_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    sw = F.array(*[F.lit(s) for s in text.STOPWORDS_EN])
-    n_stop = F.size(
-        F.filter(text.tokens("text"), lambda t: F.array_contains(sw, F.lower(t)))
-    )
-    return d.select(
-        "doc_id",
-        text.token_count("text").alias("n_tokens"),
-        F.length("text").alias("n_chars"),
-        text.punct_count("text").alias("n_punct"),
-        n_stop.alias("n_stopwords"),
-        text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
-        text.avg_token_len("text").alias("avg_token_len"),
-        text.quality_score("text").alias("quality"),
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", "text", text.tokens("text").alias("toks"))
+    metrics = text.profile_columns(F.col("text"), F.col("toks"))
+    return toked.select(
+        "doc_id", *[expr.alias(name) for name, expr in metrics.items()]
     )
 
 
@@ -663,7 +655,7 @@ def text_quality_stats(spark, sf_dir):
     doc="language-ID heuristic (marker-token argmax; earlier language wins ties)",
 )
 def lang_id_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return (
         d.select(text.lang_id("text").alias("lang_pred"))
         .groupBy("lang_pred")
@@ -689,10 +681,13 @@ def dedup_exact_documents(spark, sf_dir):
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    from ..operators.dedup import MINHASH_P, minhash_params
+
     rows = num_hashes // bands
-    mh_cols = ",\n      ".join(
-        f"MIN(MD5('{k}:' || s)) AS mh{k}" for k in range(num_hashes)
-    )
+    mh_cols = []
+    for k in range(num_hashes):
+        a, b = minhash_params(k)
+        mh_cols.append(f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh{k}")
     band_selects = "\n      UNION ALL\n".join(
         "SELECT doc_id, {b} AS band, MD5({expr}) AS bkey FROM mh".format(
             b=b,
@@ -706,8 +701,10 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     return f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),
-    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
-    mh AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
+    ex AS (SELECT doc_id,
+                  CAST(('0x' || SUBSTR(MD5(UNNEST(shingles)), 1, 12)) AS BIGINT) AS h
+           FROM sh),
+    mh AS (SELECT doc_id, {", ".join(mh_cols)} FROM ex GROUP BY doc_id),
     bands AS ({band_selects}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
