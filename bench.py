@@ -41,8 +41,11 @@ HEADLINE = [
     "text_quality_stats",
     "dedup_exact_documents",
     "minhash_near_dups",
+    "simhash_near_dups",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "lsh_ann_topk",
+    "multimodal_decode",
 ]
 
 

@@ -105,6 +105,30 @@ def fingerprint(c: ColumnOrName) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(_col(c))), TOKEN_SPLIT_RE, " "))
 
 
+# Modulus for the rolling polynomial hash: Mersenne prime 2^31-1.
+# Accumulator stays < 2^31, so acc*31 + tok_hash < 2^36 — exact int64
+# arithmetic in both Spark and the DuckDB oracle.
+ROLLING_HASH_P = 2147483647
+
+
+def rolling_hash(c: ColumnOrName, mod: int = ROLLING_HASH_P) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over the token sequence, ``h = fold(31·acc + hash(tok)) mod P``.
+    Unlike :func:`fingerprint` (set-style content key), this changes
+    when token ORDER changes — the classic chunk/fingerprint primitive.
+    Each token hashes once (48-bit md5 prefix) then folds JVM-side via
+    ``aggregate`` — no Python in the hot path; empty docs hash to 0."""
+    tok_h = F.transform(
+        tokens(c),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long") % mod,
+    )
+    return F.aggregate(
+        tok_h,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % mod,
+    )
+
+
 def profile_columns(text_col: ColumnOrName, toks_col: ColumnOrName) -> dict[str, Column]:
     """All per-doc text metrics computed from a PRE-tokenized column —
     one split per row instead of one per metric (the naive form's

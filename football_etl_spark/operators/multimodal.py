@@ -81,21 +81,44 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, features
 
 
-def decode_media(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+def decode_media(df: DataFrame, batch_size_hint: int = 256, decoder=None) -> DataFrame:
     """Decode / feature-extract via Arrow-batched mapInPandas.
 
     Scale notes: blobs stay inside executor batches (never on the
     driver); `spark.sql.execution.arrow.maxRecordsPerBatch` bounds
     batch memory for large payloads. Corrupt rows surface as nulls,
-    not task failures."""
+    not task failures.
+
+    ``decoder`` overrides the built-in stub (same signature as
+    ``_decode_payload``); it must be cloudpickle-serializable. The
+    default path keeps the worker closure fully self-contained — no
+    reference to this package — so it runs on executors that don't
+    have the package on their PYTHONPATH (the driver-contract case:
+    plain SparkSession, arbitrary cwd)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def default_decode(payload):
+            if payload is None:
+                raise NotImplementedError("corrupt/absent payload — real decoder required")
+            digest = _hl.md5(payload).digest()
+            return (
+                16 + digest[0] % 240,
+                16 + digest[1] % 240,
+                1 + digest[2] % 8,
+                [b / 255.0 for b in digest[:8]],
+            )
+
+        decode = decoder if decoder is not None else default_decode
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "n_frames": [], "features": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 out["media_id"].append(mid)
                 try:
-                    w, h, nf, feats = _decode_payload(payload)
+                    w, h, nf, feats = decode(payload)
                 except NotImplementedError:
                     w = h = nf = None
                     feats = None
@@ -103,7 +126,7 @@ def decode_media(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                 out["height"].append(h)
                 out["n_frames"].append(nf)
                 out["features"].append(feats)
-            yield pd.DataFrame(out)
+            yield _pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(op, DECODED_SCHEMA)
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
 from ..io.loader import load_table
-from ..operators import aggregates, cleaning, dedup, joins, similarity, windows
+from ..operators import aggregates, cleaning, dedup, joins, multimodal, similarity, windows
 from ..operators.scale import ensure_min_partitions
 
 
@@ -824,6 +824,347 @@ def embedding_near_dups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.embedding_near_dup_pairs(e, threshold=0.35, exact=True)
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def _simhash_oracle(bits: int = 56, band_bits: int = 14, max_hamming: int = 3) -> str:
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS band, ((simhash >> {b * band_bits}) & {mask}) AS seg FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    tok AS (SELECT doc_id, UNNEST(toks) AS t FROM toks_cte),
+    h AS (SELECT doc_id, CAST(('0x' || SUBSTR(MD5(t), 1, {bits // 4})) AS BIGINT) AS h FROM tok),
+    votes AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, ({sig}) AS simhash FROM votes),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.seg = b.seg
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming FROM cand
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@query(
+    "simhash_near_dups",
+    oracle=_simhash_oracle(56, 14, 3),
+    doc="SimHash near-dup pairs: per-token 56-bit hash → ONE groupBy with "
+    "per-bit ±1 vote sums (map-side partial agg, zero Python) → 14-bit "
+    "band join (pigeonhole guarantees hamming≤3 pairs collide) → popcount "
+    "verify (operators/dedup.py simhash_near_dup_pairs)",
+)
+def simhash_near_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(d, bits=56, max_hamming=3, band_bits=14)
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS})
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS content_fp,
+           LIST_REDUCE(
+             LIST_PREPEND(CAST(0 AS BIGINT),
+               LIST_TRANSFORM(toks,
+                 t -> CAST(('0x' || SUBSTR(MD5(t), 1, 12)) AS BIGINT) % {text.ROLLING_HASH_P})),
+             (a, b) -> (a * 31 + b) % {text.ROLLING_HASH_P}) AS rolling_fp
+    FROM toks_cte
+    """,
+    doc="document fingerprinting: content-normalized md5 (set-style exact-dup "
+    "key) + order-sensitive polynomial rolling hash over the token stream "
+    "(functions/text.py fingerprint, rolling_hash) — both JVM-side",
+)
+def doc_fingerprints(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        text.fingerprint("text").alias("content_fp"),
+        text.rolling_hash("text").alias("rolling_fp"),
+    )
+
+
+def _lsh_ann_oracle(k: int = 10, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot_terms(plane: list[float]) -> str:
+        return " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * CAST({plane[j]!r} AS DOUBLE)"
+            for j in range(dim)
+        )
+
+    bucket = " + ".join(
+        f"CAST(({dot_terms(p)}) > 0 AS BIGINT) * {2**i}" for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bkt FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'b.embedding')} AS cosine_sim
+      FROM q JOIN b ON q.bkt = b.bkt AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           ROUND(cosine_sim, 6) AS cosine_sim
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query(
+    "lsh_ann_topk",
+    oracle=_lsh_ann_oracle(10, 8, 64, 42),
+    doc="LSH-bucketed ANN (the 100 TB scale path for similarity search): "
+    "random-hyperplane sign buckets computed map-side, candidates limited "
+    "to the query's bucket (≈2^8× pruning), exact cosine re-rank "
+    "(operators/similarity.py lsh_topk). Oracle inlines the same seeded "
+    "hyperplanes — sequential double accumulation is bit-identical",
+)
+def lsh_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(
+        e, e.filter(F.col("vec_id") < 8), k=10, n_planes=8, dim=64, seed=42
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + CAST(('0x' || SUBSTR(MD5(text), 1, 2)) AS INT) % 240 AS INT) AS width,
+           CAST(16 + CAST(('0x' || SUBSTR(MD5(text), 3, 2)) AS INT) % 240 AS INT) AS height,
+           CAST(1 + CAST(('0x' || SUBSTR(MD5(text), 5, 2)) AS INT) % 8 AS INT) AS n_frames,
+           CAST((CAST(('0x' || SUBSTR(MD5(text), 5, 2)) AS INT) % 8) // 2 + 1 AS BIGINT)
+             AS n_sampled_frames,
+           CAST(4 AS INT) AS feat_dim
+    FROM documents
+    """,
+    doc="multimodal pipeline: binary payload + typed metadata struct → "
+    "Arrow-batched mapInPandas decode (STUB decoder, md5-deterministic — "
+    "the oracle mirrors it exactly, so the full plumbing is value-checked) "
+    "→ frame sampling via sequence+explode → feature resize "
+    "(operators/multimodal.py)",
+)
+def multimodal_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text", mime="text/plain")
+    decoded = multimodal.decode_media(media)
+    sampled = (
+        multimodal.sample_frames(decoded, every_n=2)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_sampled_frames"))
+    )
+    feat_dims = multimodal.resize_features(decoded, out_dim=4).select(
+        "media_id", F.size("features_resized").alias("feat_dim")
+    )
+    return (
+        decoded.join(sampled, "media_id", "left")
+        .join(feat_dims, "media_id", "left")
+        .select("media_id", "width", "height", "n_frames", "n_sampled_frames", "feat_dim")
+    )
+
+
+# ===========================================================================
+# §2.4/§2.5/§2.6 surface extensions: rollup, lag deltas, intersect,
+# messy-ingest cleaning chain, approximate distinct
+# ===========================================================================
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical rollup aggregation (subtotals + grand total in one "
+    "pass) — beyond the reference's flat group-bys; Catalyst expands to "
+    "grouping sets with a single shuffle",
+)
+def rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_revenue", 4),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "customer_order_deltas",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           o_totalprice - LAG(o_totalprice) OVER w AS price_delta,
+           DATE_DIFF('day', CAST(LAG(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE))
+             AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead order-over-order deltas per customer (SURVEY §2.5 notes "
+    "lag as the natural engine extension for match-over-match deltas); "
+    "identical-operand IEEE subtraction → bit-exact cross-engine",
+)
+def customer_order_deltas(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_price = F.lag("o_totalprice").over(w)
+    prev_date = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        prev_price.alias("prev_price"),
+        (F.col("o_totalprice") - prev_price).alias("price_delta"),
+        F.datediff("o_orderdate", prev_date).alias("days_since_prev"),
+    )
+
+
+@query(
+    "intersect_active_buyers",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    doc="set intersection (SURVEY §2.6 — free from Spark, included for "
+    "set-op surface completeness alongside union/except)",
+)
+def intersect_active_buyers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+# DuckDB strptime twins of scalars.DATE_FORMATS, same order — the
+# coalesce chain must try formats identically for ambiguous strings
+# (e.g. 02/03/1996) to resolve the same way in both engines.
+_DUCKDB_DATE_FORMATS = (
+    "%Y-%m-%d",
+    "%d/%m/%Y",
+    "%m/%d/%Y",
+    "%d-%m-%Y",
+    "%Y/%m/%d",
+    "%d.%m.%Y",
+    "%Y.%m.%d",
+    "%d %b %Y",
+    "%b %d %Y",
+    "%b %d, %Y",
+    "%B %d, %Y",
+)
+
+_SQL_NORMALIZE_DATE = (
+    "CAST(COALESCE("
+    + ", ".join(f"try_strptime(TRIM(messy_date), '{f}')" for f in _DUCKDB_DATE_FORMATS)
+    + ") AS DATE)"
+)
+
+
+@query(
+    "messy_ingest_cleaning",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN STRFTIME(o_orderdate, '%d/%m/%Y')
+             WHEN o_orderkey % 3 = 1 THEN STRFTIME(o_orderdate, '%b %d, %Y')
+             ELSE STRFTIME(o_orderdate, '%Y.%m.%d') END AS messy_date,
+        '$' || CAST(o_orderkey % 10000 AS VARCHAR) || '.'
+            || CAST(o_custkey % 90 + 10 AS VARCHAR) || ' USD' AS messy_price,
+        CAST(o_orderkey % 7 AS VARCHAR) || '-' || CAST(o_custkey % 7 AS VARCHAR) AS score,
+        CASE WHEN o_orderkey % 2 = 0 THEN 'Home' ELSE 'Away' END AS venue
+      FROM orders)
+    SELECT o_orderkey,
+           {_SQL_NORMALIZE_DATE} AS match_date,
+           TRY_CAST(REGEXP_REPLACE(messy_price, '[^0-9.-]', '', 'g') AS DOUBLE) AS price,
+           CASE WHEN LOWER(TRIM(venue)) = 'home'
+                THEN TRY_CAST(SPLIT_PART(TRIM(score), '-', 1) AS DOUBLE)
+                ELSE TRY_CAST(SPLIT_PART(TRIM(score), '-', 2) AS DOUBLE) END AS goals_for,
+           CASE WHEN LOWER(TRIM(venue)) = 'home'
+                THEN TRY_CAST(SPLIT_PART(TRIM(score), '-', 2) AS DOUBLE)
+                ELSE TRY_CAST(SPLIT_PART(TRIM(score), '-', 1) AS DOUBLE) END AS goals_against,
+           CAST(CASE WHEN LOWER(TRIM(venue)) = 'home' THEN 1 ELSE 0 END AS INT) AS is_home
+    FROM m
+    """,
+    doc="the M1 ingest-repair chain end-to-end on deterministically "
+    "messied inputs: multi-format date normalization "
+    "(coalesce(try_to_date...) ≡ utils/data_utils.py:36-71), currency "
+    "clean_number (:74-98), score split + venue swap "
+    "(team_scraper.py:656-667), is_home flag (:669-681)",
+)
+def messy_ingest_cleaning(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    fmt = F.col("o_orderkey") % 3
+    messy_date = (
+        F.when(fmt == 0, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .when(fmt == 1, F.date_format("o_orderdate", "MMM dd, yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyy.MM.dd"))
+    )
+    messy_price = F.concat(
+        F.lit("$"),
+        (F.col("o_orderkey") % 10000).cast("string"),
+        F.lit("."),
+        (F.col("o_custkey") % 90 + 10).cast("string"),
+        F.lit(" USD"),
+    )
+    score = F.concat_ws(
+        "-", (F.col("o_orderkey") % 7).cast("string"), (F.col("o_custkey") % 7).cast("string")
+    )
+    venue = F.when(F.col("o_orderkey") % 2 == 0, "Home").otherwise("Away")
+    gf, ga = scalars.split_score(score, venue)
+    return o.select(
+        "o_orderkey",
+        scalars.normalize_date(messy_date).alias("match_date"),
+        scalars.clean_number(messy_price).alias("price"),
+        gf.alias("goals_for"),
+        ga.alias("goals_against"),
+        scalars.is_home_flag(venue).alias("is_home"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,
+    doc="approx_count_distinct (HLL++) beside the exact count — the 100 TB "
+    "cardinality path (SURVEY §2.4 'at scale also expose approx'); "
+    "approximate by construction → rows-only driver check",
+)
+def approx_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
 
 
 # ===========================================================================

@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the 100 TB efficiency contract.
+
+Correctness tests prove the operators compute the right answer; these
+prove Catalyst produces the plan we designed for scale: dimension
+joins broadcast (no sort-merge shuffle of the fact side), predicates
+and projections reach the parquet scan, and no registered query ever
+degenerates into a cartesian product of two large sides.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from football_etl_spark.plans.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_all_dimensions(spark):
+    """customer/nation/region enrichment must be broadcast-hash joins —
+    at 100 TB the orders fact side must never shuffle for a dim join."""
+    plan = plan_str(REGISTRY["flagship_order_enrichment"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    """The shipdate filter must reach the parquet scan (row-group
+    pruning) and the scan must read only the 9 referenced columns."""
+    plan = plan_str(REGISTRY["pricing_summary"].fn(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # column pruning: untouched wide columns must not be scanned
+    assert "l_partkey" not in plan, plan
+    assert "l_suppkey" not in plan, plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Group-by must run map-side partial then final aggregation —
+    the shuffle carries pre-combined rows, not the raw fact table."""
+    plan = plan_str(REGISTRY["pricing_summary"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_minhash_signature_single_shuffle(spark):
+    """The K-minhash aggregation is ONE groupBy pass over exploded
+    shingles (partial_min map-side); no join back to the doc table."""
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.operators.dedup import minhash_signatures
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_str(minhash_signatures(d), "simple")
+    # exactly one hash-partitioned (shuffle-for-agg) exchange; the
+    # round-robin exchange is ensure_min_partitions restoring local
+    # parallelism over a compact single-file input
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_uses_broadcast(spark):
+    """The as-of composition must broadcast the small build side rather
+    than shuffling both inputs."""
+    plan = plan_str(REGISTRY["purchase_asof_login"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product_anywhere(spark, name):
+    """No registered query may plan an unbounded cartesian product.
+    (Broadcast nested-loop against an explicitly broadcast, bounded
+    query set — ANN top-k — is the one sanctioned n×m pattern.)"""
+    plan = plan_str(REGISTRY[name].fn(spark, SF_SMOKE), "simple")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product:\n{plan}"
