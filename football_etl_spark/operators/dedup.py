@@ -293,11 +293,9 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b").distinct()
     )
     x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    hamming = sum(
-        F.shiftright(x, b).bitwiseAND(F.lit(1)) for b in range(bits)
-    )
+    # native popcount: one codegen'd instruction vs a 56-term shift/mask sum
     return (
-        cands.withColumn("hamming", hamming.cast("int"))
+        cands.withColumn("hamming", F.bit_count(x).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -41,3 +41,41 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     if total < _SMALL_INPUT_BYTES:
         return df.repartition(min_parts)
     return df
+
+
+def explode_salts(df: DataFrame, n_salts: int, salt_col: str = "__salt"):
+    """Replicate each row once per salt value (the build/broadcast side
+    of a salted join). Cost: n_salts× the SMALL side — the price of
+    spreading one hot key over n_salts reducers on the big side."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe equi-join: the big (skewed) side gets a uniform salt
+    in [0, n_salts), the small side is exploded across every salt, and
+    the join runs on keys+salt — one hot key now lands on n_salts
+    shuffle partitions instead of one straggler.
+
+    Join RESULTS are identical to ``big.join(small, keys, how)``; the
+    salt only changes data placement. Prefer AQE skew-join handling
+    (on by default in the engine session) when it suffices — salting
+    is for the pathological keys AQE's split thresholds miss, and for
+    deterministic layout under a fixed partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.floor(F.rand(seed) * n_salts).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = explode_salts(small, n_salts)
+    return b.join(s, [*keys, "__salt"], how).drop("__salt")

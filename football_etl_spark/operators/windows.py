@@ -114,3 +114,38 @@ def sessionize(
     return df.withColumn(
         session_col, F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+
+
+def grouped_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score via the grouped-map escape hatch —
+    ``groupBy(...).applyInPandas`` (SURVEY §2.8), the engine's
+    generalization of the reference's per-group pandas loop
+    (utils/data_utils.py:261-295). Use only when built-in window
+    functions genuinely can't express the per-group logic; this
+    particular computation HAS a window twin (the oracle uses it),
+    which is what makes the escape hatch cross-checkable.
+
+    Arrow-batched: one pandas frame per group, partial state never on
+    the driver. Groups with one row or zero variance produce pandas
+    NaN, which the Arrow return path surfaces as SQL NULL.
+
+    The worker closure is self-contained (strings only, stdlib-free)
+    so it runs on executors without this package on PYTHONPATH."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    vc, oc = value_col, out_col
+
+    def fn(pdf):
+        v = pdf[vc]
+        pdf[oc] = (v - v.mean()) / v.std(ddof=1)
+        return pdf
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(fn, schema)

@@ -1153,6 +1153,35 @@ def messy_ingest_cleaning(spark, sf_dir):
 
 
 @query(
+    "grouped_zscore_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN STDDEV_SAMP(o_totalprice) OVER w IS NULL
+                     OR STDDEV_SAMP(o_totalprice) OVER w = 0
+                THEN NULL
+                ELSE ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                           / STDDEV_SAMP(o_totalprice) OVER w, 6) END AS zscore
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+    doc="the grouped-map escape hatch (SURVEY §2.8): per-customer z-score "
+    "via Arrow-batched applyInPandas — the engine's generalization of the "
+    "reference's per-group pandas loop (utils/data_utils.py:261-295). This "
+    "computation deliberately HAS a window-function twin, which is what "
+    "makes the escape hatch value-checkable against the SQL oracle",
+)
+def grouped_zscore_spend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    z = windows.grouped_zscore(o, ["o_custkey"], "o_totalprice")
+    return z.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round("zscore", 6).alias("zscore"),
+    )
+
+
+@query(
     "approx_distinct_users",
     oracle=None,
     doc="approx_count_distinct (HLL++) beside the exact count — the 100 TB "
