@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot, norm
+from ..functions.vectors import dot, l2_distance, norm
 from .scale import ensure_min_partitions
 
 
@@ -179,4 +179,90 @@ def embedding_near_dup_pairs(
     return (
         pairs.select("id_a", "id_b", _pair_cosine("__va", "__vb", "__na", "__nb").alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def default_centroids(
+    corpus: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the first ``n_centroids``
+    corpus vectors by id. Production swaps this for Spark ML KMeans
+    cluster centers — the IVF plumbing below is agnostic to where the
+    centroid table comes from."""
+    return corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: every corpus vector is assigned to its
+    nearest centroid cell (one broadcast pass — the centroid table is
+    tiny), each query probes its ``n_probe`` nearest cells, and only
+    vectors in probed cells are exactly re-ranked. The classic
+    coarse-quantization alternative to ``lsh_topk``: recall is tuned by
+    ``n_probe`` instead of plane count, and cell assignment can reuse
+    trained centroids.
+
+    At 100 TB the assignment is embarrassingly parallel (broadcast
+    nested-loop against a ≤k-row centroid table), the cell id becomes
+    the partition/bucket key for the corpus layout, and the probe join
+    is an equi-join on cid — never an all-pairs scan.
+
+    Ties in centroid distance break by centroid id; candidate ranking
+    ties break by neighbor id — fully deterministic."""
+    if centroids is None:
+        centroids = default_centroids(corpus, n_centroids, id_col, vec_col)
+    cent = F.broadcast(centroids)
+
+    corp = ensure_min_partitions(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cn"),
+    )
+    a_dist = l2_distance("__cvec", "cv")
+    wa = Window.partitionBy("neighbor_id").orderBy(a_dist.asc(), F.col("cid").asc())
+    assigned = (
+        corp.crossJoin(cent)
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "__cvec", "__cn", "cid")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
+    )
+    q_dist = l2_distance("__qv", "cv")
+    wq = Window.partitionBy("query_id").orderBy(q_dist.asc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(cent)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "__qn", "cid")
+    )
+
+    pairs = F.broadcast(probes).join(assigned, "cid")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _pair_cosine("__qv", "__cvec", "__qn", "__cn").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )

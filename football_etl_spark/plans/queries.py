@@ -952,6 +952,65 @@ def lsh_ann_topk(spark, sf_dir):
     )
 
 
+# DuckDB mirror of functions/vectors.py l2_distance: same zip-diff-
+# square sequential accumulation, so distance ORDER is identical.
+def _sql_l2(a: str, b: str) -> str:
+    return (
+        f"SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, cid
+      FROM embeddings e, cent
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {_sql_l2('e.embedding', 'cv')} ASC, cid ASC) = 1
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, cid
+      FROM embeddings q, cent
+      WHERE q.vec_id < 8
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                 ORDER BY {_sql_l2('q.embedding', 'cv')} ASC, cid ASC) <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {_sql_cosine('p.qv', 'a.cvec')} AS cosine_sim
+      FROM probes p JOIN assigned a ON p.cid = a.cid AND a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           ROUND(cosine_sim, 6) AS cosine_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="IVF coarse-quantized ANN (operators/similarity.py ivf_topk): "
+    "corpus assigned to nearest-centroid cells via one broadcast pass, "
+    "queries probe their 2 nearest cells, exact cosine re-rank inside "
+    "probed cells. Cell id doubles as the corpus bucket key at 100 TB; "
+    "centroid table is pluggable (KMeans in production, deterministic "
+    "first-k here so the oracle mirrors the full algorithm)",
+)
+def ivf_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), k=10, n_probe=2, n_centroids=8
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
 @query(
     "multimodal_decode",
     oracle="""

@@ -69,3 +69,54 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stateful_user_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    state_ttl_minutes: int | None = 10,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.9): running per-key event count + value total, with
+    processing-time state TTL — the streaming twin of the reference's
+    per-team cache with 7-day freshness eviction
+    (/root/reference/scrapers/team_scraper.py:89-126).
+
+    State is one (count, total) pair per key — bounded by key
+    cardinality, evicted on timeout; emits one updated row per key per
+    micro-batch ("update" mode). The worker closure is self-contained
+    (no package references) per the driver-contract pickling rule.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    ttl_ms = (state_ttl_minutes or 0) * 60 * 1000
+    vc = value_col
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[vc].fillna(0.0).sum())
+        state.update((n, total))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=timeout,
+    )
