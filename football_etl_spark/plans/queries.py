@@ -1079,6 +1079,125 @@ def rollup_revenue(spark, sf_dir):
 
 
 @query(
+    "cube_order_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    doc="full cube aggregation (all 4 grouping sets in one shuffle) — "
+    "completes the grouping-set surface next to rollup_revenue; Catalyst "
+    "expands the cube before the exchange so it stays a single pass",
+)
+def cube_order_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        _dec_sum(F.col("o_totalprice"), "sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "percentile_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="exact interpolated percentiles per group (Spark `percentile` ≡ "
+    "DuckDB QUANTILE_CONT, both linear interpolation). At 100 TB swap to "
+    "approx_percentile (t-digest sketch, mergeable partials, no full sort "
+    "per group) — exposed via approx_distinct_users-style rows-only path",
+)
+def percentile_order_value(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "tumbling_event_windows",
+    oracle="""
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 86400) * 86400) AS TIMESTAMP) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1-day event-time windows per event_type via the SAME "
+    "streaming/incremental.windowed_event_counts expression the "
+    "Structured-Streaming path runs (watermark attaches only when "
+    ".isStreaming) — puts the streaming aggregation semantics under the "
+    "exact-value correctness gate instead of a rows-only check",
+)
+def tumbling_event_windows(spark, sf_dir):
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events")
+    out = incremental.windowed_event_counts(ev, ts_col="ts", window="1 day")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS longest_session,
+           CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM per_session GROUP BY user_id
+    """,
+    doc="native F.session_window sessions rolled up per user — the "
+    "streaming session operator (streaming/incremental.session_window_"
+    "totals) under the exact correctness gate. Oracle mirrors Spark's "
+    "boundary rule (touching [ts, ts+gap] windows coalesce: a session "
+    "splits only when the gap is STRICTLY exceeded → `>` in the "
+    "lag-gap cumsum, verified by test_session_window_boundary_semantics)",
+)
+def session_window_stats(spark, sf_dir):
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events")
+    per_session = incremental.session_window_totals(ev, gap="30 minutes")
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("longest_session"),
+        F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
     "customer_order_deltas",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,

@@ -50,6 +50,40 @@ def windowed_event_counts(
     )
 
 
+def session_window_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Native session windows (``F.session_window``): one row per
+    (key, session), where a session is a chain of events each arriving
+    within ``gap`` of the previous — the built-in streaming form of
+    operators/windows.sessionize (whose lag-gap cumsum composes the
+    same semantics in batch; boundary rule, verified empirically: an
+    arrival at EXACTLY ``gap`` after the previous event still merges —
+    the [ts, ts+gap] windows touch and coalesce — a session splits
+    only when the gap is strictly exceeded, matching sessionize's
+    strict ``>``).
+
+    Same expression serves batch and streaming; the watermark attaches
+    only on streams, bounding session state for late data. At 100 TB
+    this is one shuffle on the key with state per open session —
+    watermark eviction keeps state proportional to active keys, not
+    history.
+    """
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("sess"), key_col
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -83,3 +83,67 @@ def test_stateful_user_totals_matches_batch(spark):
         final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
     assert len(final) == len(expected)
     assert final == expected
+
+
+def test_session_window_boundary_semantics(spark):
+    """F.session_window: an event arriving EXACTLY `gap` after the
+    previous one still MERGES (touching [ts, ts+gap] windows coalesce);
+    a session splits only when the gap is strictly exceeded — same
+    strict-`>` boundary as operators/windows.sessionize."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: +0s, +1799s, then +3599s = exactly 1800 after prev
+        # → still one session of 3
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(seconds=1799), 1.0),
+        (1, t0 + dt.timedelta(seconds=3599), 1.0),
+        # user 2: +0s, then 1800s + 1µs → strictly over the gap → split
+        (2, t0, 2.0),
+        (2, t0 + dt.timedelta(seconds=1800, microseconds=1), 2.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = incremental.session_window_totals(ev, gap="30 minutes")
+    per_user = {
+        r["user_id"]: sorted(rr["n_events"] for rr in out.collect() if rr["user_id"] == r["user_id"])
+        for r in out.select("user_id").distinct().collect()
+    }
+    assert per_user == {1: [3], 2: [1, 1]}
+
+
+def test_session_window_streaming_append_subset(spark):
+    """Streaming session windows (append mode + watermark): every
+    emitted (user, session) row must exist identically in the batch
+    result — watermarks may hold back the tail, never corrupt it."""
+    batch = load_table(spark, SF, "events")
+    expected = {
+        (r["user_id"], str(r["sess"]["start"])): (r["n_events"], round(r["total_value"], 6))
+        for r in incremental.session_window_totals(batch, watermark="1 minute").collect()
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/feed"
+        batch.coalesce(2).write.parquet(feed)
+        stream = incremental.read_event_stream(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        sessions = incremental.session_window_totals(stream, watermark="1 minute")
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("session_stream_test")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("session_stream_test").collect()
+
+    got = {
+        (r["user_id"], str(r["sess"]["start"])): (r["n_events"], round(r["total_value"], 6))
+        for r in rows
+    }
+    assert set(got).issubset(set(expected))
+    for k, v in got.items():
+        assert expected[k] == v
