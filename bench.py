@@ -45,6 +45,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "tumbling_event_windows",
+    "session_window_stats",
     "multimodal_decode",
 ]
 
