@@ -1,0 +1,59 @@
+"""Deterministic content-hash sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible across reruns, (b) stable under repartitioning and
+cluster-size changes, and (c) assignable in parallel with zero
+coordination. Spark's ``sample``/``sampleBy`` are seeded but
+partition-layout-dependent, so the standard large-scale technique is
+content hashing: bucket every row by a cryptographic hash of a stable
+key and select/split by hash range. The same row lands in the same
+bucket on 1 executor or 1000, today or next year — and the whole thing
+is a scan-level projection + filter (no shuffle, no state, pushes down
+past column pruning).
+
+Buckets use the md5 hex prefix so an ANSI-SQL oracle can mirror the
+assignment exactly (md5 is identical everywhere; no engine-specific
+integer-hash needed). 2 hex chars = 256 buckets ≈ 0.4 % granularity;
+use more chars when finer fractions are needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_hex: int = 2) -> Column:
+    """First ``n_hex`` hex chars of md5(key-as-string) — a uniform
+    bucket label in ['00'..'ff'] for n_hex=2. String compare on the
+    label ≡ numeric compare on the bucket, portably across engines."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, n_hex)
+
+
+def hash_sample(df: DataFrame, key: Column, fraction_hex: str = "29") -> DataFrame:
+    """Keep rows whose 2-hex-char bucket sorts strictly below
+    ``fraction_hex``: '29' = 0x29/0x100 ≈ 16 % deterministic sample.
+    A filter on a scan-level expression — at 100 TB this samples
+    without a shuffle and composes with partition pruning."""
+    return df.filter(hash_bucket(key) < F.lit(fraction_hex))
+
+
+def split_assign(key: Column, val_hex: str = "cd", test_hex: str = "e4") -> Column:
+    """Train/val/test label from the hash bucket: buckets below
+    ``val_hex`` → train, below ``test_hex`` → val, rest → test.
+    Defaults ≈ 80/9/11. Content-keyed, so a document keeps its split
+    across pipeline versions — the property that prevents train/test
+    leakage when the corpus is re-ingested or deduplicated."""
+    b = hash_bucket(key)
+    return (
+        F.when(b < F.lit(val_hex), F.lit("train"))
+        .when(b < F.lit(test_hex), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def train_val_test_split(
+    df: DataFrame, key: Column, val_hex: str = "cd", test_hex: str = "e4"
+) -> DataFrame:
+    """Attach a deterministic ``split`` column (see ``split_assign``)."""
+    return df.withColumn("split", split_assign(key, val_hex, test_hex))

@@ -27,7 +27,16 @@ from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
 from ..io.loader import load_table
-from ..operators import aggregates, cleaning, dedup, joins, multimodal, similarity, windows
+from ..operators import (
+    aggregates,
+    cleaning,
+    dedup,
+    joins,
+    multimodal,
+    sampling,
+    similarity,
+    windows,
+)
 from ..operators.scale import ensure_min_partitions
 
 
@@ -1075,6 +1084,115 @@ def rollup_revenue(spark, sf_dir):
         _dec_sum(F.col("l_quantity"), "sum_qty"),
         _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_revenue", 4),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "deterministic_split_stats",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e4' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           ROUND(AVG(LENGTH(text)), 6) AS avg_chars
+    FROM assigned GROUP BY split
+    """,
+    doc="deterministic content-hash train/val/test split (operators/"
+    "sampling.py): md5-bucket assignment is reproducible across reruns, "
+    "repartitioning, and cluster sizes — no seed, no shuffle, no "
+    "coordination; the leakage-proof split discipline for training "
+    "corpora. Oracle mirrors the hex-prefix ranges exactly",
+)
+def deterministic_split_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    assigned = sampling.train_val_test_split(d, F.col("doc_id"))
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "hash_sampled_docs",
+    oracle="""
+    SELECT doc_id, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    FROM documents
+    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+    """,
+    doc="deterministic ~16% corpus sample by md5 bucket range "
+    "(operators/sampling.hash_sample): a scan-level filter — samples "
+    "100 TB without a shuffle, composes with partition pruning, and "
+    "always selects the same rows (unlike seeded sample(), which is "
+    "partition-layout-dependent)",
+)
+def hash_sampled_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, F.col("doc_id")).select(
+        "doc_id", sampling.hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    exploded AS (
+      SELECT doc_id, LOWER(UNNEST(toks)) AS term FROM toks_cte
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM exploded GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: explode → two hash aggs "
+    "(term frequency per doc, document frequency) → broadcast df join "
+    "→ ranking window. The df side is vocabulary-sized (≪ corpus) so "
+    "it broadcasts at any scale; smoothed idf ln((N+1)/(df+1)) rounded "
+    "to absorb cross-engine libm last-bit noise",
+)
+def tfidf_top_terms(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    exploded = d.select(
+        "doc_id", F.explode(text.tokens("text")).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    tf = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
     )
 
 

@@ -211,3 +211,45 @@ def test_multimodal_pipeline(spark):
     assert frames.count() >= 2
     resized = multimodal.resize_features(decoded, out_dim=4)
     assert all(len(r["features_resized"]) == 4 for r in resized.collect())
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_hash_split_deterministic_and_layout_independent(spark):
+    """Content-hash split: every row gets exactly one split, the
+    assignment is identical regardless of partition layout, and the
+    fractions land near the designed 80/9/11."""
+    from football_etl_spark.operators import sampling
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sampling.train_val_test_split(df, F.col("doc_id")).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.train_val_test_split(
+            df.repartition(17), F.col("doc_id")
+        ).collect()
+    }
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert 0.74 < frac["train"] < 0.86
+    assert 0.04 < frac["val"] < 0.14
+    assert 0.06 < frac["test"] < 0.16
+
+
+def test_hash_sample_is_subset_and_stable(spark):
+    from football_etl_spark.operators import sampling
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in sampling.hash_sample(df, F.col("doc_id")).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.hash_sample(df.repartition(7), F.col("doc_id")).collect()
+    }
+    assert s1 == s2
+    assert 0.10 < len(s1) / 2000 < 0.22  # ~16% design point
