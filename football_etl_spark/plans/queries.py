@@ -1197,6 +1197,37 @@ def tfidf_top_terms(spark, sf_dir):
 
 
 @query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure,
+           ROUND(value, 6) AS value
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber,
+                      l_quantity, l_extendedprice, l_discount, l_tax
+               FROM lineitem WHERE l_orderkey < 100)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE value
+    )
+    """,
+    doc="unpivot / melt (wide→long): the inverse of pivot_priority_status, "
+    "completing the reshape surface. Spark's native unpivot is a "
+    "zero-shuffle row-local expansion — each input row emits one row per "
+    "measure inside the scan stage, so it costs projection, not exchange",
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select("l_orderkey", "l_linenumber", "measure", F.round("value", 6).alias("value"))
+
+
+@query(
     "cube_order_status",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
