@@ -299,3 +299,107 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round every node takes the minimum label among itself and its
+    neighbors; fixpoint = each component labeled by its smallest node
+    id. Returns (node, cluster_id).
+
+    This is the standard distributed CC (what GraphX/GraphFrames run
+    under the hood): per round one equi-join + one min-agg — both
+    shuffle on the node key, no cross join, state is one row per node.
+    Rounds needed = graph diameter (near-dup graphs are shallow — big
+    components are dense, so typically ≤ 5). The driver-side loop is
+    inherent to iterative fixpoints; each round's ``count`` action is
+    the convergence check, and ``localCheckpoint`` truncates lineage
+    so round N's plan doesn't re-derive rounds 1..N-1 (at cluster
+    scale use ``checkpoint`` to reliable storage instead).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(sym["a"].alias("node"))
+            .agg(F.min("comp").alias("neigh_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Assign every document a near-dup cluster id: connected
+    components over the candidate-pair graph, singletons keep their
+    own id. Output (doc_id, cluster_id, cluster_size)."""
+    comp = connected_components(edges, src, dst)
+    w = Window.partitionBy("cluster_id")
+    return (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep one canonical document per near-dup cluster: the longest
+    text, ties broken by smallest id — the 'keep best' reduction that
+    turns pair detection into an actual corpus dedup. One ranking
+    window over the cluster key."""
+    joined = docs.join(clusters, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.length(text_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster_id", "cluster_size")
+    )

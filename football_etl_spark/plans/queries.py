@@ -768,6 +768,88 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.1)
 
 
+# Shared oracle body for the cluster queries: exact n-gram Jaccard
+# pairs (threshold 0.3) → symmetric edges → connected components via
+# recursive CTE (reachability closure + MIN per node ≡ the min-label
+# fixpoint the Spark operator iterates to) → per-doc cluster + size.
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE toks_cte AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+    clus AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM clus
+    )
+"""
+
+
+@query(
+    "near_dup_clusters",
+    oracle=_CLUSTERS_SQL + "SELECT doc_id, cluster_id, cluster_size FROM sized",
+    doc="near-dup CLUSTERS, not just pairs: exact n-gram Jaccard edges "
+    "(≥0.3) → distributed connected components via iterative min-label "
+    "propagation (operators/dedup.connected_components — one equi-join + "
+    "min-agg per round, lineage cut by checkpoint, rounds = graph "
+    "diameter), singletons keep their own id. The oracle computes the "
+    "same fixpoint with a recursive CTE — an exact cross-engine check "
+    "of an iterative distributed algorithm",
+)
+def near_dup_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.3).select("id_a", "id_b")
+    return dedup.near_dup_clusters(d, edges)
+
+
+@query(
+    "canonical_near_dup_docs",
+    oracle=_CLUSTERS_SQL
+    + """
+    SELECT s.doc_id, s.cluster_id, s.cluster_size
+    FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                               ORDER BY LENGTH(d.text) DESC, s.doc_id ASC) = 1
+    """,
+    doc="corpus dedup reduction: keep ONE canonical doc per near-dup "
+    "cluster (longest text, ties → smallest id) — turns pair/cluster "
+    "detection into the actual training-corpus dedup output via a single "
+    "ranking window over the cluster key",
+)
+def canonical_near_dup_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.3).select("id_a", "id_b")
+    clusters = dedup.near_dup_clusters(d, edges)
+    return dedup.canonical_docs(d, clusters)
+
+
 # DuckDB mirror of functions/vectors.py: sequential double accumulation
 # over the array, same operation order as Spark's aggregate().
 _SQL_DOT = (

@@ -253,3 +253,32 @@ def test_hash_sample_is_subset_and_stable(spark):
     }
     assert s1 == s2
     assert 0.10 < len(s1) / 2000 < 0.22  # ~16% design point
+
+
+# ------------------------------------------------------- connected components
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    """Min-label propagation: a 4-node chain (diameter 3 — needs
+    multiple rounds), a triangle, and an isolated doc; clusters are
+    labeled by their smallest member."""
+    from football_etl_spark.operators import dedup as dd
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i, "x" * i) for i in [1, 2, 3, 4, 10, 11, 12, 99]],
+        "doc_id long, text string",
+    )
+    clusters = dd.near_dup_clusters(docs, edges)
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in clusters.collect()}
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+        99: (99, 1),
+    }
+    kept = {r["doc_id"] for r in dd.canonical_docs(docs, clusters).collect()}
+    # longest text wins per cluster: 4 ('xxxx'), 12, and the singleton
+    assert kept == {4, 12, 99}
