@@ -8,10 +8,12 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 
 Each query is forced through the `noop` sink so the full result set
 materializes (a bare count() would let Catalyst prune most of the
-work). Every query runs twice: the reported per-query number is the
-second (steady-state) run — the standard OLAP methodology, measuring
-engine throughput rather than JIT/codegen compilation — and the
-cold-run total is reported alongside as `cold_total_sec`.
+work). Every query runs three times: the reported per-query number is
+the MINIMUM of the two post-warmup runs — the standard least-
+interference estimator (this box co-hosts the build driver, so single
+samples are noisy) — measuring engine throughput rather than
+JIT/codegen compilation; the cold-run total is reported alongside as
+`cold_total_sec`.
 """
 
 from __future__ import annotations
@@ -79,7 +81,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = round(run_query(spark, name), 4)
-        timings[name] = round(run_query(spark, name), 4)
+        timings[name] = round(min(run_query(spark, name), run_query(spark, name)), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

