@@ -154,3 +154,37 @@ def stateful_user_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def incremental_parquet_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    dedup_keys: tuple[str, ...] = (),
+) -> None:
+    """Land a stream into a parquet bronze table via ``foreachBatch`` —
+    the engine's incremental LOAD stage (reference: per-day CSV appends,
+    /root/reference/daily_match_scraper.py:587-628, made exactly-once).
+
+    foreachBatch gets each micro-batch as a plain DataFrame, so the
+    batch write path (append parquet; optional within-batch key dedup)
+    is reused verbatim, and the streaming checkpoint provides replay
+    dedup across restarts. ``availableNow`` makes the same job a
+    catch-up batch. At scale the sink partitions by ingest date and
+    the dedup is MERGE into a keyed table (Delta/Iceberg); plain
+    parquet append keeps this repo dependency-free.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if dedup_keys:
+            out = out.dropDuplicates(list(dedup_keys))
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -147,3 +147,25 @@ def test_session_window_streaming_append_subset(spark):
     assert set(got).issubset(set(expected))
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_foreach_batch_parquet_sink_exactly_once(spark):
+    """foreachBatch bronze sink: all rows land exactly once across
+    micro-batches, and a second availableNow run over the SAME
+    checkpoint writes nothing new (replay protection)."""
+    batch = load_table(spark, SF, "events")
+    n_expected = batch.count()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/feed"
+        batch.coalesce(2).write.parquet(feed)
+        schema = spark.read.parquet(feed).schema
+
+        for _ in range(2):  # second run must be a no-op via checkpoint
+            stream = incremental.read_event_stream(spark, feed, schema)
+            incremental.incremental_parquet_sink(
+                stream, f"{tmp}/bronze", f"{tmp}/ckpt"
+            )
+        landed = spark.read.parquet(f"{tmp}/bronze")
+        assert landed.count() == n_expected
+        assert set(landed.columns) == set(batch.columns)
