@@ -57,3 +57,28 @@ def train_val_test_split(
 ) -> DataFrame:
     """Attach a deterministic ``split`` column (see ``split_assign``)."""
     return df.withColumn("split", split_assign(key, val_hex, test_hex))
+
+
+def weighted_hash_sample(
+    df: DataFrame, key: Column, weight: Column, hex_digits: int = 4
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep a row iff its
+    uniform hash bucket falls below its own weight ∈ [0,1] — rows with
+    weight w are kept with probability ≈ w (quantized to 16^hex_digits
+    levels, and clamped so w=1 keeps all but the single top bucket).
+
+    The comparison happens between two hex STRINGS (bucket vs
+    lpad(hex(floor(w·16^d)))), so the predicate is mirrorable in any
+    engine with md5 — no hex→int conversion needed. Same properties as
+    ``hash_sample``: reproducible, layout-independent, scan-level (a
+    quality-weighted corpus downsample of 100 TB is a filter, not a
+    job)."""
+    scale = 16**hex_digits
+    thresh = F.lpad(
+        F.lower(
+            F.hex(F.least(F.floor(weight * scale), F.lit(scale - 1)).cast("long"))
+        ),
+        hex_digits,
+        "0",
+    )
+    return df.filter(hash_bucket(key, hex_digits) < thresh)

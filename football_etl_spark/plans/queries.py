@@ -1220,6 +1220,47 @@ def hash_sampled_docs(spark, sf_dir):
     )
 
 
+# DuckDB twin of functions/text.quality_score — identical operand
+# order, so the double is bit-identical (same expression as the
+# text_quality_stats oracle's `quality` column, inlined over `text`).
+_SQL_QUALITY = """
+  (LEAST(LEN(toks) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+   + (CAST(1 AS DOUBLE) - LEAST(CASE WHEN LENGTH(text) > 0
+          THEN LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) / LENGTH(text)
+          ELSE CAST(0 AS DOUBLE) END * 5, CAST(1 AS DOUBLE)))
+   + LEAST(CASE WHEN LEN(toks) > 0
+       THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+           ['the','a','and','of','to','in','is','it','for','on'], LOWER(t)))) / LEN(toks)
+       ELSE CAST(0 AS DOUBLE) END * 4, CAST(1 AS DOUBLE))) / 3
+"""
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    weighted AS (
+      SELECT doc_id, {_SQL_QUALITY} AS w FROM toks_cte
+    )
+    SELECT doc_id, ROUND(w, 6) AS weight
+    FROM weighted
+    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < LPAD(LOWER(TO_HEX(CAST(LEAST(FLOOR(w * 65536), 65535) AS BIGINT))), 4, '0')
+    """,
+    doc="quality-weighted deterministic corpus sampling (operators/"
+    "sampling.weighted_hash_sample): each doc kept with probability ≈ "
+    "its quality score, reproducibly across reruns and partition "
+    "layouts — the downsample-by-quality step of a training pipeline "
+    "as a pure scan-level filter. Hex-string threshold compare keeps "
+    "the predicate engine-portable",
+)
+def quality_weighted_sample(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    weighted = d.select("doc_id", text.quality_score("text").alias("w"))
+    kept = sampling.weighted_hash_sample(weighted, F.col("doc_id"), F.col("w"))
+    return kept.select("doc_id", F.round("w", 6).alias("weight"))
+
+
 @query(
     "tfidf_top_terms",
     oracle=f"""

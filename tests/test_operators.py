@@ -282,3 +282,24 @@ def test_connected_components_chain_triangle_singleton(spark):
     kept = {r["doc_id"] for r in dd.canonical_docs(docs, clusters).collect()}
     # longest text wins per cluster: 4 ('xxxx'), 12, and the singleton
     assert kept == {4, 12, 99}
+
+
+def test_weighted_hash_sample_respects_weights(spark):
+    """Weighted sampling: w=0 keeps nothing, w=1 keeps ~everything,
+    and a 0.5-weight population lands near half — all deterministic
+    across partition layouts."""
+    from football_etl_spark.operators import sampling
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        (F.when(F.col("id") % 3 == 0, 0.0)
+         .when(F.col("id") % 3 == 1, 0.5)
+         .otherwise(1.0)).alias("w"),
+    )
+    kept = sampling.weighted_hash_sample(df, F.col("doc_id"), F.col("w"))
+    by_w = {r["w"]: r["n"] for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert 0.0 not in by_w
+    assert 400 < by_w[0.5] < 600        # 1000 candidates at p≈0.5
+    assert by_w[1.0] >= 995             # w=1 keeps all but ~1/65536
+    again = sampling.weighted_hash_sample(df.repartition(13), F.col("doc_id"), F.col("w"))
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in kept.collect()}
