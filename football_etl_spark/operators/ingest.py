@@ -1,0 +1,147 @@
+"""Nested-JSON ingest flatten (SURVEY.md §2.7 row 63).
+
+The reference's most distinctive ingest behavior: navigate the
+upstream feed's nested event objects — ``homeTeam.name`` /
+``tournament.category.name`` / ``status.description`` — with
+candidate-path fallbacks and null defaults, producing the
+standardized flat match schema
+(/root/reference/daily_match_scraper.py:449-527; real payload dump
+preserved at
+/root/reference/sofascore_data/raw/api_response_2025-05-23.txt).
+
+Spark-first design:
+
+- one ``from_json`` pass with the declared ``schemas.API_EVENT``
+  contract covers every typed candidate path (primary + fallback) —
+  a single JVM-side parse, no Python, no inference;
+- fields the feed sends as EITHER an object or a bare string
+  (``status``, ``venue``) are recovered from the raw JSON with
+  ``get_json_object`` beside the parse (a StructType field nulls out
+  on a scalar payload — the probe is how the reference's
+  ``isinstance(..., dict)`` branching maps onto a columnar engine);
+- the raw debug-dump wrapper and the ``{"events":[...]}`` envelope
+  are peeled with Spark 4 VARIANT (``try_parse_json`` +
+  ``try_variant_get`` + ``explode``) — malformed/truncated payloads
+  degrade to zero rows instead of failing the job, matching the
+  reference's per-event try/except skip.
+
+At 100 TB the natural input is JSONL (one event per line, splittable);
+``flatten_api_events`` consumes exactly that shape. The envelope
+helpers exist for the reference's one-blob-per-day dumps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import API_EVENT
+
+# The reference's raw dumps are debug captures: "Status: ...\n
+# Headers: {...}\nContent: {json...}". Everything from the first
+# '{' after the Content marker is the payload.
+_DUMP_CONTENT_RE = r"(?s)Content:\s*(\{.*)"
+
+
+def extract_dump_content(raw: Column | str) -> Column:
+    """Peel the debug-dump wrapper off a raw capture, returning the
+    JSON payload text (null when no Content marker is present).
+    Mirrors the capture format of the reference's raw response dumps
+    (daily_match_scraper.py saves response.text verbatim)."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    got = F.regexp_extract(c, _DUMP_CONTENT_RE, 1)
+    return F.when(F.length(got) > 0, got)
+
+
+def explode_api_envelope(df: DataFrame, content_col: str, out_col: str = "event_json") -> DataFrame:
+    """``{"events":[...]}`` → one row per event, as a JSON STRING so
+    downstream flattening can probe variant-typed fields. VARIANT
+    parse (Spark 4): truncated/malformed payloads yield null → zero
+    event rows, the graceful-degradation twin of the reference's
+    try/except-per-event (daily_match_scraper.py:447-449)."""
+    v = F.try_parse_json(F.col(content_col))
+    events = F.try_variant_get(v, "$.events", "array<variant>")
+    return df.select(F.explode(events).alias("__ev")).select(
+        F.to_json("__ev").alias(out_col)
+    )
+
+
+def _utc_hhmm(epoch: Column) -> Column:
+    """'HH:mm' from unix seconds by pure integer arithmetic —
+    timezone-independent and engine-portable (the form a large-scale
+    pipeline wants for a derived partition-adjacent column)."""
+    hh = F.lpad(((epoch % 86400) / 3600).cast("int").cast("string"), 2, "0")
+    mm = F.lpad(((epoch % 3600) / 60).cast("int").cast("string"), 2, "0")
+    # concat_ws skips nulls (would yield '' for a null epoch); gate so
+    # a missing timestamp propagates null → caller's 'Unknown' default
+    return F.when(epoch.isNotNull(), F.concat_ws(":", hh, mm))
+
+
+def flatten_api_events(
+    df: DataFrame,
+    json_col: str = "event_json",
+    source: str = "api",
+    utc: bool = False,
+) -> DataFrame:
+    """Flatten one nested event JSON string per row into the
+    standardized match shape (daily_match_scraper.py:449-527 →
+    sofascore_data/daily/matches_*.csv), with the reference's
+    candidate-path fallbacks and null defaults:
+
+    - home/away team: ``homeTeam.name`` else ``home.name`` — rows
+      missing either side are dropped (required fields);
+    - league: ``tournament.name`` else ``category.name`` else
+      ``league.name`` else 'Unknown League';
+    - country: ``tournament.category.name`` else ``category.name``
+      else 'International';
+    - status: ``status.description`` else the bare-string form else
+      'Unknown'; venue: ``venue.name`` else the bare-string form;
+    - start_time: 'HH:mm' from startTimestamp ('Unknown' when
+      absent). ``utc=True`` renders via tz-free integer arithmetic
+      (deterministic across engines/sessions); default renders in the
+      session timezone like the reference's local ``fromtimestamp``
+      (daily_match_scraper.py:486-492).
+
+    One from_json + a handful of column expressions — whole-stage
+    codegen, no shuffle, linear scan.
+    """
+    j = F.col(json_col)
+    e = F.from_json(j, API_EVENT)
+
+    # object-or-string probes (reference isinstance(...) branches)
+    raw_status = F.get_json_object(j, "$.status")
+    raw_venue = F.get_json_object(j, "$.venue")
+
+    def bare_string(raw: Column) -> Column:
+        # get_json_object returns the JSON text for non-scalars; a
+        # scalar string comes back bare. Exclude object/array forms.
+        return F.when(
+            ~(raw.startswith("{") | raw.startswith("[")), raw
+        )
+
+    ts = e["startTimestamp"]
+    start_time = (
+        _utc_hhmm(ts) if utc else F.from_unixtime(ts, "HH:mm")
+    )
+    out = df.select(
+        F.coalesce(e["id"].cast("string"), F.lit("unknown")).alias("id"),
+        F.coalesce(e["homeTeam"]["name"], e["home"]["name"]).alias("home_team"),
+        F.coalesce(e["awayTeam"]["name"], e["away"]["name"]).alias("away_team"),
+        F.coalesce(
+            e["tournament"]["name"], e["category"]["name"], e["league"]["name"],
+            F.lit("Unknown League"),
+        ).alias("league"),
+        F.coalesce(
+            e["tournament"]["category"]["name"], e["category"]["name"],
+            F.lit("International"),
+        ).alias("country"),
+        ts.alias("start_timestamp"),
+        F.coalesce(start_time, F.lit("Unknown")).alias("start_time"),
+        F.coalesce(
+            e["status"]["description"], bare_string(raw_status), F.lit("Unknown")
+        ).alias("status"),
+        F.coalesce(e["venue"]["name"], bare_string(raw_venue)).alias("venue"),
+        e["roundInfo"]["round"].cast("string").alias("round"),
+        F.lit(source).alias("source"),
+    )
+    return out.filter(F.col("home_team").isNotNull() & F.col("away_team").isNotNull())

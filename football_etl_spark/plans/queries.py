@@ -31,6 +31,7 @@ from ..operators import (
     aggregates,
     cleaning,
     dedup,
+    ingest,
     joins,
     multimodal,
     sampling,
@@ -553,6 +554,122 @@ def json_extract_events(spark, sf_dir):
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
         F.count("*").alias("n"),
+    )
+
+
+# JSON templates for the nested-ingest query: four deterministic
+# payload shapes exercising every candidate path of the reference's
+# event navigation (daily_match_scraper.py:449-527) — primary
+# homeTeam/tournament form, home/away + top-level category fallback
+# with a bare-string status, league-object fallback with a bare-string
+# venue and no timestamp, and a required-field-missing row that must
+# be dropped. Both engines build IDENTICAL strings and then each does
+# its own real JSON parse (Spark from_json+get_json_object, DuckDB
+# json_extract_*) — so a misparse on either side breaks the hash.
+_EV_M0 = (
+    '{"id":%d,"homeTeam":{"name":"Team %d"},"awayTeam":{"name":"Team %d"},'
+    '"tournament":{"name":"League %d","category":{"name":"Country %d"}},'
+    '"roundInfo":{"round":%d},"status":{"description":"Ended"},'
+    '"startTimestamp":%d,"venue":{"name":"Venue %d"}}'
+)
+_EV_M1 = (
+    '{"id":%d,"home":{"name":"Team %d"},"away":{"name":"Team %d"},'
+    '"category":{"name":"Country %d"},"status":"Live","startTimestamp":%d}'
+)
+_EV_M2 = (
+    '{"id":%d,"homeTeam":{"name":"Team %d"},"away":{"name":"Team %d"},'
+    '"league":{"name":"League %d"},"venue":"Arena %d"}'
+)
+_EV_M3 = '{"id":%d,"homeTeam":{"name":"Team %d"}}'
+
+
+@query(
+    "nested_event_flatten",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep FROM events
+    ), built AS (
+      SELECT CASE CAST(event_id % 4 AS INT)
+        WHEN 0 THEN printf('{_EV_M0}', event_id, user_id % 50, (user_id + 1) % 50,
+                           user_id % 10, user_id % 5, user_id % 38 + 1, ep, user_id % 7)
+        WHEN 1 THEN printf('{_EV_M1}', event_id, user_id % 50, (user_id + 1) % 50,
+                           user_id % 5, ep)
+        WHEN 2 THEN printf('{_EV_M2}', event_id, user_id % 50, (user_id + 1) % 50,
+                           user_id % 10, user_id % 7)
+        ELSE printf('{_EV_M3}', event_id, user_id % 50)
+      END AS j
+      FROM src
+    ), flat AS (
+      SELECT
+        COALESCE(json_extract_string(j, '$.id'), 'unknown') AS id,
+        COALESCE(json_extract_string(j, '$.homeTeam.name'),
+                 json_extract_string(j, '$.home.name')) AS home_team,
+        COALESCE(json_extract_string(j, '$.awayTeam.name'),
+                 json_extract_string(j, '$.away.name')) AS away_team,
+        COALESCE(json_extract_string(j, '$.tournament.name'),
+                 json_extract_string(j, '$.category.name'),
+                 json_extract_string(j, '$.league.name'), 'Unknown League') AS league,
+        COALESCE(json_extract_string(j, '$.tournament.category.name'),
+                 json_extract_string(j, '$.category.name'), 'International') AS country,
+        TRY_CAST(json_extract_string(j, '$.startTimestamp') AS BIGINT) AS start_timestamp,
+        COALESCE(json_extract_string(j, '$.status.description'),
+                 CASE WHEN json_type(j, '$.status') = 'VARCHAR'
+                      THEN json_extract_string(j, '$.status') END,
+                 'Unknown') AS status,
+        COALESCE(json_extract_string(j, '$.venue.name'),
+                 CASE WHEN json_type(j, '$.venue') = 'VARCHAR'
+                      THEN json_extract_string(j, '$.venue') END) AS venue,
+        json_extract_string(j, '$.roundInfo.round') AS "round",
+        'api' AS source
+      FROM built
+    )
+    SELECT id, home_team, away_team, league, country, start_timestamp,
+           CASE WHEN start_timestamp IS NOT NULL
+                THEN LPAD(CAST((start_timestamp % 86400) // 3600 AS VARCHAR), 2, '0')
+                     || ':' ||
+                     LPAD(CAST((start_timestamp % 3600) // 60 AS VARCHAR), 2, '0')
+                ELSE 'Unknown' END AS start_time,
+           status, venue, "round", source
+    FROM flat
+    WHERE home_team IS NOT NULL AND away_team IS NOT NULL
+    """,
+    doc="nested-JSON ingest flatten (SURVEY §2.7 row 63, the reference's "
+    "distinctive ingest op): ONE from_json pass with the declared "
+    "schemas.API_EVENT contract + get_json_object probes for "
+    "object-or-string variant fields, coalesce across candidate paths "
+    "with null defaults, required-field drop "
+    "(operators/ingest.flatten_api_events ≡ "
+    "daily_match_scraper.py:449-527). utc=True renders start_time via "
+    "tz-free integer arithmetic so both engines agree byte-for-byte",
+)
+def nested_event_flatten(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts")
+    h = F.col("user_id") % 50
+    a = (F.col("user_id") + 1) % 50
+    mode = F.col("event_id") % 4
+    j = (
+        F.when(
+            mode == 0,
+            F.format_string(
+                _EV_M0, "event_id", h, a, F.col("user_id") % 10, F.col("user_id") % 5,
+                F.col("user_id") % 38 + 1, ep, F.col("user_id") % 7,
+            ),
+        )
+        .when(mode == 1, F.format_string(_EV_M1, "event_id", h, a, F.col("user_id") % 5, ep))
+        .when(
+            mode == 2,
+            F.format_string(
+                _EV_M2, "event_id", h, a, F.col("user_id") % 10, F.col("user_id") % 7
+            ),
+        )
+        .otherwise(F.format_string(_EV_M3, "event_id", h))
+    )
+    built = ev.select(j.alias("event_json"))
+    flat = ingest.flatten_api_events(built, utc=True)
+    return flat.select(
+        "id", "home_team", "away_team", "league", "country", "start_timestamp",
+        "start_time", "status", "venue", "round", "source",
     )
 
 

@@ -83,27 +83,39 @@ MATCHES = T.StructType(
 # Nested ingest shape of the upstream JSON feed
 # (/root/reference/sofascore_data/raw/api_response_2025-05-23.txt,
 # navigated at /root/reference/daily_match_scraper.py:449-527).
+# Includes every CANDIDATE path the reference probes — primary
+# (homeTeam/awayTeam/tournament) plus the fallbacks (home/away,
+# top-level category, league) — so one from_json pass feeds the whole
+# coalesce chain in operators/ingest.flatten_api_events. Fields the
+# feed sometimes sends as a bare string instead of an object (status,
+# venue) keep their object form here; the string variant is recovered
+# from the raw JSON beside the parse (a StructType field nulls out on
+# a scalar payload).
+_NAME_STRUCT = T.StructType([T.StructField("name", T.StringType())])
+
 API_EVENT = T.StructType(
     [
         T.StructField("id", T.LongType(), True),
-        T.StructField("homeTeam", T.StructType([T.StructField("name", T.StringType())]), True),
-        T.StructField("awayTeam", T.StructType([T.StructField("name", T.StringType())]), True),
+        T.StructField("homeTeam", _NAME_STRUCT, True),
+        T.StructField("awayTeam", _NAME_STRUCT, True),
+        T.StructField("home", _NAME_STRUCT, True),
+        T.StructField("away", _NAME_STRUCT, True),
         T.StructField(
             "tournament",
             T.StructType(
                 [
                     T.StructField("name", T.StringType()),
-                    T.StructField(
-                        "category", T.StructType([T.StructField("name", T.StringType())])
-                    ),
+                    T.StructField("category", _NAME_STRUCT),
                 ]
             ),
             True,
         ),
+        T.StructField("category", _NAME_STRUCT, True),
+        T.StructField("league", _NAME_STRUCT, True),
         T.StructField("roundInfo", T.StructType([T.StructField("round", T.IntegerType())]), True),
         T.StructField("status", T.StructType([T.StructField("description", T.StringType())]), True),
         T.StructField("startTimestamp", T.LongType(), True),
-        T.StructField("venue", T.StructType([T.StructField("name", T.StringType())]), True),
+        T.StructField("venue", _NAME_STRUCT, True),
     ]
 )
 
