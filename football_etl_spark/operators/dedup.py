@@ -167,13 +167,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via a shingle-inverted
     index: explode distinct shingles, self-join on shingle to count
-    intersections, derive |A∪B| from per-doc set sizes. At scale,
-    ``max_shingle_df`` drops ubiquitous shingles (df > cap), the
-    standard way to bound the inverted-index fan-out.
+    intersections, derive |A∪B| from per-doc set sizes.
+
+    ``max_shingle_df`` drops ubiquitous shingles (document frequency
+    > cap) BEFORE the self-join — a shingle with df=d fans out d²
+    candidate pairs, so one boilerplate phrase shared by a million
+    documents would otherwise dominate the whole job (the classic
+    inverted-index blowup on a skewed key). Capped BY DEFAULT because
+    at 100 TB an uncapped run is not survivable; pass ``None``
+    explicitly for the exact small-corpus verification twin. The drop
+    also removes the capped shingles from the per-doc set sizes, i.e.
+    Jaccard is computed over the rare-shingle subspace — the standard
+    trade (ubiquitous shingles carry no near-dup signal anyway).
 
     Shingles are joined by xxhash64 key, not by string — the hash is
     purely an internal equi-join key (never in the output), so the

@@ -806,7 +806,10 @@ def dedup_exact_documents(spark, sf_dir):
     return dedup.exact_dedup(d).select("doc_id")
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_cte_body(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """The MinHash-LSH pipeline as a reusable CTE chain ending in
+    ``mhpairs(id_a, id_b, est_jaccard)`` — shared by the pair query
+    and the MinHash-edge clustering oracle."""
     from ..operators.dedup import MINHASH_P, minhash_params
 
     rows = num_hashes // bands
@@ -824,8 +827,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     matches = " + ".join(
         f"CAST(ma.mh{k} = mb.mh{k} AS INT)" for k in range(num_hashes)
     )
-    return f"""
-    WITH toks_cte AS ({_SQL_TOKS}),
+    return f"""toks_cte AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),
     ex AS (SELECT doc_id,
                   CAST(('0x' || SUBSTR(MD5(UNNEST(shingles)), 1, 12)) AS BIGINT) AS h
@@ -836,12 +838,20 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
       WHERE a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, ({matches}) / CAST({num_hashes} AS DOUBLE) AS est_jaccard
-    FROM cand
-    JOIN mh ma ON ma.doc_id = cand.id_a
-    JOIN mh mb ON mb.doc_id = cand.id_b
-    WHERE ({matches}) / CAST({num_hashes} AS DOUBLE) >= {threshold}
+    ),
+    mhpairs AS (
+      SELECT id_a, id_b, ({matches}) / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+      FROM cand
+      JOIN mh ma ON ma.doc_id = cand.id_a
+      JOIN mh mb ON mb.doc_id = cand.id_b
+      WHERE ({matches}) / CAST({num_hashes} AS DOUBLE) >= {threshold}
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_cte_body(num_hashes, bands, threshold)}
+    SELECT id_a, id_b, est_jaccard FROM mhpairs
     """
 
 
@@ -878,21 +888,60 @@ def minhash_near_dups(spark, sf_dir):
     WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
     """,
     doc="exact n-gram Jaccard pairs via shingle inverted index; "
-    "jaccard = int/int division → bit-identical cross-engine",
+    "jaccard = int/int division → bit-identical cross-engine. "
+    "max_shingle_df=None: the exact verification twin — the scale "
+    "path is ngram_jaccard_pairs_capped",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.1)
+    return dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.1, max_shingle_df=None)
 
 
-# Shared oracle body for the cluster queries: exact n-gram Jaccard
-# pairs (threshold 0.3) → symmetric edges → connected components via
-# recursive CTE (reachability closure + MIN per node ≡ the min-label
-# fixpoint the Spark operator iterates to) → per-doc cluster + size.
+@query(
+    "ngram_jaccard_pairs_capped",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    ex0 AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    rare AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 10),
+    ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING (s)),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+    """,
+    doc="the SCALE path of the n-gram Jaccard family: shingles with "
+    "document frequency > 10 are dropped before the inverted-index "
+    "self-join, bounding the per-shingle fan-out at df² ≤ 100 pairs "
+    "(a ubiquitous shingle with df=d otherwise emits d² candidates — "
+    "the inverted-index blowup on a skewed key). Oracle mirrors the "
+    "df filter with a HAVING before computing sizes/intersections "
+    "over the same rare-shingle subspace",
+)
+def ngram_jaccard_pairs_capped(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.1, max_shingle_df=10)
+
+
+# Shared oracle body for the cluster queries: df-capped n-gram Jaccard
+# pairs (threshold 0.3, max_shingle_df=1000 — the scale path; the cap
+# is mirrored with a HAVING and does not bind at correctness SF) →
+# symmetric edges → connected components via recursive CTE
+# (reachability closure + MIN per node ≡ the min-label fixpoint the
+# Spark operator iterates to) → per-doc cluster + size.
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE toks_cte AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),
-    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    ex0 AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    rare AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 1000),
+    ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING (s)),
     sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -942,7 +991,9 @@ _CLUSTERS_SQL = f"""
 )
 def near_dup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    edges = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.3).select("id_a", "id_b")
+    edges = dedup.ngram_jaccard_pairs(
+        d, shingle_n=3, threshold=0.3, max_shingle_df=1000
+    ).select("id_a", "id_b")
     return dedup.near_dup_clusters(d, edges)
 
 
@@ -962,9 +1013,54 @@ def near_dup_clusters(spark, sf_dir):
 )
 def canonical_near_dup_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    edges = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.3).select("id_a", "id_b")
+    edges = dedup.ngram_jaccard_pairs(
+        d, shingle_n=3, threshold=0.3, max_shingle_df=1000
+    ).select("id_a", "id_b")
     clusters = dedup.near_dup_clusters(d, edges)
     return dedup.canonical_docs(d, clusters)
+
+
+@query(
+    "minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_body(16, 4, 0.5)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mhpairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM mhpairs
+    ),
+    walk(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+    clus AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM clus
+    )
+    SELECT doc_id, cluster_id, cluster_size FROM sized
+    """,
+    doc="near-dup clustering with MINHASH-LSH edges — the 100 TB "
+    "composition (at scale, edges must come from the banded MinHash "
+    "candidate generator, not exact n-gram Jaccard): MinHash signature "
+    "pairs (est_jaccard ≥ 0.5) → symmetric edge list → distributed "
+    "connected components (iterative min-label propagation). Oracle "
+    "computes the same fixpoint with a recursive CTE over the same "
+    "inlined MinHash pipeline — an exact cross-engine check of the "
+    "full candidate-generation + iterative-clustering composition",
+)
+def minhash_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_near_dup_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    return dedup.near_dup_clusters(d, edges)
 
 
 # DuckDB mirror of functions/vectors.py: sequential double accumulation
@@ -983,6 +1079,24 @@ def _sql_cosine(a: str, b: str) -> str:
     na = _SQL_NORM.format(a=a)
     nb = _SQL_NORM.format(a=b)
     return f"(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+def _sql_lsh_bucket(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of similarity.lsh_bucket: the SAME seeded
+    hyperplanes inlined as literals, sign-bit weighted sum."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot_terms(plane: list[float]) -> str:
+        return " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * CAST({plane[j]!r} AS DOUBLE)"
+            for j in range(dim)
+        )
+
+    return " + ".join(
+        f"CAST(({dot_terms(p)}) > 0 AS BIGINT) * {2**i}" for i, p in enumerate(planes)
+    )
 
 
 @query(
@@ -1019,16 +1133,44 @@ def ann_cosine_topk(spark, sf_dir):
 @query(
     "embedding_near_dups",
     oracle=f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      ({_sql_lsh_bucket(8, 64, 42)}) AS bkt
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({_sql_cosine('a.embedding', 'c.embedding')}, 6) AS cosine_sim
+    FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+    WHERE {_sql_cosine('a.embedding', 'c.embedding')} >= 0.35
+    """,
+    doc="embedding-cosine near-dup pairs via the SCALE path: LSH sign-bucket "
+    "candidate generation (equi-join on the bucket key — never an all-pairs "
+    "cross join) + exact cosine verify (operators/similarity.py "
+    "embedding_near_dup_pairs default). Oracle inlines the same seeded "
+    "hyperplanes, so the bucketed candidate set matches exactly; "
+    "embedding_near_dups_exact is the recall-measurement twin",
+)
+def embedding_near_dups(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(
+        e, threshold=0.35, n_planes=8, dim=64, seed=42
+    )
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@query(
+    "embedding_near_dups_exact",
+    oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine_sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
       AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
     """,
-    doc="embedding-cosine near-dup pairs (exact verify path; LSH sign-bucket "
-    "variant in operators/similarity.py is the 100 TB candidate generator)",
+    doc="exact all-pairs twin of embedding_near_dups — the recall-"
+    "measurement baseline (O(n²) broadcast-nested-loop; only sane for "
+    "dimension-table-sized corpora — the registered scale path is the "
+    "LSH-bucketed variant)",
 )
-def embedding_near_dups(spark, sf_dir):
+def embedding_near_dups_exact(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.embedding_near_dup_pairs(e, threshold=0.35, exact=True)
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
@@ -1108,19 +1250,7 @@ def doc_fingerprints(spark, sf_dir):
 
 
 def _lsh_ann_oracle(k: int = 10, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
-    from ..operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim, n_planes, seed)
-
-    def dot_terms(plane: list[float]) -> str:
-        return " + ".join(
-            f"CAST(embedding[{j + 1}] AS DOUBLE) * CAST({plane[j]!r} AS DOUBLE)"
-            for j in range(dim)
-        )
-
-    bucket = " + ".join(
-        f"CAST(({dot_terms(p)}) > 0 AS BIGINT) * {2**i}" for i, p in enumerate(planes)
-    )
+    bucket = _sql_lsh_bucket(n_planes, dim, seed)
     return f"""
     WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bkt FROM embeddings),
     q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 8),
