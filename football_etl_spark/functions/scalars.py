@@ -83,17 +83,23 @@ DATE_FORMATS = (
     "MMM dd yyyy",
     "MMM dd, yyyy",
     "MMMM dd, yyyy",
-    # NB: the reference also tries weekday-prefixed forms
-    # ("%A, %B %d, %Y") — Spark ≥3 forbids week-day letters when
-    # parsing, so those fall through to null here (documented gap).
 )
+
+# The reference also tries weekday-prefixed forms ("%A, %B %d, %Y",
+# utils/data_utils.py:44-57). Spark ≥3 forbids week-day letters when
+# PARSING, so normalize_date strips a leading "<Weekday>, " token
+# before the format coalesce — same accepted inputs, no E-pattern.
+# The strip requires a comma DIRECTLY after the letters, so month-led
+# forms like "March 3, 2025" / "Mar 03 2025" are untouched.
+_WEEKDAY_PREFIX_RE = r"^[A-Za-z]+,\s*"
 
 
 def normalize_date(c: ColumnOrName, formats: tuple[str, ...] = DATE_FORMATS) -> Column:
     """Multi-format permissive date parse, null on total failure —
     a coalesce over per-format ``try_to_date`` (null on mismatch even
-    under ANSI sessions), ≡ utils/data_utils.py:36-71."""
-    col = F.trim(_col(c))
+    under ANSI sessions), ≡ utils/data_utils.py:36-71 including its
+    weekday-prefixed formats (handled by prefix strip, see above)."""
+    col = F.regexp_replace(F.trim(_col(c)), _WEEKDAY_PREFIX_RE, "")
     return F.coalesce(*[F.try_to_date(col, fmt) for fmt in formats])
 
 

@@ -52,13 +52,29 @@ def register_views(
     return dfs
 
 
-def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+def _schema(table_or_schema):
+    from pyspark.sql.types import StructType
+
+    if isinstance(table_or_schema, StructType):
+        return table_or_schema
+    return TESTDATA[table_or_schema]
+
+
+def read_csv(spark: SparkSession, path: str, table) -> DataFrame:
     """CSV scan with the declared schema (no inference) — mirrors the
-    reference's pd.read_csv loads (/root/reference/examples/visualize_data.py:39-51)."""
-    return spark.read.schema(TESTDATA[table]).option("header", True).csv(path)
+    reference's pd.read_csv loads (/root/reference/examples/visualize_data.py:39-51).
+    ``table`` is a TESTDATA table name or an explicit StructType
+    (e.g. schemas.FIXTURES for reference-domain files)."""
+    return spark.read.schema(_schema(table)).option("header", True).csv(path)
 
 
-def read_json(spark: SparkSession, path: str, table: str) -> DataFrame:
+def read_json(spark: SparkSession, path: str, table) -> DataFrame:
     """JSON records source — mirrors the per-team JSON cache reads
-    (/root/reference/scrapers/team_scraper.py:89-126)."""
-    return spark.read.schema(TESTDATA[table]).json(path)
+    (/root/reference/scrapers/team_scraper.py:89-126). ``table`` as in
+    :func:`read_csv`. Timestamp format pairs with sinks.write_json
+    (full microsecond precision)."""
+    return (
+        spark.read.schema(_schema(table))
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    )

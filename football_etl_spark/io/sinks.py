@@ -41,8 +41,14 @@ def write_csv(
     df.write.mode(mode).option("header", True).csv(path)
 
 
+# JSON timestamp rendering at FULL microsecond precision — Spark's
+# default truncates to milliseconds, silently losing fidelity on a
+# write→read cycle. Paired with loader.read_json.
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).json(path)
+    df.write.mode(mode).option("timestampFormat", JSON_TS_FORMAT).json(path)
 
 
 def write_stats_json(stats: dict, path: str) -> None:

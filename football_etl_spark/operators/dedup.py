@@ -259,8 +259,13 @@ def simhash_signatures(
             import numpy as np
             import pandas as pd
 
+            # EXACT replica of the JVM path's tokenization
+            # (functions/text.tokens): SQL trim strips ONLY the space
+            # character 0x20, and split(\s+) with Java \s =
+            # [ \t\n\x0B\f\r] KEEPS empty edge tokens — so a doc with
+            # a leading tab contributes an '' token on both paths,
+            # and signatures stay bit-identical across variants.
             ws = re.compile(r"[ \t\n\x0b\f\r]+")
-            java_ctrl = "".join(chr(c) for c in range(0x21))
             shifts = np.arange(n_bits, dtype=np.uint64)
             weights = np.uint64(1) << shifts
 
@@ -274,7 +279,7 @@ def simhash_signatures(
                     if t is None:
                         tok_lists.append([])
                         continue
-                    t2 = t.strip(java_ctrl)
+                    t2 = t.strip(" ")
                     tok_lists.append(ws.split(t2) if t2 else [])
                 flat = [tok for toks_ in tok_lists for tok in toks_]
                 if not flat:
@@ -415,6 +420,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -440,6 +446,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # labels are only a fixpoint when the last round changed
+        # nothing; exiting hot means distinct components may share
+        # partially-propagated labels — surface it, don't return
+        # silently-wrong clusters
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); increase max_iter "
+            "(rounds needed = graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("comp").alias("cluster_id"))
 
 

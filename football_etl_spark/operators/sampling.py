@@ -72,11 +72,18 @@ def weighted_hash_sample(
     engine with md5 — no hex→int conversion needed. Same properties as
     ``hash_sample``: reproducible, layout-independent, scan-level (a
     quality-weighted corpus downsample of 100 TB is a filter, not a
-    job)."""
+    job).
+
+    Weights are clamped to [0,1] on BOTH ends: without the lower
+    clamp a negative weight would hex-format as a 16-char
+    two's-complement string whose lpad truncation keeps nearly every
+    row — the opposite of the intent. Null weights drop the row
+    (null predicate)."""
     scale = 16**hex_digits
+    w = F.greatest(weight, F.lit(0.0))
     thresh = F.lpad(
         F.lower(
-            F.hex(F.least(F.floor(weight * scale), F.lit(scale - 1)).cast("long"))
+            F.hex(F.least(F.floor(w * scale), F.lit(scale - 1)).cast("long"))
         ),
         hex_digits,
         "0",

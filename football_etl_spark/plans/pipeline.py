@@ -29,10 +29,17 @@ def process_fixtures(
     fixtures: DataFrame,
     team_mapping: dict[str, str] | None = None,
     today: Column | None = None,
+    dedup_order: list[Column] | None = None,
 ) -> DataFrame:
     """Stage 2 (processors/data_processor.py:34-136): repair schema,
     normalize names/dates, clean kickoff_time, regenerate missing
-    match_id, dedup deterministically, keep future fixtures, sort."""
+    match_id, dedup deterministically, keep future fixtures, sort.
+
+    ``dedup_order`` sets the keep-first ordering within a match_id
+    (default: earliest date, then kickoff). The reference keeps the
+    first row in FILE order (pandas drop_duplicates keep='first',
+    data_processor.py:101-106); pass an explicit ingest-order column
+    to replicate that exactly (see tests/test_golden_parity.py)."""
     df = cleaning.add_missing_columns(fixtures, {"venue": None})
     df = df.withColumns(
         {
@@ -48,9 +55,10 @@ def process_fixtures(
             F.col("match_id"), scalars.generate_match_id("date", "home_team", "away_team")
         ),
     )
-    df = cleaning.dedup_deterministic(
-        df, ["match_id"], [F.col("date").asc_nulls_last(), F.col("kickoff_time").asc_nulls_last()]
-    )
+    order = dedup_order or [
+        F.col("date").asc_nulls_last(), F.col("kickoff_time").asc_nulls_last()
+    ]
+    df = cleaning.dedup_deterministic(df, ["match_id"], order)
     df = cleaning.future_only(df, "date", today)
     return df.orderBy("date", "kickoff_time")
 

@@ -1781,9 +1781,15 @@ _DUCKDB_DATE_FORMATS = (
     "%B %d, %Y",
 )
 
+# mirrors scalars.normalize_date: trim → weekday-prefix strip → the
+# same format-coalesce chain in the same order
 _SQL_NORMALIZE_DATE = (
     "CAST(COALESCE("
-    + ", ".join(f"try_strptime(TRIM(messy_date), '{f}')" for f in _DUCKDB_DATE_FORMATS)
+    + ", ".join(
+        "try_strptime(REGEXP_REPLACE(TRIM(messy_date), '^[A-Za-z]+,\\s*', ''), "
+        f"'{f}')"
+        for f in _DUCKDB_DATE_FORMATS
+    )
     + ") AS DATE)"
 )
 
@@ -1793,8 +1799,9 @@ _SQL_NORMALIZE_DATE = (
     oracle=f"""
     WITH m AS (
       SELECT o_orderkey,
-        CASE WHEN o_orderkey % 3 = 0 THEN STRFTIME(o_orderdate, '%d/%m/%Y')
-             WHEN o_orderkey % 3 = 1 THEN STRFTIME(o_orderdate, '%b %d, %Y')
+        CASE WHEN o_orderkey % 4 = 0 THEN STRFTIME(o_orderdate, '%d/%m/%Y')
+             WHEN o_orderkey % 4 = 1 THEN STRFTIME(o_orderdate, '%b %d, %Y')
+             WHEN o_orderkey % 4 = 2 THEN STRFTIME(o_orderdate, '%A, %B %d, %Y')
              ELSE STRFTIME(o_orderdate, '%Y.%m.%d') END AS messy_date,
         '$' || CAST(o_orderkey % 10000 AS VARCHAR) || '.'
             || CAST(o_custkey % 90 + 10 AS VARCHAR) || ' USD' AS messy_price,
@@ -1814,17 +1821,19 @@ _SQL_NORMALIZE_DATE = (
     FROM m
     """,
     doc="the M1 ingest-repair chain end-to-end on deterministically "
-    "messied inputs: multi-format date normalization "
+    "messied inputs: multi-format date normalization incl. the "
+    "weekday-prefixed form "
     "(coalesce(try_to_date...) ≡ utils/data_utils.py:36-71), currency "
     "clean_number (:74-98), score split + venue swap "
     "(team_scraper.py:656-667), is_home flag (:669-681)",
 )
 def messy_ingest_cleaning(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    fmt = F.col("o_orderkey") % 3
+    fmt = F.col("o_orderkey") % 4
     messy_date = (
         F.when(fmt == 0, F.date_format("o_orderdate", "dd/MM/yyyy"))
         .when(fmt == 1, F.date_format("o_orderdate", "MMM dd, yyyy"))
+        .when(fmt == 2, F.date_format("o_orderdate", "EEEE, MMMM dd, yyyy"))
         .otherwise(F.date_format("o_orderdate", "yyyy.MM.dd"))
     )
     messy_price = F.concat(
@@ -1846,6 +1855,95 @@ def messy_ingest_cleaning(spark, sf_dir):
         gf.alias("goals_for"),
         ga.alias("goals_against"),
         scalars.is_home_flag(venue).alias("is_home"),
+    )
+
+
+@query(
+    "derived_match_scalars",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+        CASE CAST(o_orderkey % 8 AS INT)
+          WHEN 0 THEN 'Win' WHEN 1 THEN 'draw' WHEN 2 THEN 'LOSS' WHEN 3 THEN '1'
+          WHEN 4 THEN '0.5' WHEN 5 THEN 'tie' WHEN 6 THEN ' lost ' ELSE '??' END AS raw_result,
+        printf('Team %d', o_orderkey % 50) AS team,
+        printf('Team %d', o_custkey % 50) AS opp,
+        CAST(o_orderkey % 2 AS INT) AS is_home,
+        CASE WHEN o_orderkey % 3 = 0 THEN printf('2025-05-%02d 16:30', o_orderkey % 28 + 1)
+             WHEN o_orderkey % 3 = 1 THEN 'TBD'
+             ELSE '  18:45 ' END AS kick_raw,
+        o_orderkey % 86400 AS ep,
+        CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             ELSE (o_orderkey % 100) / 100.0 END AS home_wr,
+        CASE WHEN o_custkey % 7 = 0 THEN NULL
+             ELSE (o_custkey % 100) / 100.0 END AS away_wr
+      FROM orders
+    ), s AS (
+      SELECT *,
+        CASE WHEN LOWER(TRIM(raw_result)) IN ('w','win','won','1','1.0') THEN 'W'
+             WHEN LOWER(TRIM(raw_result)) IN ('d','draw','drawn','tie','0.5') THEN 'D'
+             WHEN LOWER(TRIM(raw_result)) IN ('l','loss','lost','lose','0','0.0') THEN 'L'
+             ELSE 'U' END AS result_std,
+        REGEXP_REPLACE(LOWER(team), '[^a-z0-9]', '', 'g') AS slug_t,
+        REGEXP_REPLACE(LOWER(opp), '[^a-z0-9]', '', 'g') AS slug_o,
+        STRFTIME(o_orderdate, '%Y%m%d') AS d8
+      FROM m
+    )
+    SELECT o_orderkey,
+      result_std,
+      CASE result_std WHEN 'W' THEN 1.0 WHEN 'D' THEN 0.5 WHEN 'L' THEN 0.0 END AS points,
+      CASE WHEN string_split(TRIM(kick_raw), ' ')[-1] LIKE '%:%'
+           THEN string_split(TRIM(kick_raw), ' ')[-1] END AS kickoff,
+      STRFTIME(to_timestamp(ep), '%H:%M') AS start_hhmm,
+      (COALESCE(home_wr, 0.5) + COALESCE(away_wr, 0.5)) / 2 AS quality,
+      d8 || '_' || LEAST(slug_t, slug_o) || '_' || GREATEST(slug_t, slug_o) AS sym_id,
+      CASE WHEN is_home = 1 THEN d8 || '_' || slug_t || '_' || slug_o
+           ELSE d8 || '_' || slug_o || '_' || slug_t END AS cond_id
+    FROM s
+    """,
+    doc="oracle gate for the remaining §2.7 scalar surface on "
+    "deterministically generated inputs: standardize_result "
+    "(data_processor.py:181-193), result_to_points "
+    "(data_utils.py:281-285), clean_kickoff_time "
+    "(data_processor.py:86-95), epoch→HH:mm "
+    "(daily_match_scraper.py:486-492), match_quality "
+    "(visualize_data.py:276-279), symmetric/conditional match ids "
+    "(data_processor.py:221-241). quality is identical-op double "
+    "arithmetic → bit-identical cross-engine, left unrounded",
+)
+def derived_match_scalars(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    raw_vals = ["Win", "draw", "LOSS", "1", "0.5", "tie", " lost ", "??"]
+    raw_result = F.lit(raw_vals[-1])
+    for i, v in reversed(list(enumerate(raw_vals[:-1]))):
+        raw_result = F.when(k % 8 == i, F.lit(v)).otherwise(raw_result)
+    team = F.format_string("Team %d", k % 50)
+    opp = F.format_string("Team %d", c % 50)
+    is_home = (k % 2).cast("int")
+    kick_raw = (
+        F.when(k % 3 == 0, F.format_string("2025-05-%02d 16:30", k % 28 + 1))
+        .when(k % 3 == 1, F.lit("TBD"))
+        .otherwise(F.lit("  18:45 "))
+    )
+    home_wr = F.when(k % 5 == 0, F.lit(None).cast("double")).otherwise(
+        (k % 100) / F.lit(100.0)
+    )
+    away_wr = F.when(c % 7 == 0, F.lit(None).cast("double")).otherwise(
+        (c % 100) / F.lit(100.0)
+    )
+    result_std = scalars.standardize_result(raw_result)
+    return o.select(
+        "o_orderkey",
+        result_std.alias("result_std"),
+        scalars.result_to_points(result_std).alias("points"),
+        scalars.clean_kickoff_time(kick_raw).alias("kickoff"),
+        scalars.epoch_to_hhmm(k % 86400).alias("start_hhmm"),
+        scalars.match_quality(home_wr, away_wr).alias("quality"),
+        scalars.symmetric_match_id(F.col("o_orderdate"), team, opp).alias("sym_id"),
+        scalars.conditional_match_id(
+            F.col("o_orderdate"), team, opp, is_home
+        ).alias("cond_id"),
     )
 
 

@@ -56,6 +56,7 @@ def session_window_totals(
     ts_col: str = "ts",
     gap: str = "30 minutes",
     watermark: str = "2 days",
+    value_col: str = "value",
 ) -> DataFrame:
     """Native session windows (``F.session_window``): one row per
     (key, session), where a session is a chain of events each arriving
@@ -80,7 +81,7 @@ def session_window_totals(
         F.session_window(F.col(ts_col), gap).alias("sess"), key_col
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
 
 
@@ -131,6 +132,7 @@ def stateful_user_totals(
     )
     ttl_ms = (state_ttl_minutes or 0) * 60 * 1000
     vc = value_col
+    kc = key_col
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -145,15 +147,38 @@ def stateful_user_totals(
         state.update((n, total))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+        yield pd.DataFrame({kc: [key[0]], "n_events": [n], "total_value": [total]})
 
+    # output schema derives from the parameters: the key keeps its
+    # name and incoming type, counters are fixed
+    key_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType="user_id long, n_events long, total_value double",
+        outputStructType=f"{key_col} {key_type}, n_events long, total_value double",
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def write_bronze_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    dedup_keys: tuple[str, ...] = (),
+) -> None:
+    """Idempotent micro-batch landing: each batch OVERWRITES its own
+    ``batch_id=N`` subdirectory, so a replay of the same batch (crash
+    after the parquet write but before the checkpoint offset commit)
+    rewrites identical files instead of appending duplicates — the
+    batch_id-keyed overwrite is what upgrades foreachBatch's native
+    at-least-once to exactly-once on a plain parquet sink (the
+    dependency-free analog of a Delta/Iceberg MERGE). Readers see
+    ``batch_id`` as a normal discovered partition column."""
+    out = batch_df
+    if dedup_keys:
+        out = out.dropDuplicates(list(dedup_keys))
+    out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
 
 def incremental_parquet_sink(
@@ -166,20 +191,19 @@ def incremental_parquet_sink(
     the engine's incremental LOAD stage (reference: per-day CSV appends,
     /root/reference/daily_match_scraper.py:587-628, made exactly-once).
 
-    foreachBatch gets each micro-batch as a plain DataFrame, so the
-    batch write path (append parquet; optional within-batch key dedup)
-    is reused verbatim, and the streaming checkpoint provides replay
-    dedup across restarts. ``availableNow`` makes the same job a
-    catch-up batch. At scale the sink partitions by ingest date and
-    the dedup is MERGE into a keyed table (Delta/Iceberg); plain
-    parquet append keeps this repo dependency-free.
+    foreachBatch gets each micro-batch as a plain DataFrame plus its
+    replay-stable ``batch_id``; :func:`write_bronze_batch` keys the
+    write on that id (overwrite of a batch-scoped directory), so BOTH
+    failure modes are covered: the streaming checkpoint skips
+    fully-committed batches on restart, and a batch replayed after a
+    mid-write crash lands idempotently. ``availableNow`` makes the
+    same job a catch-up batch. At scale the sink additionally
+    partitions by ingest date inside each batch dir, and a
+    Delta/Iceberg MERGE replaces the directory-overwrite trick.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df
-        if dedup_keys:
-            out = out.dropDuplicates(list(dedup_keys))
-        out.write.mode("append").parquet(out_path)
+        write_bronze_batch(batch_df, batch_id, out_path, dedup_keys)
 
     q = (
         stream_df.writeStream.foreachBatch(_write)

@@ -303,3 +303,69 @@ def test_weighted_hash_sample_respects_weights(spark):
     assert by_w[1.0] >= 995             # w=1 keeps all but ~1/65536
     again = sampling.weighted_hash_sample(df.repartition(13), F.col("doc_id"), F.col("w"))
     assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in kept.collect()}
+
+
+def test_simhash_arrow_jvm_bit_parity(spark):
+    """The Arrow map-side SimHash variant must be BIT-IDENTICAL to the
+    default JVM expression path — including whitespace edge cases
+    (leading/trailing tabs and newlines produce empty edge tokens on
+    the JVM path, whitespace-only docs tokenize by kind)."""
+    from football_etl_spark.operators import dedup as dd
+
+    docs = [
+        (1, "plain doc with several tokens here"),
+        (2, "\thello world"),          # leading tab → '' edge token
+        (3, "hello world\n"),          # trailing newline → '' edge token
+        (4, "  spaced  out  "),        # SQL trim strips only 0x20
+        (5, "\t"),                     # whitespace-only, non-space
+        (6, "   "),                    # space-only → zero tokens, absent
+        (7, "mixed\ttabs and  spaces\r\nnewlines"),
+        (8, None),                     # null text → absent
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    jvm = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(df).collect()}
+    arrow = {
+        r["doc_id"]: r["simhash"]
+        for r in dd.simhash_signatures(df, use_arrow=True).collect()
+    }
+    assert jvm == arrow
+    assert 6 not in jvm and 8 not in jvm  # both paths drop token-less docs
+
+
+def test_weighted_hash_sample_clamps_out_of_range(spark):
+    """Negative weights keep NOTHING (clamped to 0 — unclamped they
+    would hex-format as two's-complement and keep nearly everything);
+    weights > 1 behave as 1; null weights drop the row."""
+    from football_etl_spark.operators import sampling
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.when(F.col("id") % 3 == 0, -0.5)
+         .when(F.col("id") % 3 == 1, 2.0)
+         .otherwise(F.lit(None).cast("double"))).alias("w"),
+    )
+    kept = sampling.weighted_hash_sample(df, F.col("doc_id"), F.col("w"))
+    by_w = {r["w"]: r["n"] for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert -0.5 not in by_w
+    assert None not in by_w
+    assert by_w.get(2.0, 0) >= 330      # ≈ all 334 of the w=2 rows
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """A path graph with diameter > max_iter must not return silently:
+    partially-propagated labels are surfaced as a RuntimeWarning."""
+    import warnings
+
+    import pytest as _pytest
+
+    from football_etl_spark.operators import dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        dd.connected_components(chain, max_iter=2).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # converged run must NOT warn
+        out = dd.connected_components(chain, max_iter=25).collect()
+    assert {r["cluster_id"] for r in out} == {0}

@@ -24,8 +24,20 @@ def test_normalize_team_name(spark):
 
 
 def test_normalize_date_formats(spark):
-    for raw in ["2025-05-10", "10/05/2025", "10.05.2025", "May 10, 2025"]:
+    for raw in [
+        "2025-05-10",
+        "10/05/2025",
+        "10.05.2025",
+        "May 10, 2025",
+        # weekday-prefixed forms (reference utils/data_utils.py:44-57):
+        # Spark forbids weekday letters in parse patterns, so these go
+        # through the prefix strip
+        "Saturday, May 10, 2025",
+        "Saturday, 10/05/2025",
+    ]:
         assert _one(spark, scalars.normalize_date("d"), d=raw) == datetime.date(2025, 5, 10)
+    # month-led comma forms must NOT be mistaken for weekday prefixes
+    assert _one(spark, scalars.normalize_date("d"), d="May 10, 2025") == datetime.date(2025, 5, 10)
     assert _one(spark, scalars.normalize_date("d"), d="not a date") is None
 
 
