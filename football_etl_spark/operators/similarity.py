@@ -238,6 +238,7 @@ def ivf_topk(
     n_centroids: int = 8,
     exclude_self: bool = True,
     use_arrow: bool = True,
+    probe_arrow: bool | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: every corpus vector is assigned to its
     nearest centroid cell (one broadcast pass — the centroid table is
@@ -261,7 +262,16 @@ def ivf_topk(
     driver anyway) — and assigns cells with one Arrow-batched float64
     distance matrix per batch (N×K×D), the Faiss-style vectorized
     coarse quantization. The expression fallback keeps the pure
-    column-arithmetic crossJoin + ranking-window formulation."""
+    column-arithmetic crossJoin + ranking-window formulation.
+
+    ``probe_arrow`` controls the QUERY side independently (default:
+    follow ``use_arrow``). The two sides scale differently: corpus
+    assignment is always N-big (vectorized matmul pays for itself),
+    but an interactive query set can be dimension-table-sized, where
+    one Arrow stage's fixed Python-worker round-trip costs more than
+    it saves — pass ``probe_arrow=False`` there and the probes come
+    from the JVM crossJoin-vs-centroids rank window instead (K
+    centroid distances per query, no Python)."""
     if centroids is None:
         centroids = default_centroids(corpus, n_centroids, id_col, vec_col)
 
@@ -276,13 +286,18 @@ def ivf_topk(
         norm(vec_col).alias("__qn"),
     )
 
-    if use_arrow:
+    if probe_arrow is None:
+        probe_arrow = use_arrow
+
+    if use_arrow or probe_arrow:
         cent_rows = sorted(
             centroids.select("cid", "cv").collect(), key=lambda r: r["cid"]
         )
         cid_list = [int(r["cid"]) for r in cent_rows]
         cv_list = [[float(x) for x in r["cv"]] for r in cent_rows]
         probe_n = int(n_probe)
+
+    if use_arrow:
 
         @F.pandas_udf("long")
         def _nearest_cell(v):
@@ -299,6 +314,22 @@ def ivf_topk(
             # cid, so distance ties break toward the lower cid
             return pd.Series(ids[np.argmin(d2, axis=1)])
 
+        assigned = corp.withColumn("cid", _nearest_cell("__cvec")).select(
+            "neighbor_id", "__cvec", "__cn", "cid"
+        )
+    else:
+        cent = F.broadcast(centroids)
+        a_dist = l2_distance("__cvec", "cv")
+        wa = Window.partitionBy("neighbor_id").orderBy(a_dist.asc(), F.col("cid").asc())
+        assigned = (
+            corp.crossJoin(cent)
+            .withColumn("__rn", F.row_number().over(wa))
+            .filter(F.col("__rn") == 1)
+            .select("neighbor_id", "__cvec", "__cn", "cid")
+        )
+
+    if probe_arrow:
+
         @F.pandas_udf("array<long>")
         def _probe_cells(v):
             import numpy as np
@@ -313,26 +344,15 @@ def ivf_topk(
             order = np.argsort(d2, axis=1, kind="stable")[:, :probe_n]
             return pd.Series([ids[row].tolist() for row in order])
 
-        assigned = corp.withColumn("cid", _nearest_cell("__cvec")).select(
-            "neighbor_id", "__cvec", "__cn", "cid"
-        )
         probes = q.withColumn("__cids", _probe_cells("__qv")).select(
             "query_id", "__qv", "__qn", F.explode("__cids").alias("cid")
         )
     else:
-        cent = F.broadcast(centroids)
-        a_dist = l2_distance("__cvec", "cv")
-        wa = Window.partitionBy("neighbor_id").orderBy(a_dist.asc(), F.col("cid").asc())
-        assigned = (
-            corp.crossJoin(cent)
-            .withColumn("__rn", F.row_number().over(wa))
-            .filter(F.col("__rn") == 1)
-            .select("neighbor_id", "__cvec", "__cn", "cid")
-        )
+        cent_q = F.broadcast(centroids)
         q_dist = l2_distance("__qv", "cv")
         wq = Window.partitionBy("query_id").orderBy(q_dist.asc(), F.col("cid").asc())
         probes = (
-            q.crossJoin(cent)
+            q.crossJoin(cent_q)
             .withColumn("__rn", F.row_number().over(wq))
             .filter(F.col("__rn") <= n_probe)
             .select("query_id", "__qv", "__qn", "cid")

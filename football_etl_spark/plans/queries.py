@@ -1338,8 +1338,12 @@ def _sql_l2(a: str, b: str) -> str:
 )
 def ivf_ann_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
+    # probe_arrow=False: the query side is 8 rows — one Arrow stage's
+    # fixed Python-worker round-trip costs more than the vectorization
+    # saves; probes come from the JVM rank window instead
     out = similarity.ivf_topk(
-        e, e.filter(F.col("vec_id") < 8), k=10, n_probe=2, n_centroids=8
+        e, e.filter(F.col("vec_id") < 8), k=10, n_probe=2, n_centroids=8,
+        probe_arrow=False,
     )
     return out.select(
         "query_id",
