@@ -161,6 +161,29 @@ def profile_columns(text_col: ColumnOrName, toks_col: ColumnOrName) -> dict[str,
     }
 
 
+# PII scrub patterns — deliberately written with EXPLICIT character
+# classes (no \d, \w) so Java regex (Spark) and RE2 (DuckDB oracle)
+# match byte-for-byte; the phone pattern is fixed-shape for the same
+# reason (open-ended quantifiers over separators invite cross-engine
+# greediness surprises).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(c: ColumnOrName) -> Column:
+    """Scrub emails / IPv4s / phone numbers with typed placeholder
+    tokens — the pre-training privacy pass every large corpus gets.
+    Pure regexp_replace chain: JVM-side, single scan, order fixed
+    (email → ip → phone) so the output is deterministic."""
+    out = _col(c)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def shingles(c: ColumnOrName, n: int = 3) -> Column:
     """Token n-gram shingles as an array<string> (for MinHash/Jaccard).
     Docs shorter than n tokens yield a single whole-doc shingle."""

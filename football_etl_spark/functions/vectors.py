@@ -38,3 +38,44 @@ def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
         lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
     )
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def l2_normalize(a: ColumnOrName) -> Column:
+    """Unit-normalize an embedding (array<double> out); zero vectors
+    pass through unchanged (no division by zero). Upstream of cosine
+    retrieval this turns dot product into cosine similarity — the
+    standard pre-index step."""
+    col = _col(a)
+    n = norm(col)
+    return F.when(
+        n > 0, F.transform(col, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(col, lambda x: x.cast("double")))
+
+
+def quantize_int8(a: ColumnOrName, scale: Column | None = None) -> Column:
+    """Symmetric int8 quantization of an embedding: each element maps
+    to floor(x / scale * 127 + 0.5) clamped to [-127, 127], with
+    ``scale`` defaulting to the vector's max |x| (per-row dynamic
+    range — the usual choice when no global calibration pass exists).
+    floor(+0.5) is used instead of round() so the halfway rule is
+    identical in every engine (round() half-even vs half-away differs
+    across engines); all arithmetic is exact-double.
+
+    8× smaller vectors for ANN candidate generation; exact re-rank
+    stays on the float column."""
+    col = _col(a)
+    s = scale if scale is not None else F.aggregate(
+        col, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    q = F.transform(
+        col,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") / s * 127 + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    zeros = F.transform(col, lambda x: F.lit(0))
+    return F.when(s > 0, q).otherwise(zeros)

@@ -1,0 +1,165 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+The steps between "deduplicated documents" and "training shards":
+
+- ``chunk_documents`` — overlapping token-window chunking (the
+  context-length fit pass). Pure array expressions: one tokenize, a
+  stride ``sequence`` of window starts, ``posexplode`` + ``slice``.
+  No shuffle at all — chunking 100 TB is a map-only scan.
+- ``pack_shards`` — assign docs to fixed-token-budget shards by
+  running cumulative token count WITHIN a deterministic bucket. The
+  bucket bound keeps the ordering window parallel (a single global
+  cumulative sum would serialize the corpus through one partition);
+  shards are (bucket, offset/budget) pairs.
+- ``stratified_sample`` — exactly-k-per-stratum deterministic sample:
+  rank by content hash inside each stratum, keep the first k. Same
+  reproducibility properties as operators/sampling.py (layout- and
+  cluster-size-independent).
+- ``vocabulary`` — corpus-wide term statistics (term frequency +
+  document frequency) with a ranked top-k: one explode + two
+  aggregations, map-side combined.
+
+All four have exact DuckDB oracle twins in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .scale import ensure_min_partitions
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between adjacent
+    chunks (stride = chunk_tokens - overlap). Output one row per
+    chunk: (id, chunk_idx, chunk_text, chunk_n_tokens). Documents
+    with zero tokens yield no rows; a document shorter than one
+    chunk yields exactly one chunk.
+
+    Map-only: tokenize once, generate window starts with ``sequence``
+    and explode — no shuffle, no Python, linear in corpus size."""
+    assert 0 <= overlap < chunk_tokens, "need 0 <= overlap < chunk_tokens"
+    stride = chunk_tokens - overlap
+    toked = ensure_min_partitions(df.select(id_col, text_col)).select(
+        id_col, tokens(text_col).alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride))
+    return (
+        toked.filter(n > 0)
+        .select(id_col, "__toks", n.alias("__n"), F.explode(starts).alias("__start"))
+        .select(
+            id_col,
+            ((F.col("__start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("__toks", F.col("__start"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start") + 1).alias(
+                "chunk_n_tokens"
+            ),
+        )
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Assign every document to a training shard with a
+    ``budget_tokens`` running-total budget. Documents are bucketed
+    deterministically (id mod ``n_buckets``) and packed in id order
+    within the bucket: a doc's shard is
+    floor(cumulative_tokens_before_it / budget).
+
+    The bucket bound is the scale design: the cumulative-sum window
+    partitions by bucket, so packing parallelizes across buckets
+    instead of serializing the whole corpus through one global
+    ordering (at 1000 executors, use n_buckets ≈ cluster
+    parallelism). Output: (id, n_tokens, bucket, shard_id)."""
+    src = ensure_min_partitions(df.select(id_col, text_col)).select(
+        id_col,
+        F.size(tokens(text_col)).alias("n_tokens"),
+        (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return src.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.concat_ws(
+            "_",
+            F.col("bucket"),
+            F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("long"),
+        ).alias("shard_id"),
+    )
+
+
+def _hash_order(id_col: str) -> Column:
+    # md5 over the stringified id — portable deterministic shuffle
+    # order (mirrorable as MD5(CAST(id AS VARCHAR)) in any engine)
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by content
+    hash of the id — reproducible across reruns, partition layouts,
+    and cluster sizes (unlike ``sampleBy``, which is seeded but
+    layout-dependent). One rank window per stratum key."""
+    w = Window.partitionBy(*strata).orderBy(_hash_order(id_col), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary statistics: lowercased whitespace terms with
+    total term frequency and document frequency, ranked by tf (ties →
+    lexicographic), top ``top_k``. Explode + one groupBy with
+    map-side partial aggregation; df comes from a per-doc distinct
+    inside the same pass (collect_set-free: count distinct doc ids)."""
+    terms = (
+        ensure_min_partitions(df.select("doc_id", text_col))
+        .select("doc_id", F.explode(tokens(text_col)).alias("term"))
+        .select("doc_id", F.lower("term").alias("term"))
+    )
+    stats = terms.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # sort+limit compiles to TakeOrderedAndProject (parallel per-
+    # partition top-k + merge) — a global rank window here would pull
+    # the whole vocabulary through ONE partition; the rank is attached
+    # afterwards over just the k survivors
+    top = stats.orderBy(F.desc("tf"), F.asc("term")).limit(top_k)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "term", "tf", "df"
+    )

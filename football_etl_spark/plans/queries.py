@@ -1570,6 +1570,201 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Corpus preparation: chunking / packing / sampling / vocab / PII / quantize
+# ===========================================================================
+
+
+@query(
+    "chunked_documents",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    st AS (
+      SELECT doc_id, toks, LEN(toks) AS n,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 16, 1), 48)) AS start
+      FROM toks_cte WHERE LEN(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS INT) AS chunk_idx,
+           ARRAY_TO_STRING(toks[start : start + 63], ' ') AS chunk_text,
+           CAST(LEAST(64, n - start + 1) AS INT) AS chunk_n_tokens
+    FROM st
+    """,
+    doc="overlapping token-window chunking (context-length fit pass, "
+    "64-token chunks / 16-token overlap): tokenize once, stride-"
+    "sequence of starts, posexplode + slice — map-only, zero shuffle "
+    "(operators/corpus.chunk_documents)",
+)
+def chunked_documents(spark, sf_dir):
+    from ..operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = corpus.chunk_documents(d, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_text",
+        F.col("chunk_n_tokens").cast("int").alias("chunk_n_tokens"),
+    )
+
+
+@query(
+    "packed_training_shards",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    src AS (SELECT doc_id, CAST(LEN(toks) AS INT) AS n_tokens,
+                   CAST(doc_id % 8 AS INT) AS bucket
+            FROM toks_cte),
+    c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM src)
+    SELECT doc_id, n_tokens, bucket,
+           bucket || '_' || CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS shard_id
+    FROM c
+    """,
+    doc="training-shard packing under a 2048-token budget: docs pack "
+    "in id order WITHIN a deterministic bucket (id mod 8), shard = "
+    "floor(cumulative-before/budget) — the bucket bound keeps the "
+    "cumulative-sum window parallel instead of serializing the corpus "
+    "through one global ordering (operators/corpus.pack_shards)",
+)
+def packed_training_shards(spark, sf_dir):
+    from ..operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = corpus.pack_shards(d, budget_tokens=2048, n_buckets=8)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"), "bucket", "shard_id"
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) WHERE rn <= 5
+    """,
+    doc="exactly-k-per-stratum deterministic sample (k=5 per "
+    "(lang, source)): rank by md5 of the id inside each stratum — "
+    "reproducible across reruns/layouts/cluster sizes, unlike seeded "
+    "sampleBy (operators/corpus.stratified_sample)",
+)
+def stratified_sample_docs(spark, sf_dir):
+    from ..operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return corpus.stratified_sample(d, ["lang", "source"], k=5)
+
+
+@query(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    t AS (SELECT doc_id, LOWER(UNNEST(toks)) AS term FROM toks_cte),
+    stats AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+              FROM t GROUP BY term)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS BIGINT) AS rank,
+           term, tf, df
+    FROM stats
+    QUALIFY rank <= 100
+    """,
+    doc="corpus vocabulary: term + total term frequency + document "
+    "frequency, ranked top-100. One explode + map-side-combined "
+    "aggregation; the top-k is sort+limit (TakeOrderedAndProject), "
+    "NOT a global rank window — the whole vocabulary never funnels "
+    "through one partition (operators/corpus.vocabulary)",
+)
+def vocab_top_terms(spark, sf_dir):
+    from ..operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.vocabulary(d, top_k=100)
+
+
+@query(
+    "pii_redacted_docs",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN text || ' contact: user' || doc_id || '@example.com ok'
+          WHEN 1 THEN text || ' from 10.0.' || (doc_id % 256) || '.7 logged'
+          WHEN 2 THEN text || ' call 555-123-4567 now'
+          ELSE text END AS dirty
+      FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS redacted
+    FROM m
+    """,
+    doc="PII scrub (pre-training privacy pass): emails / IPv4s / "
+    "phones → typed placeholder tokens over deterministically dirtied "
+    "docs. Patterns use explicit character classes so Java regex and "
+    "the RE2 oracle match byte-for-byte "
+    "(functions/text.redact_pii); single-scan regexp_replace chain",
+)
+def pii_redacted_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    mode = F.col("doc_id") % 4
+    dirty = (
+        F.when(
+            mode == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact: user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com ok"),
+            ),
+        )
+        .when(
+            mode == 1,
+            F.concat(
+                F.col("text"), F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".7 logged"),
+            ),
+        )
+        .when(mode == 2, F.concat(F.col("text"), F.lit(" call 555-123-4567 now")))
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", text.redact_pii(dirty).alias("redacted"))
+
+
+@query(
+    "quantized_embeddings",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(LIST_MAX(LIST_TRANSFORM(embedding,
+                  x -> ABS(CAST(x AS DOUBLE)))) AS DOUBLE) AS sc
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND({_SQL_NORM.format(a='embedding')}, 6) AS l2_norm,
+           CASE WHEN sc > 0
+                THEN LIST_TRANSFORM(embedding, x ->
+                     CAST(GREATEST(-127, LEAST(127,
+                          CAST(FLOOR(CAST(x AS DOUBLE) / sc * 127 + 0.5) AS INT)
+                     )) AS INT))
+                ELSE LIST_TRANSFORM(embedding, x -> 0) END AS q8
+    FROM s
+    """,
+    doc="symmetric int8 embedding quantization (8× smaller vectors "
+    "for ANN candidate generation; float column stays for exact "
+    "re-rank): per-vector dynamic-range scale, floor(+0.5) halfway "
+    "rule so every engine rounds identically "
+    "(functions/vectors.quantize_int8); plus the l2 norm",
+)
+def quantized_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(vectors.norm("embedding"), 6).alias("l2_norm"),
+        vectors.quantize_int8("embedding").alias("q8"),
+    )
+
+
 @query(
     "unpivot_lineitem_measures",
     oracle="""
