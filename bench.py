@@ -51,6 +51,11 @@ HEADLINE = [
     "tumbling_event_windows",
     "session_window_stats",
     "multimodal_decode",
+    # round 2 additions: nested ingest + corpus preparation
+    "nested_event_flatten",
+    "chunked_documents",
+    "vocab_top_terms",
+    "quantized_embeddings",
 ]
 
 

@@ -106,11 +106,20 @@ def flatten_api_events(
     codegen, no shuffle, linear scan.
     """
     j = F.col(json_col)
-    e = F.from_json(j, API_EVENT)
 
-    # object-or-string probes (reference isinstance(...) branches)
-    raw_status = F.get_json_object(j, "$.status")
-    raw_venue = F.get_json_object(j, "$.venue")
+    # Parse ONCE into an intermediate struct column, then project the
+    # eleven output fields from it. Eleven direct references to the
+    # from_json expression would otherwise each carry their own full
+    # JSON parse (CollapseProject keeps the two-step projection as-is
+    # precisely because the parse is non-cheap and multiply
+    # referenced) — measured ~10× slower the naive way.
+    parsed = df.select(
+        F.from_json(j, API_EVENT).alias("__e"),
+        # object-or-string probes (reference isinstance(...) branches)
+        F.get_json_object(j, "$.status").alias("__raw_status"),
+        F.get_json_object(j, "$.venue").alias("__raw_venue"),
+    )
+    e = F.col("__e")
 
     def bare_string(raw: Column) -> Column:
         # get_json_object returns the JSON text for non-scalars; a
@@ -123,7 +132,7 @@ def flatten_api_events(
     start_time = (
         _utc_hhmm(ts) if utc else F.from_unixtime(ts, "HH:mm")
     )
-    out = df.select(
+    out = parsed.select(
         F.coalesce(e["id"].cast("string"), F.lit("unknown")).alias("id"),
         F.coalesce(e["homeTeam"]["name"], e["home"]["name"]).alias("home_team"),
         F.coalesce(e["awayTeam"]["name"], e["away"]["name"]).alias("away_team"),
@@ -138,9 +147,11 @@ def flatten_api_events(
         ts.alias("start_timestamp"),
         F.coalesce(start_time, F.lit("Unknown")).alias("start_time"),
         F.coalesce(
-            e["status"]["description"], bare_string(raw_status), F.lit("Unknown")
+            e["status"]["description"],
+            bare_string(F.col("__raw_status")),
+            F.lit("Unknown"),
         ).alias("status"),
-        F.coalesce(e["venue"]["name"], bare_string(raw_venue)).alias("venue"),
+        F.coalesce(e["venue"]["name"], bare_string(F.col("__raw_venue"))).alias("venue"),
         e["roundInfo"]["round"].cast("string").alias("round"),
         F.lit(source).alias("source"),
     )

@@ -85,6 +85,28 @@ def session_window_totals(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Exact dedup on a stream: keep the first arrival per key, with
+    state bounded by the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — duplicates arriving within
+    ``watermark`` of the original are dropped, and key state is
+    evicted once the watermark passes it, so state is proportional to
+    the dedup horizon, not the stream's history. The streaming twin
+    of operators/cleaning.dedup_keep_first; same call works on a
+    batch frame (plain dropDuplicates). The at-scale ingest dedup
+    for replayed/overlapping feeds."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -79,3 +79,35 @@ def test_no_cartesian_product_anywhere(spark, name):
     query set — ANN top-k — is the one sanctioned n×m pattern.)"""
     plan = plan_str(REGISTRY[name].fn(spark, SF_SMOKE), "simple")
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product:\n{plan}"
+
+
+def test_chunking_is_map_only(spark):
+    """Token-window chunking must plan ZERO shuffles — at 100 TB it is
+    a pure scan→explode projection (the round-robin repartition from
+    ensure_min_partitions is allowed; no hashpartitioning exchange)."""
+    plan = plan_str(REGISTRY["chunked_documents"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    """The vocabulary top-k must compile to TakeOrderedAndProject
+    (parallel per-partition top-k + merge), not a full global Sort of
+    the vocabulary through one partition."""
+    plan = plan_str(REGISTRY["vocab_top_terms"].fn(spark, SF_SMOKE), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_shards_single_bucket_shuffle(spark):
+    """Shard packing shuffles ONCE on the bucket key for the
+    cumulative-sum window; nothing else."""
+    plan = plan_str(REGISTRY["packed_training_shards"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_nested_flatten_is_map_only(spark):
+    """The nested-JSON ingest flatten is scan→project: one from_json
+    pass, no shuffle, no join."""
+    plan = plan_str(REGISTRY["nested_event_flatten"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan

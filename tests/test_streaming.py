@@ -197,3 +197,38 @@ def test_bronze_sink_mid_batch_crash_replay(spark):
         # a different batch id lands additively
         incremental.write_bronze_batch(batch, 8, f"{tmp}/bronze")
         assert spark.read.parquet(f"{tmp}/bronze").count() == 2 * n
+
+
+def test_streaming_dedup_across_micro_batches(spark):
+    """dropDuplicatesWithinWatermark: a feed containing every event
+    TWICE (two identical files → two micro-batches) lands each
+    event_id exactly once — dedup state carries across batches."""
+    batch = load_table(spark, SF, "events").limit(200).coalesce(1)
+    n_distinct = batch.select("event_id").distinct().count()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/feed"
+        batch.write.parquet(feed)
+        batch.write.mode("append").parquet(feed)  # the replayed copy
+        stream = incremental.read_event_stream(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        deduped = incremental.streaming_dedup(stream, keys=("event_id",))
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_dedup_test")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("stream_dedup_test").collect()
+
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == n_distinct
+    assert len(set(ids)) == n_distinct
+
+    # batch twin: same helper, plain frame
+    doubled = batch.union(batch)
+    assert incremental.streaming_dedup(doubled).count() == n_distinct
