@@ -135,6 +135,16 @@ def stratified_sample(
     )
 
 
+def k_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Exactly-k GLOBAL deterministic sample: order by content hash of
+    the id, keep the first k — the reproducible replacement for
+    reservoir sampling (same sample whatever the partitioning, today
+    or next year). Sort+limit compiles to TakeOrderedAndProject: each
+    partition keeps its local top-k and the driver merges k·P rows —
+    no global sort, no single-partition funnel."""
+    return df.orderBy(_hash_order(id_col), F.col(id_col)).limit(k)
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

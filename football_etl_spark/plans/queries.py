@@ -441,6 +441,41 @@ def purchase_asof_login(spark, sf_dir):
 
 
 @query(
+    "purchase_prior_hour_activity",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_prior_events
+    FROM p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="RANGE (interval) join — each purchase joined to the same "
+    "user's events in the trailing hour, counted (self-pair subtracted; "
+    "every purchase matches at least itself, so no left-join-back for "
+    "zeros). A naive time-range predicate plans as a nested-loop join; "
+    "operators/joins.range_join bucketizes both sides by the window "
+    "width (left rows explode into ≤2 candidate buckets) so candidates "
+    "come from a pure equi-join on (user, bucket) with an exact "
+    "integer-microsecond refine — the interval-join shape that "
+    "survives 100 TB",
+)
+def purchase_prior_hour_activity(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = joins.range_join(
+        purchases, ev.select("event_id", "user_id", "ts"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        lower_s=-3600, upper_s=0,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        (F.count("*") - 1).cast("long").alias("n_prior_events")
+    )
+
+
+@query(
     "users_without_purchase",
     oracle="""
     SELECT DISTINCT user_id FROM events
@@ -1655,6 +1690,26 @@ def stratified_sample_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return corpus.stratified_sample(d, ["lang", "source"], k=5)
+
+
+@query(
+    "reservoir_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 64
+    """,
+    doc="exactly-k GLOBAL deterministic sample (k=64): order the whole "
+    "corpus by md5 of the id, keep the first k — the reproducible "
+    "reservoir-sample equivalent. Compiles to TakeOrderedAndProject "
+    "(per-partition top-k + driver merge of k·P rows), so no global "
+    "sort and no single-partition funnel (operators/corpus.k_sample)",
+)
+def reservoir_sample_docs(spark, sf_dir):
+    from ..operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return corpus.k_sample(d, k=64)
 
 
 @query(

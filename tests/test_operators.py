@@ -369,3 +369,30 @@ def test_connected_components_warns_on_nonconvergence(spark):
         warnings.simplefilter("error")  # converged run must NOT warn
         out = dd.connected_components(chain, max_iter=25).collect()
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_range_join_boundaries_and_buckets(spark):
+    """Inclusive [lower, upper] bounds at exact microsecond edges, and
+    matches that span bucket boundaries (the explode-into-2-buckets
+    path) must all be found."""
+    import datetime as dt
+
+    from football_etl_spark.operators import joins as J
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t0)], "lid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 7, t0 - dt.timedelta(seconds=3600)),               # exactly lower
+            (11, 7, t0 - dt.timedelta(seconds=3600, microseconds=1)),  # 1µs below
+            (12, 7, t0),                                            # exactly upper
+            (13, 7, t0 + dt.timedelta(microseconds=1)),             # 1µs above
+            (14, 7, t0 - dt.timedelta(seconds=1800)),               # mid-window
+            (15, 8, t0 - dt.timedelta(seconds=10)),                 # other key
+        ],
+        "rid long, user_id long, ts timestamp",
+    )
+    out = J.range_join(left, right, "user_id", "ts", "ts", -3600, 0)
+    assert sorted(r["r_rid"] for r in out.collect()) == [10, 12, 14]
