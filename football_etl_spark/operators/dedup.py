@@ -223,6 +223,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct ``shingle_n``-gram shingles also occur anywhere in
+    the evaluation corpus — the train/test-overlap check every
+    training-data pipeline runs before a corpus ships (the n-gram
+    overlap method used for GPT-3/PaLM-style decontamination).
+
+    Returns one row per training doc:
+    ``(id, n_shingles, n_hits, contaminated)`` with ``contaminated =
+    n_hits >= min_hits``; docs with zero overlap are kept (left join),
+    so the output is a complete audit, not just the flagged subset.
+
+    Scale shape: the eval side is a benchmark suite — millions of
+    shingles, not billions — so its distinct-hash set is broadcast
+    (``broadcast_eval=True``) and the probe is a map-side hash join
+    against the full training scan: no shuffle of the big side at
+    all. Set ``broadcast_eval=False`` if the eval corpus is genuinely
+    large and let AQE pick the strategy. Shingles are compared by
+    xxhash64 (internal key only, never output), as in
+    :func:`ngram_jaccard_pairs`."""
+    tr = (
+        train.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("__s"))
+        .select(id_col, F.xxhash64("__s").alias("s"))
+        .distinct()
+    )
+    ev = (
+        eval_df.select(F.explode(shingles(text_col, shingle_n)).alias("__s"))
+        .select(F.xxhash64("__s").alias("s"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = tr.join(ev, "s").groupBy(id_col).agg(F.count("*").alias("__hits"))
+    totals = tr.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("__hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("__hits", F.lit(0)) >= min_hits).alias("contaminated"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -403,8 +453,13 @@ def connected_components(
     This is the standard distributed CC (what GraphX/GraphFrames run
     under the hood): per round one equi-join + one min-agg — both
     shuffle on the node key, no cross join, state is one row per node.
-    Rounds needed = graph diameter (near-dup graphs are shallow — big
-    components are dense, so typically ≤ 5). The driver-side loop is
+    Each round additionally POINTER-JUMPS (``comp ← comp[comp]``, one
+    more self-join on the label), so label distance roughly doubles
+    per round and convergence is O(log diameter) instead of
+    O(diameter) — a 200-node chain closes in ~9 rounds, not 200.
+    Near-dup graphs are usually shallow, but templated/boilerplate
+    corpora produce exactly the long-chain shape that makes plain
+    propagation unsurvivable at 100 TB. The driver-side loop is
     inherent to iterative fixpoints; each round's ``count`` action is
     the convergence check, and ``localCheckpoint`` truncates lineage
     so round N's plan doesn't re-derive rounds 1..N-1 (at cluster
@@ -427,12 +482,25 @@ def connected_components(
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("comp").alias("neigh_comp"))
         )
+        propagated = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer-jumping shortcut: follow the label one hop
+        # (comp ← label-of-comp); comp is always the id of a real
+        # node, so the self-join hits. Distance to the component
+        # minimum roughly doubles per round.
+        hop = propagated.select(
+            F.col("node").alias("__hn"), F.col("comp").alias("__hc")
+        )
         new_labels = (
-            labels.join(neigh, "node", "left")
+            propagated.join(hop, propagated["comp"] == hop["__hn"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
+                    F.col("comp"), F.coalesce("__hc", F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)

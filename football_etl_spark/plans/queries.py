@@ -785,6 +785,49 @@ def text_quality_stats(spark, sf_dir):
 
 
 @query(
+    "doc_repetition_stats",
+    oracle=r"""
+    WITH toks_cte AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN LEN(toks) >= 2
+                  THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                                      i -> ARRAY_TO_STRING(toks[i:i+1], ' '))
+                  ELSE [ARRAY_TO_STRING(toks, ' ')] END AS shingles
+      FROM toks_cte
+    )
+    SELECT doc_id,
+           LEN(shingles) AS n_shingles,
+           LEN(LIST_DISTINCT(shingles)) AS n_distinct,
+           1 - LEN(LIST_DISTINCT(shingles)) / LEN(shingles) AS dup_fraction
+    FROM sh
+    """,
+    doc="within-document REPETITION detection (the Gopher-style "
+    "duplicate-n-gram quality rule): fraction of a doc's bigram "
+    "shingles that are repeats of earlier ones — high values mean "
+    "boilerplate/looping text that dedup across docs can't see. Pure "
+    "per-row array expressions (size + array_distinct on the shingle "
+    "array): zero shuffle, zero UDF, scales as a map-only pass",
+)
+def doc_repetition_stats(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    sh = text.shingles("text", 2)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        nd.cast("long").alias("n_distinct"),
+        (F.lit(1) - nd / n).alias("dup_fraction"),
+    )
+
+
+@query(
     "lang_id_counts",
     oracle="""
     WITH toks_cte AS (
@@ -963,6 +1006,49 @@ def ngram_jaccard_pairs(spark, sf_dir):
 def ngram_jaccard_pairs_capped(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.1, max_shingle_df=10)
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=r"""
+    WITH toks_cte AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN LEN(toks) >= 5
+                  THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 4),
+                                      i -> ARRAY_TO_STRING(toks[i:i+4], ' '))
+                  ELSE [ARRAY_TO_STRING(toks, ' ')] END AS shingles
+      FROM toks_cte
+    ),
+    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 47 = 0),
+    tr AS (SELECT * FROM ex WHERE doc_id % 47 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, COUNT(*) AS n_hits
+            FROM tr JOIN ev USING (s) GROUP BY tr.doc_id)
+    SELECT tot.doc_id, tot.n_shingles,
+           CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(hit.n_hits, 0) >= 1 AS contaminated
+    FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+    """,
+    doc="train/test DECONTAMINATION — per training doc, distinct "
+    "5-gram shingles shared with an eval corpus (here the doc_id%47 "
+    "slice), the n-gram overlap audit every training pipeline runs "
+    "before a corpus ships. The eval side is benchmark-suite-sized, "
+    "so its distinct shingle-hash set is broadcast and the probe is a "
+    "map-side hash join over the training scan — the 100 TB side is "
+    "never shuffled (operators/dedup.contamination_report)",
+)
+def benchmark_decontamination(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 47 == 0)
+    tr = d.filter(F.col("doc_id") % 47 != 0)
+    return dedup.contamination_report(tr, ev, shingle_n=5, min_hits=1)
 
 
 # Shared oracle body for the cluster queries: df-capped n-gram Jaccard

@@ -234,3 +234,100 @@ def incremental_parquet_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def latest_silver_version(silver_path: str, below: int | None = None) -> int | None:
+    """Largest COMMITTED snapshot version under ``silver_path``
+    (``v=N`` dirs containing a ``_SUCCESS`` marker), optionally
+    restricted to versions strictly below ``below``. Local-FS
+    implementation — control-plane metadata only, a handful of
+    directory entries; on a cluster this role is played by a table
+    format's transaction log (Delta/Iceberg), never by listing."""
+    import os
+
+    if not os.path.isdir(silver_path):
+        return None
+    versions = []
+    for name in os.listdir(silver_path):
+        if name.startswith("v=") and os.path.exists(
+            os.path.join(silver_path, name, "_SUCCESS")
+        ):
+            v = int(name[2:])
+            if below is None or v < below:
+                versions.append(v)
+    return max(versions) if versions else None
+
+
+def upsert_silver_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    silver_path: str,
+    keys: tuple[str, ...],
+    order_col: str,
+) -> None:
+    """Keyed MERGE-upsert into a versioned parquet silver table: union
+    the previous snapshot with the incoming batch, keep the latest row
+    per ``keys`` (highest ``order_col`` — last-writer-wins; callers
+    must make (keys, order_col) unique, the usual CDC contract), and
+    write the result as snapshot ``v=<batch_id>``.
+
+    Exactly-once under foreachBatch replay: the previous snapshot is
+    the latest committed version STRICTLY BELOW ``batch_id``, so a
+    replayed batch (crash after write, before checkpoint commit)
+    recomputes v=N from the same v=M + the same batch rows and
+    overwrites it with identical content, instead of compounding on
+    top of its own partial output. Readers always see the latest
+    committed ``_SUCCESS``-marked snapshot (:func:`read_silver`).
+
+    The full-snapshot rewrite is the plain-parquet stand-in for a
+    Delta/Iceberg MERGE; at 100 TB the same foreachBatch body calls
+    the table format's merge and everything else here is unchanged."""
+    from pyspark.sql import Window
+
+    prev = latest_silver_version(silver_path, below=batch_id)
+    merged = batch_df
+    if prev is not None:
+        old = spark.read.parquet(f"{silver_path}/v={prev}")
+        merged = old.select(*batch_df.columns).unionByName(batch_df)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    snap = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    snap.write.mode("overwrite").parquet(f"{silver_path}/v={batch_id}")
+
+
+def read_silver(spark: SparkSession, silver_path: str) -> DataFrame:
+    """Read the latest committed silver snapshot."""
+    v = latest_silver_version(silver_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed silver snapshot under {silver_path}")
+    return spark.read.parquet(f"{silver_path}/v={v}")
+
+
+def incremental_silver_sink(
+    stream_df: DataFrame,
+    silver_path: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...],
+    order_col: str,
+) -> None:
+    """Stream → keyed-upsert silver table via foreachBatch +
+    :func:`upsert_silver_batch` (the UPSERT stage above the
+    append-only bronze sink). ``availableNow`` makes the same job a
+    catch-up batch."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_silver_batch(
+            batch_df.sparkSession, batch_df, batch_id, silver_path, keys, order_col
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -396,3 +396,42 @@ def test_range_join_boundaries_and_buckets(spark):
     )
     out = J.range_join(left, right, "user_id", "ts", "ts", -3600, 0)
     assert sorted(r["r_rid"] for r in out.collect()) == [10, 12, 14]
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """Pointer-jumping must close a 200-node chain (diameter 200) in
+    far fewer rounds than the diameter — max_iter=12 would fail plain
+    min-label propagation by an order of magnitude."""
+    import warnings
+
+    from football_etl_spark.operators import dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = dd.connected_components(chain, max_iter=12).collect()
+    assert len(out) == 201
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_contamination_report_counts_and_clean_docs(spark):
+    from football_etl_spark.operators import dedup as dd
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shingles: abcde bcdef
+            (2, "x y z w q v"),        # no overlap with eval
+            (3, "a b c d e"),          # single shingle, shared
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, "a b c d e")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["contaminated"])
+        for r in dd.contamination_report(train, ev, shingle_n=5).collect()
+    }
+    assert out[1] == (2, 1, True)    # 'a b c d e' shared, 'b c d e f' not
+    assert out[2] == (2, 0, False)   # clean doc still present in audit
+    assert out[3] == (1, 1, True)

@@ -232,3 +232,61 @@ def test_streaming_dedup_across_micro_batches(spark):
     # batch twin: same helper, plain frame
     doubled = batch.union(batch)
     assert incremental.streaming_dedup(doubled).count() == n_distinct
+
+
+def test_silver_upsert_batch_merge_and_replay(spark):
+    """Keyed MERGE-upsert snapshots: later batches overwrite rows per
+    key by order_col, unseen keys insert, and a replayed batch_id
+    (crash between write and checkpoint commit) recomputes the same
+    snapshot from the version BELOW it instead of compounding."""
+    with tempfile.TemporaryDirectory() as tmp:
+        silver = f"{tmp}/silver"
+        b0 = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 10)], "k long, v string, seq long"
+        )
+        incremental.upsert_silver_batch(spark, b0, 0, silver, ("k",), "seq")
+        b1 = spark.createDataFrame(
+            [(2, "b2", 20), (3, "c", 20)], "k long, v string, seq long"
+        )
+        incremental.upsert_silver_batch(spark, b1, 1, silver, ("k",), "seq")
+        got = {
+            (r["k"], r["v"]) for r in incremental.read_silver(spark, silver).collect()
+        }
+        assert got == {(1, "a"), (2, "b2"), (3, "c")}
+        # replay batch 1 → identical snapshot, not b2-applied-twice
+        incremental.upsert_silver_batch(spark, b1, 1, silver, ("k",), "seq")
+        got2 = {
+            (r["k"], r["v"]) for r in incremental.read_silver(spark, silver).collect()
+        }
+        assert got2 == got
+        # an out-of-order (stale seq) update must NOT win
+        b2 = spark.createDataFrame([(2, "stale", 5)], "k long, v string, seq long")
+        incremental.upsert_silver_batch(spark, b2, 2, silver, ("k",), "seq")
+        got3 = {
+            (r["k"], r["v"]) for r in incremental.read_silver(spark, silver).collect()
+        }
+        assert got3 == got
+
+
+def test_silver_sink_stream_end_to_end(spark):
+    """Stream → silver: a feed with multiple versions of the same keys
+    lands as one latest-row-per-key snapshot; rerunning over the same
+    checkpoint is a no-op."""
+    ev = load_table(spark, SF, "events").limit(300)
+    # keep the latest event per user
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/feed"
+        ev.coalesce(2).write.parquet(feed)
+        schema = spark.read.parquet(feed).schema
+        for _ in range(2):
+            stream = incremental.read_event_stream(spark, feed, schema)
+            incremental.incremental_silver_sink(
+                stream, f"{tmp}/silver", f"{tmp}/ckpt", ("user_id",), "ts"
+            )
+        silver = incremental.read_silver(spark, f"{tmp}/silver")
+        expected = (
+            ev.groupBy("user_id").agg({"ts": "max"}).collect()
+        )
+        exp = {(r["user_id"], r["max(ts)"]) for r in expected}
+        got = {(r["user_id"], r["ts"]) for r in silver.collect()}
+        assert got == exp
