@@ -145,6 +145,65 @@ def k_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     return df.orderBy(_hash_order(id_col), F.col(id_col)).limit(k)
 
 
+def global_shuffle_index(
+    df: DataFrame, id_col: str = "doc_id", n_parts: int | None = None
+) -> DataFrame:
+    """Deterministic global training-epoch shuffle: assign every row
+    its POSITION in the hash-of-id total order (epoch shuffles feed
+    trainers a reproducible permutation, so the position must be a
+    layout-independent function of the data).
+
+    The naive ``row_number() OVER (ORDER BY hash)`` funnels the whole
+    corpus through ONE partition — unsurvivable at scale. This is the
+    two-pass distributed global rank instead:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the
+       (hash, id) key — a normal range shuffle across P partitions;
+    2. ``monotonically_increasing_id`` exposes each row's offset
+       within its sorted partition (``pid·2^33 + local``) with no
+       further shuffle;
+    3. per-partition row counts (P rows — control-plane-sized) are
+       collected, turned into cumulative offsets, and broadcast-joined
+       back: ``position = offset[pid] + local``.
+
+    The (hash, id) key is a unique total order, so positions are
+    independent of input layout and cluster size. The localCheckpoint
+    pins partition assignment between the count pass and the final
+    plan (at cluster scale: ``persist`` to reliable storage)."""
+    key = _hash_order(id_col)
+    parts = int(
+        n_parts
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ordered = (
+        df.repartitionByRange(parts, key, F.col(id_col))
+        .sortWithinPartitions(key, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local",
+            F.monotonically_increasing_id()
+            - F.shiftleft(F.spark_partition_id().cast("long"), 33),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["__n"])
+        for r in ordered.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    )
+    return (
+        ordered.join(off, "__pid")
+        .withColumn("position", (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

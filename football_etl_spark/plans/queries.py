@@ -1799,6 +1799,97 @@ def reservoir_sample_docs(spark, sf_dir):
 
 
 @query(
+    "epoch_shuffle_positions",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS position
+    FROM documents
+    """,
+    doc="deterministic global EPOCH SHUFFLE — every doc's position in "
+    "the md5-of-id total order, the reproducible permutation a trainer "
+    "consumes. row_number over a global ORDER BY funnels the corpus "
+    "through one partition; operators/corpus.global_shuffle_index "
+    "computes the same rank distributed: range-shuffle sort, "
+    "monotonically_increasing_id for within-partition offsets, and a "
+    "broadcast-joined P-row cumulative-offset table",
+)
+def epoch_shuffle_positions(spark, sf_dir):
+    from ..operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus.global_shuffle_index(d).select("doc_id", "position")
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    m AS (
+      SELECT doc_id, LEN(toks) AS n_tokens, LENGTH(text) AS n_chars,
+             LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+                 ['the','a','and','of','to','in','is','it','for','on'],
+                 LOWER(t)))) AS n_stopwords,
+             CASE WHEN LEN(toks) > 0
+                  THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) / LEN(toks)
+                  ELSE CAST(0 AS DOUBLE) END AS avg_token_len
+      FROM toks_cte
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, avg_token_len,
+             CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens
+                  ELSE CAST(0 AS DOUBLE) END AS stop_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                  ELSE CAST(0 AS DOUBLE) END AS punct_ratio
+      FROM m
+    )
+    SELECT * FROM r
+    WHERE n_tokens BETWEEN 20 AND 500
+      AND avg_token_len BETWEEN 2 AND 8
+      AND stop_ratio >= 0.02
+      AND punct_ratio <= 0.2
+    """,
+    doc="Gopher-style composite QUALITY FILTER: keep docs passing all "
+    "of (token count in range, mean token length in range, stopword "
+    "ratio floor, punctuation ratio ceiling) — the rule-based quality "
+    "gate run before training. Single map-only pass of JVM array "
+    "expressions over the pre-tokenized column; the filter reaches "
+    "the scan, no shuffle at all",
+)
+def gopher_quality_filter(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", "text", text.tokens("text").alias("toks"))
+    m = text.profile_columns(F.col("text"), F.col("toks"))
+    stats = toked.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_chars"].alias("n_chars"),
+        m["n_punct"].alias("n_punct"),
+        m["n_stopwords"].alias("n_stopwords"),
+        m["avg_token_len"].alias("avg_token_len"),
+    )
+    r = stats.select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        F.when(
+            F.col("n_tokens") > 0, F.col("n_stopwords") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)).alias("stop_ratio"),
+        F.when(
+            F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")
+        ).otherwise(F.lit(0.0)).alias("punct_ratio"),
+    )
+    return r.filter(
+        F.col("n_tokens").between(20, 500)
+        & F.col("avg_token_len").between(2, 8)
+        & (F.col("stop_ratio") >= 0.02)
+        & (F.col("punct_ratio") <= 0.2)
+    )
+
+
+@query(
     "vocab_top_terms",
     oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),

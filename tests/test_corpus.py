@@ -124,3 +124,22 @@ def test_vocabulary_rank_and_counts(spark):
         (1, "a", 3, 2),
         (2, "b", 3, 2),
     ]
+
+
+def test_global_shuffle_index_layout_independent(spark):
+    """Positions are a pure function of the data: a different input
+    partitioning must produce the identical permutation, and positions
+    must be exactly 0..n-1."""
+    from football_etl_spark.operators import corpus as C
+
+    d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["position"]
+        for r in C.global_shuffle_index(d, n_parts=7).collect()
+    }
+    b = {
+        r["doc_id"]: r["position"]
+        for r in C.global_shuffle_index(d.repartition(13), n_parts=3).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1000))
