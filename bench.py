@@ -56,6 +56,10 @@ HEADLINE = [
     "chunked_documents",
     "vocab_top_terms",
     "quantized_embeddings",
+    # round 2 additions: interval join + decontamination + epoch shuffle
+    "purchase_prior_hour_activity",
+    "benchmark_decontamination",
+    "epoch_shuffle_positions",
 ]
 
 

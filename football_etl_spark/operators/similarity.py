@@ -372,3 +372,37 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label embedding centroid — the building block behind IVF
+    training, class prototypes, and cluster summarization.
+
+    Distributed array-average in the canonical Spark shape: posexplode
+    the vectors to (label, pos, v) — D rows per vector — then a plain
+    groupBy(label, pos) average (map-side partial aggs apply), then
+    reassemble each centroid by sorting the D (pos, avg) structs back
+    into an array. Per-label state is one D-length array — dimension-
+    sized, never corpus-sized; the wide shuffle key (label, pos) gives
+    D× the parallelism of a per-label reduce, which is what keeps hot
+    labels from bottlenecking a reducer at scale.
+
+    Averages are rounded to ``round_to`` decimals so results are
+    reproducible across summation orders (and mirrorable in any
+    engine)."""
+    ex = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    per = ex.groupBy(label_col, "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), round_to).alias("c")
+    )
+    cent = per.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    counts = df.groupBy(label_col).agg(F.count("*").alias("n_vectors"))
+    return cent.join(F.broadcast(counts), label_col)

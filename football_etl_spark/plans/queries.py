@@ -1799,6 +1799,36 @@ def reservoir_sample_docs(spark, sf_dir):
 
 
 @query(
+    "label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, i AS pos, embedding[i + 1] AS v
+      FROM embeddings, (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i)
+    ),
+    per AS (
+      SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+      FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, LIST(c ORDER BY pos) AS centroid FROM per GROUP BY label
+    ),
+    cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT cent.label, cent.centroid, cnt.n_vectors
+    FROM cent JOIN cnt USING (label)
+    """,
+    doc="per-label embedding CENTROIDS (class prototypes / IVF "
+    "training step) via the distributed array-average: posexplode to "
+    "(label, pos, v), groupBy(label, pos) avg — D× the parallelism of "
+    "a per-label reduce, so a hot label never pins one reducer — then "
+    "reassemble by sorted pos. Rounded to 6 decimals for summation-"
+    "order reproducibility (operators/similarity.label_centroids)",
+)
+def label_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(e)
+
+
+@query(
     "epoch_shuffle_positions",
     oracle="""
     SELECT doc_id,

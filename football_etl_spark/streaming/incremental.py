@@ -331,3 +331,19 @@ def incremental_silver_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the batch dimension table — Spark re-plans the static side per
+    batch, so a dim refreshed in place is picked up without restarting
+    the stream. The dim side is broadcast (it is dimension-sized by
+    definition here); the stream side never shuffles, keeping the
+    stateless micro-batch pipeline map-only. This is the streaming
+    twin of the batch home/away enrichment join."""
+    return stream_df.join(F.broadcast(dim_df), on, how)

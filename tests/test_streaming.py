@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 from football_etl_spark.io.loader import load_table
 from football_etl_spark.schemas import TESTDATA
 from football_etl_spark.streaming import incremental
@@ -290,3 +292,40 @@ def test_silver_sink_stream_end_to_end(spark):
         exp = {(r["user_id"], r["max(ts)"]) for r in expected}
         got = {(r["user_id"], r["ts"]) for r in silver.collect()}
         assert got == exp
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join over availableNow equals the batch
+    join of the same frames."""
+    ev = load_table(spark, SF, "events").limit(200)
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    expected = {
+        (r["event_id"], r["segment"])
+        for r in ev.join(dim, "user_id", "left").select("event_id", "segment").collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/feed"
+        ev.coalesce(1).write.parquet(feed)
+        stream = incremental.read_event_stream(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        enriched = incremental.enrich_stream(stream, dim, "user_id").select(
+            "event_id", "segment"
+        )
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_enrich_test")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["event_id"], r["segment"])
+            for r in spark.table("stream_enrich_test").collect()
+        }
+    assert got == expected
