@@ -1799,6 +1799,42 @@ def reservoir_sample_docs(spark, sf_dir):
 
 
 @query(
+    "salted_segment_spend",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT user_id, CAST(user_id % 5 AS INTEGER) AS segment
+      FROM events
+    )
+    SELECT d.segment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    GROUP BY d.segment
+    """,
+    doc="SKEW-SAFE salted join under the exact-value gate: the big "
+    "(events) side gets a uniform random salt, the user-segment dim "
+    "explodes across all salts, and the join key becomes (user_id, "
+    "salt) — one hot user spreads over n_salts reducers instead of "
+    "pinning one straggler. The oracle is the PLAIN join+agg: salting "
+    "only moves data placement, never results, and this entry proves "
+    "it (operators/scale.salted_join)",
+)
+def salted_segment_spend(spark, sf_dir):
+    from ..operators import scale
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    joined = scale.salted_join(ev, dim, ["user_id"], n_salts=8)
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
     "label_centroids",
     oracle="""
     WITH ex AS (
