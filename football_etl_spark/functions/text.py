@@ -184,13 +184,20 @@ def redact_pii(c: ColumnOrName) -> Column:
     return out
 
 
-def shingles(c: ColumnOrName, n: int = 3) -> Column:
-    """Token n-gram shingles as an array<string> (for MinHash/Jaccard).
-    Docs shorter than n tokens yield a single whole-doc shingle."""
-    toks = tokens(c)
+def shingles_from_tokens(toks: ColumnOrName, n: int = 3) -> Column:
+    """Token n-gram shingles from a PRE-tokenized array column — use
+    with a materialized token alias when the token expression would
+    otherwise be inlined (and re-split) several times per row."""
+    toks = _col(toks)
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), k - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(c: ColumnOrName, n: int = 3) -> Column:
+    """Token n-gram shingles as an array<string> (for MinHash/Jaccard).
+    Docs shorter than n tokens yield a single whole-doc shingle."""
+    return shingles_from_tokens(tokens(c), n)

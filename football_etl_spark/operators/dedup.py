@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles, tokens
+from ..functions.text import fingerprint, shingles, shingles_from_tokens, tokens
 from .scale import ensure_min_partitions
 
 
@@ -243,33 +243,40 @@ def contamination_report(
     n_hits >= min_hits``; docs with zero overlap are kept (left join),
     so the output is a complete audit, not just the flagged subset.
 
-    Scale shape: the eval side is a benchmark suite — millions of
+    Scale shape — ONE pass over the training corpus: per-doc shingle
+    dedup is ``array_distinct`` inside the row (no global distinct
+    shuffle), the eval side is a benchmark suite — millions of
     shingles, not billions — so its distinct-hash set is broadcast
-    (``broadcast_eval=True``) and the probe is a map-side hash join
-    against the full training scan: no shuffle of the big side at
-    all. Set ``broadcast_eval=False`` if the eval corpus is genuinely
-    large and let AQE pick the strategy. Shingles are compared by
-    xxhash64 (internal key only, never output), as in
-    :func:`ngram_jaccard_pairs`."""
-    tr = (
-        train.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("__s"))
-        .select(id_col, F.xxhash64("__s").alias("s"))
-        .distinct()
-    )
+    (``broadcast_eval=True``) and hit-marking is a map-side left
+    join; a single groupBy(id) then counts rows (= n_shingles) and
+    hit markers (= n_hits) together. Total cost: one scan + one
+    shuffle of (id, shingle) pairs. Set ``broadcast_eval=False`` if
+    the eval corpus is genuinely large and let AQE pick the strategy.
+    Shingles are compared by xxhash64 (internal key only, never
+    output), as in :func:`ngram_jaccard_pairs`."""
+    toked = train.select(id_col, tokens(text_col).alias("__toks"))
+    tr = toked.select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingles_from_tokens("__toks", shingle_n))
+        ).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("s"))
     ev = (
         eval_df.select(F.explode(shingles(text_col, shingle_n)).alias("__s"))
         .select(F.xxhash64("__s").alias("s"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    hits = tr.join(ev, "s").groupBy(id_col).agg(F.count("*").alias("__hits"))
-    totals = tr.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    return totals.join(hits, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        F.coalesce("__hits", F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce("__hits", F.lit(0)) >= min_hits).alias("contaminated"),
+    marked = tr.join(ev, "s", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )
 
 
