@@ -1799,6 +1799,45 @@ def reservoir_sample_docs(spark, sf_dir):
 
 
 @query(
+    "distinct_label_union",
+    oracle="""
+    SELECT lang AS label FROM documents
+    UNION
+    SELECT source AS label FROM documents
+    """,
+    doc="distinct two-column union (the reference's all-teams = "
+    "home ∪ away, scrapers/team_scraper.py:938-940) over documents "
+    "lang ∪ source (operators/aggregates.distinct_union)",
+)
+def distinct_label_union(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return aggregates.distinct_union(d, "lang", "source", "label")
+
+
+@query(
+    "events_completion_ratio",
+    oracle="""
+    SELECT (AVG(CAST(event_id IS NOT NULL AS DOUBLE))
+          + AVG(CAST(ts IS NOT NULL AS DOUBLE))
+          + AVG(CAST(user_id IS NOT NULL AS DOUBLE))
+          + AVG(CAST(event_type IS NOT NULL AS DOUBLE))
+          + AVG(CAST(value IS NOT NULL AS DOUBLE))
+          + AVG(CAST(props IS NOT NULL AS DOUBLE))) / 6 AS completion
+    FROM events
+    """,
+    doc="whole-table completion ratio — mean per-column non-null "
+    "density, the reference's pipeline-level data-quality metric "
+    "(pipeline.py:108) as one aggregation pass "
+    "(operators/aggregates.completion_ratio)",
+)
+def events_completion_ratio(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.completion_ratio(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+@query(
     "salted_segment_spend",
     oracle="""
     WITH dim AS (
