@@ -1799,6 +1799,42 @@ def reservoir_sample_docs(spark, sf_dir):
 
 
 @query(
+    "event_category_lookup",
+    oracle="""
+    WITH dim(k, category) AS (
+      VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'revenue'), ('login', 'session')
+    )
+    SELECT e.event_type, COALESCE(d.category, e.event_type) AS category,
+           COUNT(*) AS n
+    FROM events e LEFT JOIN dim d ON d.k = e.event_type
+    GROUP BY 1, 2
+    """,
+    doc="dictionary-lookup join (the reference's team-name remap "
+    "against its config mapping, utils/data_utils.py:29-31): the "
+    "mapping becomes a broadcast dim, unmapped keys coalesce back to "
+    "themselves — never a UDF-with-a-dict, so the lookup stays "
+    "JVM-side and the big side never shuffles for the join "
+    "(operators/joins.lookup_join)",
+)
+def event_category_lookup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("login", "session"),
+        ],
+        "k string, category string",
+    )
+    mapped = joins.lookup_join(
+        ev, dim, key="event_type", dim_key="k", value_col="category"
+    )
+    return mapped.groupBy("event_type", "category").agg(F.count("*").alias("n"))
+
+
+@query(
     "distinct_label_union",
     oracle="""
     SELECT lang AS label FROM documents
