@@ -347,3 +347,42 @@ def enrich_stream(
     stateless micro-batch pipeline map-only. This is the streaming
     twin of the batch home/away enrichment join."""
     return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark_s: int = 3600,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: pairs with equal ``key``
+    and ``right_ts`` within ``[left_ts+lower_s, left_ts+upper_s]`` —
+    the streaming twin of operators/joins.range_join (e.g. purchases
+    joined to the same user's trailing-hour activity as both arrive).
+
+    Both sides carry watermarks and the time bound is written directly
+    on the two event-time columns, which is what lets the engine infer
+    a state-cleanup constraint: buffered rows are dropped once the
+    other side's watermark passes their join window, so state is
+    bounded by (window + watermark) × arrival rate, not by the stream
+    so far. Right columns come back prefixed."""
+    rp = right_prefix
+    r = right.select(*[F.col(c).alias(f"{rp}{c}") for c in right.columns])
+    l = left.withWatermark(left_ts, f"{int(watermark_s)} seconds")
+    r = r.withWatermark(f"{rp}{right_ts}", f"{int(watermark_s)} seconds")
+
+    def _shifted(off: int) -> str:
+        sign = "-" if off < 0 else "+"
+        return f"{left_ts} {sign} INTERVAL {abs(int(off))} SECOND"
+
+    cond = F.expr(
+        f"{rp}{key} = {key}"
+        f" AND {rp}{right_ts} >= {_shifted(lower_s)}"
+        f" AND {rp}{right_ts} <= {_shifted(upper_s)}"
+    )
+    return l.join(r, cond, "inner")

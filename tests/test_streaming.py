@@ -329,3 +329,47 @@ def test_stream_static_enrichment_matches_batch(spark):
             for r in spark.table("stream_enrich_test").collect()
         }
     assert got == expected
+
+
+def test_interval_stream_join_matches_batch(spark):
+    """Stream-stream watermarked interval join (purchases x same-user
+    trailing-hour events) over availableNow equals the batch range
+    join of the same frames."""
+    ev = load_table(spark, SF, "events").limit(400)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.select("event_id", "user_id", "ts")
+    expected = {
+        (r["event_id"], r["r_event_id"])
+        for r in purchases.join(
+            others.select(*[F.col(c).alias(f"r_{c}") for c in others.columns]),
+            F.expr(
+                "r_user_id = user_id AND r_ts >= ts - INTERVAL 3600 SECOND"
+                " AND r_ts <= ts + INTERVAL 0 SECOND"
+            ),
+        ).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        pfeed, ofeed = f"{tmp}/p", f"{tmp}/o"
+        purchases.coalesce(1).write.parquet(pfeed)
+        others.coalesce(1).write.parquet(ofeed)
+        ps = incremental.read_event_stream(spark, pfeed, spark.read.parquet(pfeed).schema)
+        os_ = incremental.read_event_stream(spark, ofeed, spark.read.parquet(ofeed).schema)
+        joined = incremental.interval_stream_join(
+            ps, os_, "user_id", "ts", "ts", -3600, 0
+        ).select("event_id", "r_event_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_test")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["event_id"], r["r_event_id"]) for r in spark.table("ssj_test").collect()
+        }
+    assert got == expected
+    assert got  # non-degenerate: at least one pair joined
