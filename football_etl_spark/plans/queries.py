@@ -2191,6 +2191,62 @@ def cube_order_status(spark, sf_dir):
 
 
 @query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    doc="explicit GROUPING SETS (the third of the grouping-set trio "
+    "next to rollup_revenue and cube_order_status): only the two "
+    "single-column sets, expanded before one exchange — cheaper than "
+    "a cube when the cross set isn't wanted. Uses the SQL surface "
+    "over the registered views (io/loader.register_views)",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@query(
+    "order_value_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM q GROUP BY quartile
+    """,
+    doc="NTILE quartile assignment per customer (per-group spend "
+    "bands) summarized per band; the (price, orderkey) ordering is a "
+    "total order, so tile assignment is deterministic cross-engine. "
+    "One window shuffle on the customer key + one agg",
+)
+def order_value_quartiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    q = o.select("o_custkey", "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        _dec_sum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+@query(
     "percentile_order_value",
     oracle="""
     SELECT o_orderpriority,
