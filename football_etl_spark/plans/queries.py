@@ -2619,6 +2619,46 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+@query(
+    "hll_user_reach",
+    oracle=None,
+    doc="mergeable HLL sketch rollup (operators/sketches.py): one "
+    "DataSketches HLL per (event_type, day) built in a single partial-"
+    "combined pass, then 'distinct users per type over all time' "
+    "answered by hll_union_agg over the per-day sketch table alone — "
+    "the re-rollup never touches raw events again, which is the 100 TB "
+    "pre-aggregation pattern approx_count_distinct's internal partials "
+    "can't give you (sketches here are persistable binary columns). "
+    "Estimate is algorithm-specific → rows-only driver check; "
+    "tests/test_operators.py bounds it against the exact distinct",
+)
+def hll_user_reach(spark, sf_dir):
+    from ..operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    daily = sketches.daily_hll_sketches(ev, "user_id", "event_type", "ts")
+    return sketches.merge_hll(daily, by="grp")
+
+
+@query(
+    "approx_order_percentiles",
+    oracle=None,
+    doc="single-pass approximate per-group quantiles via approx_percentile "
+    "(Greenwald-Khanna summary, map-side mergeable, bounded memory) — the "
+    "t-digest role beside the exact `percentile` twin "
+    "(percentile_order_value): at 100 TB the exact form full-sorts every "
+    "group, the sketch form never shuffles raw values. Approximate by "
+    "construction → rows-only check; pytest bounds vs exact",
+)
+def approx_order_percentiles(spark, sf_dir):
+    from ..operators import sketches
+
+    o = _t(spark, sf_dir, "orders")
+    return sketches.approx_group_percentiles(
+        o, "o_totalprice", "o_orderpriority", quantiles=(0.5, 0.9, 0.99)
+    )
+
+
 # ===========================================================================
 # Flagship: the minimum end-to-end slice (SURVEY §7.1)
 # ===========================================================================

@@ -435,3 +435,51 @@ def test_contamination_report_counts_and_clean_docs(spark):
     assert out[1] == (2, 1, True)    # 'a b c d e' shared, 'b c d e f' not
     assert out[2] == (2, 0, False)   # clean doc still present in audit
     assert out[3] == (1, 1, True)
+
+
+def test_hll_sketch_rollup_bounds_and_mergeability(spark):
+    from football_etl_spark.operators import sketches
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{1 + (i // 3) % 9:02d} 00:00:00", i % 137, "t%d" % (i % 3))
+         for i in range(4000)],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = sketches.daily_hll_sketches(ev, "user_id", "event_type", "ts")
+    # one sketch row per (type, day); binary column, never raw keys
+    assert daily.count() == 3 * 9
+    assert dict(daily.dtypes)["sketch"] == "binary"
+    merged = {r["grp"]: r for r in sketches.merge_hll(daily).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for g, row in merged.items():
+        assert row["days_merged"] == 9
+        # lgK=14 on ~137 distincts: sparse-mode HLL, ≤2% error bound
+        assert abs(row["approx_distinct"] - exact[g]) <= max(2, 0.02 * exact[g])
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    from football_etl_spark.operators import sketches
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 4, float(i)) for i in range(8000)], "g int, v double"
+    )
+    got = {r["grp"]: r for r in
+           sketches.approx_group_percentiles(df, "v", "g", (0.5, 0.9)).collect()}
+    ex = {
+        r["g"]: (r["m"], r["p9"])
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"),
+             F.expr("percentile(v, 0.9)").alias("p9"))
+        .collect()
+    }
+    for g, row in got.items():
+        # accuracy=10000 over 2000 values/group: within one step of exact
+        assert abs(row["p_5"] - ex[g][0]) <= 8.0
+        assert abs(row["p_9"] - ex[g][1]) <= 8.0
