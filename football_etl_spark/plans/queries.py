@@ -2725,6 +2725,213 @@ def flagship_order_enrichment(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Statistical aggregates, distribution analysis, densify+fill
+# ===========================================================================
+
+
+@query(
+    "lineitem_dispersion_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS stddev_price,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="second-moment aggregates per group: sample stddev + Pearson "
+    "correlation + mean in ONE partial-combined pass (both engines use "
+    "single-pass stable moment accumulators — no per-group sort, no "
+    "second scan). Rounding policy: corr is O(1)-scale → 6 dp; stddev "
+    "is price-scale (~1e5) where cross-engine accumulation-order noise "
+    "reaches ~1e-6 absolute → 2 dp",
+)
+def lineitem_dispersion_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "order_price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="fixed-width value histogram (25k-wide price bins): bin id is a "
+    "scan-level expression so the whole histogram is one map-side-"
+    "combined aggregation — the cardinality-bounded way to profile a "
+    "column's distribution at 100 TB (vs sort-based quantiles). FLOOR "
+    "of an identical IEEE division is bit-identical cross-engine",
+)
+def order_price_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin")
+        ).agg(
+            F.count("*").alias("n"),
+            _dec_sum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
+@query(
+    "order_percentrank_deciles",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority,
+             PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(LEAST(FLOOR(pr * 10), 9) AS INT) AS decile,
+           COUNT(*) AS n
+    FROM r
+    GROUP BY 1, 2
+    """,
+    doc="percent_rank-based decile occupancy per group (rank-position "
+    "distribution — the cume_dist/percent_rank window family): the "
+    "(price, orderkey) ordering is total so ranks are deterministic; "
+    "pr = (rank-1)/(n-1) is an exact rational double both engines "
+    "compute from identical operands. One window shuffle + one agg",
+)
+def order_percentrank_deciles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        "o_orderpriority",
+        F.least(F.floor(F.percent_rank().over(w) * 10), F.lit(9))
+        .cast("int")
+        .alias("decile"),
+    )
+    return r.groupBy("o_orderpriority", "decile").agg(F.count("*").alias("n"))
+
+
+@query(
+    "gap_filled_daily_totals",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+    spine AS (SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+    grid AS (SELECT t.event_type, spine.day
+             FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events WHERE user_id % 997 = 0
+      GROUP BY 1, 2
+    )
+    SELECT grid.event_type AS event_type, grid.day AS day,
+           COALESCE(daily.n, 0) AS n,
+           LAST_VALUE(daily.total IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+    FROM grid LEFT JOIN daily
+      ON grid.event_type = daily.event_type AND grid.day = daily.day
+    """,
+    doc="time-series densify + forward-fill: (type × day) grid from a "
+    "date spine crossed with the broadcast-sized type dimension, "
+    "left-joined to sparse daily totals (rare-user slice guarantees "
+    "real gaps), then last-observation-carried-forward via "
+    "last(IGNORE NULLS) over an unbounded-preceding row frame — one "
+    "window shuffle on the (small) grid, never on raw events; days "
+    "before the first observation stay null by design",
+)
+def gap_filled_daily_totals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    daily = (
+        ev.filter(F.col("user_id") % 997 == 0)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum(F.col("value"), "total", scale=4),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("total", ignorenulls=True).over(w).alias("filled_total"),
+    )
+
+
+@query(
+    "boilerplate_chunk_stats",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    st AS (
+      SELECT doc_id, toks, LEN(toks) AS n,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks), 1), 4)) AS start
+      FROM toks_cte WHERE LEN(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, MD5(ARRAY_TO_STRING(toks[start : start + 3], ' ')) AS h
+      FROM st
+    ),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h)
+    SELECT chunks.doc_id AS doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (df.n_docs > 1) AS n_boilerplate,
+           COUNT(*) FILTER (df.n_docs > 1) / COUNT(*) AS boilerplate_ratio
+    FROM chunks JOIN df ON chunks.h = df.h
+    GROUP BY chunks.doc_id
+    """,
+    doc="cross-corpus boilerplate detection (the line/paragraph-dedup "
+    "pass of LLM corpus prep, on 4-token windows since the synthetic "
+    "docs have no newlines): non-overlapping chunks → md5 → chunk "
+    "document-frequency → per-doc share of chunks repeated in other "
+    "docs. Two hash aggregations + one equi-join on the md5 key — "
+    "uniform 128-bit join key, no skew, no cross product; ratio is "
+    "one int/int IEEE division (exact cross-engine)",
+)
+def boilerplate_chunk_stats(spark, sf_dir):
+    from ..operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = corpus.chunk_documents(d, chunk_tokens=4, overlap=0).select(
+        "doc_id", F.md5(F.col("chunk_text").cast("binary")).alias("h")
+    )
+    df_counts = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        chunks.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_boilerplate",
+            (F.col("n_boilerplate") / F.col("n_chunks")).alias("boilerplate_ratio"),
+        )
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
