@@ -149,3 +149,41 @@ def grouped_zscore(
         return pdf
 
     return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(fn, schema)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 builder: turn a change-event
+    log (key, ts, observed state) into validity intervals. Consecutive
+    rows with an unchanged state are collapsed (no-op updates emit no
+    interval), then each surviving change opens an interval closed by
+    the next one: (key, state, valid_from, valid_to, is_current), with
+    the open interval's valid_to null.
+
+    Both passes — the lag change-detect and the lead interval-close —
+    window over the same (key, order) spec, so the plan is ONE
+    exchange on the key reused by two window operators: building SCD2
+    history over 100 TB of change events costs a single shuffle.
+    Ordering must be total for determinism: pass ``tiebreak`` columns
+    (e.g. the event id) to break timestamp ties."""
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = df.withColumn("__prev", F.lag(state_col).over(w)).filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col))
+    )
+    # recompute lead on the collapsed set (same spec → exchange reuse)
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col).over(w))
+        .select(
+            *key_cols,
+            F.col(state_col),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

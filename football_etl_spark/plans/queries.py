@@ -2726,8 +2726,40 @@ def flagship_order_enrichment(spark, sf_dir):
 
 
 # ===========================================================================
-# Statistical aggregates, distribution analysis, densify+fill
+# Statistical aggregates, distribution analysis, densify+fill, temporal
 # ===========================================================================
+
+
+@query(
+    "user_state_scd2",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM ch
+    """,
+    doc="SCD type-2 dimension build from a change-event log "
+    "(operators/windows.scd2_intervals): collapse consecutive "
+    "unchanged states via lag, close each surviving change's validity "
+    "interval via lead — both windows share one (user_id, ts, "
+    "event_id) spec, so the whole history build is a single exchange "
+    "reused by two window operators (filter preserves partitioning "
+    "AND ordering → no second shuffle, no re-sort). (ts, event_id) is "
+    "a total order → deterministic cross-engine",
+)
+def user_state_scd2(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.scd2_intervals(
+        ev, ["user_id"], "ts", "event_type", tiebreak=["event_id"]
+    )
 
 
 @query(
