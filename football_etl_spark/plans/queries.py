@@ -2964,6 +2964,88 @@ def boilerplate_chunk_stats(spark, sf_dir):
     )
 
 
+@query(
+    "orders_column_profile",
+    oracle="""
+    WITH base AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT 'o_orderkey' AS "column", base.n AS n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+           (SELECT CAST(MIN(o_orderkey) AS DOUBLE) FROM orders) AS min_value,
+           (SELECT CAST(MAX(o_orderkey) AS DOUBLE) FROM orders) AS max_value
+    FROM base
+    UNION ALL
+    SELECT 'o_custkey', base.n,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+           (SELECT CAST(MIN(o_custkey) AS DOUBLE) FROM orders),
+           (SELECT CAST(MAX(o_custkey) AS DOUBLE) FROM orders)
+    FROM base
+    UNION ALL
+    SELECT 'o_totalprice', base.n,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+           (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+           (SELECT CAST(MIN(o_totalprice) AS DOUBLE) FROM orders),
+           (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders)
+    FROM base
+    """,
+    doc="one-pass long-format column profile (aggregates.profile_columns): "
+    "nulls / exact distincts / min / max for 3 numeric columns in a "
+    "single aggregation — the scalable describe(): 100 TB profiling "
+    "cannot rescan per column (the oracle's per-column subqueries are "
+    "exactly the rescan shape this replaces). Exact multi-distinct "
+    "plans through Expand; approx=True collapses it to HLL partials "
+    "at cluster scale. min/max as doubles — no string-format ambiguity",
+)
+def orders_column_profile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return aggregates.profile_columns(o, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+@query(
+    "order_rule_violations",
+    oracle="""
+    SELECT 'positive_price' AS rule,
+           SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS n_violations,
+           SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) / COUNT(*) AS violation_ratio
+    FROM orders
+    UNION ALL
+    SELECT 'known_status',
+           SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END),
+           SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) / COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'date_present',
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) / COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'price_under_400k',
+           SUM(CASE WHEN NOT COALESCE(o_totalprice < 400000, FALSE) THEN 1 ELSE 0 END),
+           SUM(CASE WHEN NOT COALESCE(o_totalprice < 400000, FALSE) THEN 1 ELSE 0 END) / COUNT(*)
+    FROM orders
+    """,
+    doc="declarative data-quality gate (aggregates.validate_rules): 4 "
+    "expectation rules — including one that genuinely fires "
+    "(price_under_400k) — each counted as predicate-false-OR-null so "
+    "nulls never silently pass, ALL evaluated in one scan-level "
+    "aggregation (the oracle's per-rule scans are the rescan shape "
+    "this replaces). The assert-before-publish pattern of the "
+    "reference's validation surface (utils/data_utils.py:194-235)",
+)
+def order_rule_violations(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return aggregates.validate_rules(
+        o,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_present": F.col("o_orderdate").isNotNull(),
+            "price_under_400k": F.col("o_totalprice") < 400000,
+        },
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
