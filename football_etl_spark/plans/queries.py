@@ -3046,6 +3046,195 @@ def order_rule_violations(spark, sf_dir):
     )
 
 
+@query(
+    "lsh_recall_at_k",
+    oracle=f"""
+    WITH b0 AS (SELECT vec_id, embedding, ({_sql_lsh_bucket(8, 64, 42)}) AS bkt FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b0 WHERE vec_id < 8),
+    lsh_scored AS (
+      SELECT q0.query_id, b0.vec_id AS neighbor_id,
+             {_sql_cosine('q0.qv', 'b0.embedding')} AS cs
+      FROM q0 JOIN b0 ON q0.bkt = b0.bkt AND b0.vec_id <> q0.query_id
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM lsh_scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) <= 10
+    ),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q.embedding', 'e.embedding')} AS cs
+      FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, embeddings e
+      WHERE e.vec_id <> q.vec_id
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id FROM ex_scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) <= 10
+    )
+    SELECT ex.query_id AS query_id,
+           COUNT(*) AS n_exact,
+           SUM(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           SUM(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) AS recall
+    FROM ex LEFT JOIN lsh
+      ON ex.query_id = lsh.query_id AND ex.neighbor_id = lsh.neighbor_id
+    GROUP BY ex.query_id
+    """,
+    doc="recall@10 of the single-band LSH ANN against the exact brute-"
+    "force top-k — the quality gauge that tells you whether n_planes "
+    "is set right BEFORE trusting the approximate path at scale (on "
+    "this near-uniform synthetic corpus the honest answer is 0.0 at 8 "
+    "planes — exactly the signal that sends you to the OR-amplified "
+    "banded variant, see lsh_banded_recall). Both result "
+    "sets are k-bounded per query, so the measurement join costs "
+    "O(queries×k) regardless of corpus size; on a cluster you run it "
+    "over a sampled query set. Deterministic end-to-end (seeded "
+    "hyperplanes on both engines, total tiebreak orders); recall is "
+    "one int/int IEEE division",
+)
+def lsh_recall_at_k(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(e, qset, k=10).select("query_id", "neighbor_id")
+    lsh = (
+        similarity.lsh_topk(e, qset, k=10, n_planes=8, dim=64, seed=42)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def _sql_lsh_bands(n_bands: int = 4, r: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """Band bucket columns b0..b{n_bands-1}, band b seeded seed+b —
+    the DuckDB twin of similarity.lsh_band_buckets."""
+    return ",\n         ".join(
+        f"({_sql_lsh_bucket(r, dim, seed + b)}) AS b{b}" for b in range(n_bands)
+    )
+
+
+_BANDED_TOPK_CTES = f"""
+    bands AS (SELECT vec_id, embedding,
+         {_sql_lsh_bands(4, 4, 64, 42)}
+      FROM embeddings),
+    bq AS (SELECT * FROM bands WHERE vec_id < 8),
+    bcand AS (
+      SELECT DISTINCT bq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             bq.embedding AS qv, c.embedding AS cv
+      FROM bq JOIN bands c
+        ON (bq.b0 = c.b0 OR bq.b1 = c.b1 OR bq.b2 = c.b2 OR bq.b3 = c.b3)
+      WHERE c.vec_id <> bq.vec_id
+    ),
+    bscored AS (
+      SELECT query_id, neighbor_id, {_sql_cosine('qv', 'cv')} AS cosine_sim
+      FROM bcand
+    ),
+    btopk AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             cosine_sim
+      FROM bscored
+      QUALIFY rank <= 10
+    )"""
+
+
+@query(
+    "lsh_banded_ann_topk",
+    oracle=f"""
+    WITH {_BANDED_TOPK_CTES}
+    SELECT query_id, neighbor_id, rank, ROUND(cosine_sim, 6) AS cosine_sim
+    FROM btopk
+    """,
+    doc="OR-amplified banded LSH ANN (similarity.lsh_topk_banded, 4 "
+    "bands × 4 planes): candidate = shares ANY band bucket with the "
+    "query — per-band match p composes to 1-(1-p)^B, the standard "
+    "banding construction that buys recall without growing any single "
+    "bucket. One Arrow matmul per side computes ALL band codes, then "
+    "posexplode to (band, bucket) and ONE equi-join (the MinHash-LSH "
+    "banding join shape) — never a cross product. Oracle regenerates "
+    "the same per-band seeded hyperplanes inline",
+)
+def lsh_banded_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk_banded(
+        e, e.filter(F.col("vec_id") < 8), k=10,
+        n_bands=4, planes_per_band=4, dim=64, seed=42,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+@query(
+    "lsh_banded_recall",
+    oracle=f"""
+    WITH {_BANDED_TOPK_CTES},
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q.embedding', 'e.embedding')} AS cs
+      FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, embeddings e
+      WHERE e.vec_id <> q.vec_id
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id FROM ex_scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) <= 10
+    )
+    SELECT ex.query_id AS query_id,
+           COUNT(*) AS n_exact,
+           SUM(CASE WHEN btopk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           SUM(CASE WHEN btopk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) AS recall
+    FROM ex LEFT JOIN btopk
+      ON ex.query_id = btopk.query_id AND ex.neighbor_id = btopk.neighbor_id
+    GROUP BY ex.query_id
+    """,
+    doc="recall@10 of the banded LSH path against exact brute-force "
+    "top-k — the companion gauge to lsh_recall_at_k (which measures "
+    "the single-band 8-plane path at an honest 0.0 on this near-"
+    "uniform corpus): 4×4 banding lifts recall to ~0.3 here, and the "
+    "two queries together are the tuning dashboard for (B, r). "
+    "K-bounded join per query — O(queries×k) at any corpus size",
+)
+def lsh_banded_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(e, qset, k=10).select("query_id", "neighbor_id")
+    banded = (
+        similarity.lsh_topk_banded(
+            e, qset, k=10, n_bands=4, planes_per_band=4, dim=64, seed=42
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(banded, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
