@@ -3235,6 +3235,37 @@ def lsh_banded_recall(spark, sf_dir):
     )
 
 
+@query(
+    "customer_order_reconciliation",
+    oracle="""
+    WITH c AS (SELECT c_custkey FROM customer),
+    o AS (SELECT DISTINCT o_custkey FROM orders)
+    SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 'both'
+                WHEN c.c_custkey IS NOT NULL THEN 'customer_only'
+                ELSE 'order_only' END AS presence,
+           COUNT(*) AS n
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    doc="full-outer-join reconciliation report — the ETL referential-"
+    "integrity audit (rows in either side only vs both): distinct-"
+    "reduce the fact side FIRST so the full outer join runs key-to-key "
+    "(never fact-cardinality), then categorize null patterns. "
+    "'order_only' = 0 proves FK integrity; 'customer_only' counts "
+    "orderless customers. One shuffle each side on the join key",
+)
+def customer_order_reconciliation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    joined = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    presence = (
+        F.when(c["c_custkey"].isNotNull() & o["o_custkey"].isNotNull(), "both")
+        .when(c["c_custkey"].isNotNull(), "customer_only")
+        .otherwise("order_only")
+    )
+    return joined.groupBy(presence.alias("presence")).agg(F.count("*").alias("n"))
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
