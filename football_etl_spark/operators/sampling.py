@@ -89,3 +89,31 @@ def weighted_hash_sample(
         "0",
     )
     return df.filter(hash_bucket(key, hex_digits) < thresh)
+
+
+def rate_mixture(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict,
+    key: Column,
+    n_hex: int = 4,
+) -> DataFrame:
+    """Per-stratum rate-based sampling — the training-mixture
+    composition step: keep a deterministic ``rates[stratum]``
+    fraction of each stratum (e.g. downsample the dominant language
+    toward a target mix). Same content-hash machinery as
+    ``hash_sample`` (md5 bucket < per-stratum threshold), so the mix
+    is reproducible, layout-independent, and a pure scan-level filter
+    — composing a 100 TB mixture costs zero shuffles. Strata absent
+    from ``rates`` are dropped (explicit mixture contract); a rate
+    >= 1.0 keeps the whole stratum."""
+    b = hash_bucket(key, n_hex)
+    pred = F.lit(False)
+    for stratum, rate in rates.items():
+        if rate >= 1.0:
+            keep = F.lit(True)
+        else:
+            thresh = format(int(rate * (16 ** n_hex)), f"0{n_hex}x")
+            keep = b < F.lit(thresh)
+        pred = F.when(F.col(strata_col) == stratum, keep).otherwise(pred)
+    return df.filter(pred)

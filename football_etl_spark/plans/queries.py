@@ -3266,6 +3266,40 @@ def customer_order_reconciliation(spark, sf_dir):
     return joined.groupBy(presence.alias("presence")).agg(F.count("*").alias("n"))
 
 
+@query(
+    "lang_rate_mixture",
+    oracle="""
+    WITH kept AS (
+      SELECT lang FROM documents
+      WHERE CASE lang
+              WHEN 'en' THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+              WHEN 'de' THEN TRUE
+              WHEN 'es' THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+              WHEN 'fr' THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+              WHEN 'zh' THEN TRUE
+              ELSE FALSE END
+    )
+    SELECT lang, COUNT(*) AS n_sampled FROM kept GROUP BY lang
+    """,
+    doc="training-mixture composition (sampling.rate_mixture): keep a "
+    "deterministic per-language fraction (en 25% / es 50% / fr 75% / "
+    "de,zh 100%) — rebalancing an en-dominant corpus toward a target "
+    "mix. Same md5-bucket machinery as hash_sample at 4 hex chars "
+    "(65536 buckets ≈ 0.0015% rate granularity): reproducible, "
+    "layout-independent, scan-level — mixing 100 TB costs zero "
+    "shuffles; the count here is just the verification view",
+)
+def lang_rate_mixture(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    mixed = sampling.rate_mixture(
+        d,
+        "lang",
+        {"en": 0.25, "de": 1.0, "es": 0.5, "fr": 0.75, "zh": 1.0},
+        F.col("doc_id"),
+    )
+    return mixed.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
