@@ -483,3 +483,51 @@ def test_approx_percentiles_close_to_exact(spark):
         # accuracy=10000 over 2000 values/group: within one step of exact
         assert abs(row["p_5"] - ex[g][0]) <= 8.0
         assert abs(row["p_9"] - ex[g][1]) <= 8.0
+
+
+def test_scd2_intervals_invariants(spark):
+    from football_etl_spark.operators import windows as W
+    from pyspark.sql import functions as F
+
+    # interleaved keys, ts ties broken by seq, no-op updates present
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+        (2, 1, "x"), (2, 2, "y"),
+        (3, 7, "only"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, state string")
+    out = W.scd2_intervals(df, ["k"], "ts", "state", tiebreak=[]).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    # no-op updates collapsed: k=1 has 3 intervals (a, b, a), not 5
+    assert [r["state"] for r in sorted(by_key[1], key=lambda r: r["valid_from"])] == ["a", "b", "a"]
+    for k, ivs in by_key.items():
+        ivs = sorted(ivs, key=lambda r: r["valid_from"])
+        # exactly one open (current) interval per key, and it is the last
+        assert [r["is_current"] for r in ivs] == [False] * (len(ivs) - 1) + [True]
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+
+def test_rate_mixture_rates_and_determinism(spark):
+    from football_etl_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("grp"),
+    )
+    rates = {"big": 0.5, "small": 1.0}
+    out = sampling.rate_mixture(df, "grp", rates, F.col("id"))
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 2000          # rate >= 1.0 keeps everything
+    assert abs(counts["big"] - 1000) < 150  # ~50% of 2000, hash-uniform
+    # determinism and layout-independence: same rows after repartition
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in sampling.rate_mixture(df.repartition(13), "grp", rates, F.col("id")).collect()}
+    assert a == b
+    # unknown strata are dropped
+    df2 = df.withColumn("grp", F.lit("unlisted"))
+    assert sampling.rate_mixture(df2, "grp", rates, F.col("id")).count() == 0
