@@ -146,7 +146,7 @@ def k_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
 
 
 def global_shuffle_index(
-    df: DataFrame, id_col: str = "doc_id", n_parts: int | None = None
+    df: DataFrame, id_col: str = "doc_id", prefix_len: int = 2
 ) -> DataFrame:
     """Deterministic global training-epoch shuffle: assign every row
     its POSITION in the hash-of-id total order (epoch shuffles feed
@@ -155,52 +155,45 @@ def global_shuffle_index(
 
     The naive ``row_number() OVER (ORDER BY hash)`` funnels the whole
     corpus through ONE partition — unsurvivable at scale. This is the
-    two-pass distributed global rank instead:
+    two-pass distributed global rank on a RADIX bucket instead:
 
-    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the
-       (hash, id) key — a normal range shuffle across P partitions;
-    2. ``monotonically_increasing_id`` exposes each row's offset
-       within its sorted partition (``pid·2^33 + local``) with no
-       further shuffle;
-    3. per-partition row counts (P rows — control-plane-sized) are
-       collected, turned into cumulative offsets, and broadcast-joined
-       back: ``position = offset[pid] + local``.
+    1. bucket = the first ``prefix_len`` hex chars of the md5 sort key
+       (16^prefix_len buckets; 256 by default, raise to 3-4 chars for
+       a 1000-executor corpus). The bucket is a monotone PREFIX of the
+       total order and a pure function of the data — unlike a sampled
+       ``repartitionByRange`` + ``spark_partition_id`` it needs no
+       checkpoint/persist pin to stay consistent between passes, and
+       md5 uniformity guarantees balance;
+    2. per-bucket row counts (16^prefix_len rows — control-plane-
+       sized) are collected, cumulative offsets broadcast back;
+    3. ``position = offset[bucket] + (row_number within bucket - 1)``
+       — the rank window is PARTITIONED by bucket, so no partition
+       ever sees more than ~N/16^prefix_len rows.
 
     The (hash, id) key is a unique total order, so positions are
-    independent of input layout and cluster size. The localCheckpoint
-    pins partition assignment between the count pass and the final
-    plan (at cluster scale: ``persist`` to reliable storage)."""
+    independent of input layout and cluster size."""
     key = _hash_order(id_col)
-    parts = int(
-        n_parts
-        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    ordered = (
-        df.repartitionByRange(parts, key, F.col(id_col))
-        .sortWithinPartitions(key, F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn(
-            "__local",
-            F.monotonically_increasing_id()
-            - F.shiftleft(F.spark_partition_id().cast("long"), 33),
-        )
-        .localCheckpoint(eager=True)
-    )
+    bucket = F.substring(key, 1, prefix_len)
+    withb = df.withColumn("__b", bucket)
     counts = sorted(
-        (r["__pid"], r["__n"])
-        for r in ordered.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+        (r["__b"], r["__n"])
+        for r in withb.groupBy("__b").agg(F.count("*").alias("__n")).collect()
     )
     offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
+    for b, n in counts:
+        offsets.append((b, acc))
         acc += n
     off = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+        df.sparkSession.createDataFrame(offsets, "__b string, __off long")
     )
+    w = Window.partitionBy("__b").orderBy(key, F.col(id_col))
     return (
-        ordered.join(off, "__pid")
-        .withColumn("position", (F.col("__off") + F.col("__local")).cast("long"))
-        .drop("__pid", "__local", "__off")
+        withb.join(off, "__b")
+        .withColumn(
+            "position",
+            (F.col("__off") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("__b", "__off")
     )
 
 

@@ -135,11 +135,11 @@ def test_global_shuffle_index_layout_independent(spark):
     d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
     a = {
         r["doc_id"]: r["position"]
-        for r in C.global_shuffle_index(d, n_parts=7).collect()
+        for r in C.global_shuffle_index(d, prefix_len=1).collect()
     }
     b = {
         r["doc_id"]: r["position"]
-        for r in C.global_shuffle_index(d.repartition(13), n_parts=3).collect()
+        for r in C.global_shuffle_index(d.repartition(13), prefix_len=2).collect()
     }
     assert a == b
     assert sorted(a.values()) == list(range(1000))
