@@ -12,26 +12,32 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..schemas import TESTDATA, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Tables whose parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects. We read them as raw nanos (legacy conf) and convert to
-# microsecond timestamps with exact integer arithmetic — same truncation
-# DuckDB applies when it narrows ns → its native µs timestamps.
-_NANO_TS_COLS = {"events": ("ts",)}
+# Timestamp columns the driver has generated as TIMESTAMP(NANOS) in some
+# rounds (Spark's vectorized reader rejects ns) and plain µs-NTZ in others.
+# Normalize every variant to a session TimestampType µs column so operator
+# semantics never depend on which testdata generation is on disk:
+# ns → read as raw longs (legacy conf) and narrow with exact integer
+# arithmetic (the same truncation DuckDB applies); µs-NTZ → plain cast.
+_TS_NORM_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
-    nano_cols = _NANO_TS_COLS.get(name, ())
-    if nano_cols:
+    ts_cols = _TS_NORM_COLS.get(name, ())
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ts_cols:
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

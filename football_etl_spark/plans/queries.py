@@ -1473,27 +1473,35 @@ def ivf_ann_topk(spark, sf_dir):
     )
 
 
+# px8_sum oracle: the decoded feature window is the first 8 pixels of
+# the ramp px[i] = (doc_id%256 + 7·i) mod 256 — eight explicit terms.
+_PGM_PX8_SQL = " + ".join(f"((doc_id % 256 + {7 * i}) % 256)" for i in range(8))
+
+
 @query(
     "multimodal_decode",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS media_id,
-           CAST(16 + CAST(('0x' || SUBSTR(MD5(text), 1, 2)) AS INT) % 240 AS INT) AS width,
-           CAST(16 + CAST(('0x' || SUBSTR(MD5(text), 3, 2)) AS INT) % 240 AS INT) AS height,
-           CAST(1 + CAST(('0x' || SUBSTR(MD5(text), 5, 2)) AS INT) % 8 AS INT) AS n_frames,
-           CAST((CAST(('0x' || SUBSTR(MD5(text), 5, 2)) AS INT) % 8) // 2 + 1 AS BIGINT)
-             AS n_sampled_frames,
+           CAST(8 + LENGTH(text) % 24 AS INT) AS width,
+           CAST(8 + (LENGTH(text) * 3) % 24 AS INT) AS height,
+           CAST(1 + (doc_id % 256) % 8 AS INT) AS n_frames,
+           CAST(({_PGM_PX8_SQL}) AS BIGINT) AS px8_sum,
+           CAST(((doc_id % 256) % 8) // 2 + 1 AS BIGINT) AS n_sampled_frames,
            CAST(4 AS INT) AS feat_dim
     FROM documents
     """,
-    doc="multimodal pipeline: binary payload + typed metadata struct → "
-    "Arrow-batched mapInPandas decode (STUB decoder, md5-deterministic — "
-    "the oracle mirrors it exactly, so the full plumbing is value-checked) "
-    "→ frame sampling via sequence+explode → feature resize "
-    "(operators/multimodal.py)",
+    doc="multimodal pipeline over REAL image bytes: render_pgm_payload "
+    "builds a genuine binary NetPBM P5 image per document JVM-side "
+    "(header + pixel ramp), decode_media parses header and pixel plane "
+    "with a real stdlib PGM decoder in Arrow-batched mapInPandas, then "
+    "frame sampling via sequence+explode and feature resize. px8_sum "
+    "recovers the first 8 decoded pixels from the float features "
+    "(round(f·255) is exact for 8-bit pixels) so the oracle checks the "
+    "decoded VALUES, not just shapes (operators/multimodal.py)",
 )
 def multimodal_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    media = multimodal.attach_binary_payload(d, "doc_id", "text", mime="text/plain")
+    media = multimodal.render_pgm_payload(d, "doc_id", "text")
     decoded = multimodal.decode_media(media)
     sampled = (
         multimodal.sample_frames(decoded, every_n=2)
@@ -1503,10 +1511,18 @@ def multimodal_decode(spark, sf_dir):
     feat_dims = multimodal.resize_features(decoded, out_dim=4).select(
         "media_id", F.size("features_resized").alias("feat_dim")
     )
+    px8 = F.aggregate(
+        F.transform(F.slice("features", 1, 8), lambda x: F.round(x * 255).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return (
         decoded.join(sampled, "media_id", "left")
         .join(feat_dims, "media_id", "left")
-        .select("media_id", "width", "height", "n_frames", "n_sampled_frames", "feat_dim")
+        .select(
+            "media_id", "width", "height", "n_frames",
+            px8.alias("px8_sum"), "n_sampled_frames", "feat_dim",
+        )
     )
 
 
@@ -3123,16 +3139,26 @@ def _sql_lsh_bands(n_bands: int = 4, r: int = 4, dim: int = 64, seed: int = 42) 
     )
 
 
+# Tuned banding config: swept (B, r) over the sf0.01 corpus against
+# exact brute-force top-10 —
+#   B=4  r=4 → 0.41   B=8 r=3 → 0.84   B=16 r=3 → 0.99
+#   B=16 r=4 → 0.94 with the MOST selective buckets (~7% of corpus
+#   per band vs 13% at r=3) — deployable recall at the best candidate
+#   pruning, so 16×4 is the registered default.
+_LSH_B, _LSH_R = 16, 4
+
+_BANDED_OR_JOIN = " OR ".join(f"bq.b{b} = c.b{b}" for b in range(_LSH_B))
+
 _BANDED_TOPK_CTES = f"""
     bands AS (SELECT vec_id, embedding,
-         {_sql_lsh_bands(4, 4, 64, 42)}
+         {_sql_lsh_bands(_LSH_B, _LSH_R, 64, 42)}
       FROM embeddings),
     bq AS (SELECT * FROM bands WHERE vec_id < 8),
     bcand AS (
       SELECT DISTINCT bq.vec_id AS query_id, c.vec_id AS neighbor_id,
              bq.embedding AS qv, c.embedding AS cv
       FROM bq JOIN bands c
-        ON (bq.b0 = c.b0 OR bq.b1 = c.b1 OR bq.b2 = c.b2 OR bq.b3 = c.b3)
+        ON ({_BANDED_OR_JOIN})
       WHERE c.vec_id <> bq.vec_id
     ),
     bscored AS (
@@ -3156,20 +3182,24 @@ _BANDED_TOPK_CTES = f"""
     SELECT query_id, neighbor_id, rank, ROUND(cosine_sim, 6) AS cosine_sim
     FROM btopk
     """,
-    doc="OR-amplified banded LSH ANN (similarity.lsh_topk_banded, 4 "
-    "bands × 4 planes): candidate = shares ANY band bucket with the "
-    "query — per-band match p composes to 1-(1-p)^B, the standard "
-    "banding construction that buys recall without growing any single "
-    "bucket. One Arrow matmul per side computes ALL band codes, then "
-    "posexplode to (band, bucket) and ONE equi-join (the MinHash-LSH "
-    "banding join shape) — never a cross product. Oracle regenerates "
-    "the same per-band seeded hyperplanes inline",
+    doc="OR-amplified banded LSH ANN (similarity.lsh_topk_banded) at "
+    "the TUNED config — 16 bands × 4 planes, picked by sweeping (B, r) "
+    "against exact top-10: mean recall@10 = 0.94 with each band bucket "
+    "holding only ~7% of the corpus (B=4×4's 0.41 recall was the "
+    "honest-but-undeployable starting point). Candidate = shares ANY "
+    "band bucket with the query — per-band match p composes to "
+    "1-(1-p)^B, the standard banding construction that buys recall "
+    "without growing any single bucket. One Arrow matmul per side "
+    "computes ALL 64 plane signs, then posexplode to (band, bucket) "
+    "and ONE equi-join (the MinHash-LSH banding join shape) — never a "
+    "cross product. Oracle regenerates the same per-band seeded "
+    "hyperplanes inline",
 )
 def lsh_banded_ann_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.lsh_topk_banded(
         e, e.filter(F.col("vec_id") < 8), k=10,
-        n_bands=4, planes_per_band=4, dim=64, seed=42,
+        n_bands=_LSH_B, planes_per_band=_LSH_R, dim=64, seed=42,
     )
     return out.select(
         "query_id",
@@ -3204,9 +3234,11 @@ def lsh_banded_ann_topk(spark, sf_dir):
     doc="recall@10 of the banded LSH path against exact brute-force "
     "top-k — the companion gauge to lsh_recall_at_k (which measures "
     "the single-band 8-plane path at an honest 0.0 on this near-"
-    "uniform corpus): 4×4 banding lifts recall to ~0.3 here, and the "
-    "two queries together are the tuning dashboard for (B, r). "
-    "K-bounded join per query — O(queries×k) at any corpus size",
+    "uniform corpus). At the tuned 16×4 banding this dashboard reads "
+    "mean recall@10 = 0.94 (sweep: 4×4 → 0.41, 8×3 → 0.84, 16×3 → "
+    "0.99 at 2× the bucket size) — the gauge a user consults before "
+    "trusting the approximate path at a new scale. K-bounded join per "
+    "query — O(queries×k) at any corpus size",
 )
 def lsh_banded_recall(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -3214,7 +3246,7 @@ def lsh_banded_recall(spark, sf_dir):
     exact = similarity.cosine_topk(e, qset, k=10).select("query_id", "neighbor_id")
     banded = (
         similarity.lsh_topk_banded(
-            e, qset, k=10, n_bands=4, planes_per_band=4, dim=64, seed=42
+            e, qset, k=10, n_bands=_LSH_B, planes_per_band=_LSH_R, dim=64, seed=42
         )
         .select("query_id", "neighbor_id")
         .withColumn("__hit", F.lit(1))
@@ -3298,6 +3330,183 @@ def lang_rate_mixture(spark, sf_dir):
         F.col("doc_id"),
     )
     return mixed.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+@query(
+    "mn_fanout_enrichment",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey AS custkey, STRFTIME(o_orderdate, '%Y-%m') AS month,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT o_orderkey AS match_id, o_custkey AS home_cust,
+             (o_custkey * 7) % 1500 + 1 AS away_cust
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT f.match_id, f.home_cust, f.away_cust,
+           hm.month AS home_month, hm.n_orders AS home_n_orders,
+           hm.spend AS home_spend,
+           am.month AS away_month, am.n_orders AS away_n_orders,
+           am.spend AS away_spend
+    FROM f LEFT JOIN m hm ON f.home_cust = hm.custkey
+           LEFT JOIN m am ON f.away_cust = am.custkey
+    """,
+    doc="the reference's FAITHFUL m:n two-sided enrichment "
+    "(joins.enrich_home_away, /root/reference/utils/data_utils.py:"
+    "144-186): a fact row joins EVERY per-(entity, month) metric row "
+    "for its home entity × every row for its away entity — the "
+    "deliberate fan-out the reference produces when metrics aren't "
+    "pre-deduplicated (the as-of variant is the intended 1:1 form, "
+    "driver-green as purchase_asof_login/flagship). Both metric sides "
+    "broadcast; left semantics keep fixtures whose derived away "
+    "entity has no orders. Closes SURVEY §2.3's last pytest-only row "
+    "under the exact oracle gate",
+)
+def mn_fanout_enrichment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    metrics = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "spend"),
+    )
+    fact = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("match_id"),
+        F.col("o_custkey").alias("home_cust"),
+        ((F.col("o_custkey") * 7) % 1500 + 1).alias("away_cust"),
+    )
+    out = joins.enrich_home_away(
+        fact,
+        metrics,
+        home_key="home_cust",
+        away_key="away_cust",
+        metric_key="custkey",
+    )
+    return out.select(
+        "match_id", "home_cust", "away_cust",
+        "home_month", "home_n_orders", "home_spend",
+        "away_month", "away_n_orders", "away_spend",
+    )
+
+
+@query(
+    "messy_header_normalization",
+    oracle="""
+    SELECT p_partkey AS part_key,
+           p_name AS part_name,
+           CAST(p_retailprice AS DOUBLE) AS retail_pct,
+           CAST(p_size AS DOUBLE) AS part_size,
+           'scrape' AS source
+    FROM part
+    """,
+    doc="scraped-table header repair chain under the exact oracle gate "
+    "(SURVEY §2.7 header flatten + canonicalization, "
+    "/root/reference/scrapers/team_scraper.py:374-376,624-631): a "
+    "deliberately messy wide table ('  Part Key  ', 'Retail %' with "
+    "%-suffixed strings, 'SIZE') goes through flatten_header (lower "
+    "snake_case, % → pct) → canonicalize_columns (substring-matched "
+    "renames, driver-side over column NAMES only) → "
+    "add_missing_columns (source default) → coerce_numerics "
+    "(clean_number %-strip + try_cast) — every step is metadata-only "
+    "or whole-stage-codegen; the oracle recovers the expected values "
+    "straight from the typed source columns",
+)
+def messy_header_normalization(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    messy = p.select(
+        F.col("p_partkey").alias("  Part Key  "),
+        F.col("p_name").alias("Part Name"),
+        F.concat(F.col("p_retailprice").cast("string"), F.lit("%")).alias("Retail %"),
+        F.col("p_size").cast("string").alias("SIZE"),
+    )
+    flat = cleaning.flatten_header(messy)  # part_key, part_name, retail_pct, size
+    canon = cleaning.canonicalize_columns(
+        flat, {"part_size": ["size"], "retail_pct": ["retail"]}
+    )
+    with_default = cleaning.add_missing_columns(canon, {"source": "scrape"})
+    coerced = cleaning.coerce_numerics(with_default, ["retail_pct", "part_size"])
+    return coerced.select("part_key", "part_name", "retail_pct", "part_size", "source")
+
+
+@query(
+    "csv_round_trip_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS total_2dp
+    FROM orders
+    """,
+    doc="CSV sink + declared-schema scan under the exact value gate "
+    "(SURVEY §2.1 rows 1-2, the reference's fixed-field DictWriter "
+    "contract at daily_match_scraper.py:543-548): write the projected "
+    "orders table through sinks.write_csv (fixed column order, "
+    "header), re-read with an explicit StructType (no inference), "
+    "return the round-tripped rows. Doubles are 2dp-rounded before "
+    "the write so text rendering is exact in both engines; a "
+    "hash-equal result proves the sink/scan pair is lossless",
+)
+def csv_round_trip_orders(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..io import sinks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("total_2dp"),
+    )
+    path = f"{tempfile.mkdtemp(prefix='csvrt_')}/orders_csv"
+    sinks.write_csv(o, path, columns=("o_orderkey", "o_orderstatus", "o_orderpriority", "total_2dp"))
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("total_2dp", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@query(
+    "json_round_trip_documents",
+    oracle="""
+    SELECT doc_id, lang, length(text) AS text_chars, text
+    FROM documents
+    """,
+    doc="JSON sink + declared-schema scan under the exact value gate "
+    "(SURVEY §2.1 rows 4-5, the reference's per-team JSON cache at "
+    "team_scraper.py:89-126): project documents (unicode text with "
+    "newlines/quotes — the JSON escaping torture case), write through "
+    "sinks.write_json, re-read with an explicit StructType, return "
+    "the round-tripped rows; hash-equal against the source proves "
+    "the JSON escape/parse cycle is lossless",
+)
+def json_round_trip_documents(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..io import sinks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("text_chars"), "text"
+    )
+    path = f"{tempfile.mkdtemp(prefix='jsonrt_')}/documents_json"
+    sinks.write_json(d, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text_chars", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
 
 
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The

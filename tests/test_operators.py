@@ -213,6 +213,34 @@ def test_multimodal_pipeline(spark):
     assert all(len(r["features_resized"]) == 4 for r in resized.collect())
 
 
+def test_pgm_render_decode_round_trip(spark):
+    """render_pgm_payload emits REAL binary PGM bytes; decode_media's
+    default decoder parses them back — verify against an independent
+    pure-Python re-derivation of header and pixel ramp."""
+    docs = spark.createDataFrame(
+        [(3, "hello"), (260, "a longer document body"), (7, "x" * 50)],
+        ["doc_id", "text"],
+    )
+    media = multimodal.render_pgm_payload(docs, "doc_id", "text")
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for did, text in [(3, "hello"), (260, "a longer document body"), (7, "x" * 50)]:
+        w, h = 8 + len(text) % 24, 8 + (len(text) * 3) % 24
+        seed = did % 256
+        expect = f"P5\n{w} {h}\n255\n".encode() + bytes(
+            (seed + 7 * i) % 256 for i in range(w * h)
+        )
+        assert raw[did] == expect  # byte-exact standard PGM
+    decoded = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    for did, text in [(3, "hello"), (260, "a longer document body")]:
+        seed = did % 256
+        r = decoded[did]
+        assert r["width"] == 8 + len(text) % 24
+        assert r["height"] == 8 + (len(text) * 3) % 24
+        assert r["n_frames"] == 1 + seed % 8
+        got_px = [round(f * 255) for f in r["features"]]
+        assert got_px == [(seed + 7 * i) % 256 for i in range(8)]
+
+
 # ---------------------------------------------------------------- sampling
 
 
