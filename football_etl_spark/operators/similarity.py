@@ -82,23 +82,30 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(
-    df: DataFrame, vec_col: str, planes: list[list[float]], use_arrow: bool = True
+    df: DataFrame, vec_col: str, planes: list[list[float]], use_arrow: bool | None = None
 ) -> DataFrame:
     """Sign-bit bucket id from dot products with fixed hyperplanes.
 
-    Default path is one Arrow-batched pandas UDF: the whole batch's
-    sign bits come from a single float64 matmul (N×D @ D×B) — the
-    vectorized map-side design that holds at 100 TB (no shuffle, no
-    per-element interpretation). Catalyst's higher-order-function
-    lambdas are NOT whole-stage-codegen'd, so the expression fallback
-    (``use_arrow=False``) evaluates B×D interpreted ops per row — kept
-    for UDF-free environments, measured ~10× slower at 64 dims.
+    Default (``use_arrow=None`` → Arrow): one Arrow-batched pandas
+    UDF — the whole batch's sign bits come from a single float64
+    matmul (N×D @ D×B), the vectorized map-side design that holds at
+    100 TB (no shuffle, no per-element interpretation). The
+    interpreted-expression fallback (``use_arrow=False``; Catalyst
+    does not codegen HOF lambdas) wins in an ISOLATED micro-benchmark
+    on a 5k-vector corpus (0.18s vs 0.55s — the Arrow stage's fixed
+    Python round-trip dominates below ~10-20k rows/task), but
+    measured SLOWER inside the full top-k query at the same scale
+    (1.75s vs 1.14s: the big literal tree is re-analyzed and
+    re-evaluated across the join), so it is kept only for UDF-free
+    environments, not auto-selected.
 
     Both paths accumulate in float64; a sign flip between matmul and
     sequential order needs |dot| ≲ 1e-13·‖v‖ — vanishingly rare for
     gaussian hyperplanes (and the seeded planes are fixed, so bucket
     ids stay deterministic for a given corpus either way).
     """
+    if use_arrow is None:
+        use_arrow = True
     if not use_arrow:
         bucket = F.lit(0).cast("long")
         for i, plane in enumerate(planes):
@@ -387,7 +394,7 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     n_centroids: int = 8,
     exclude_self: bool = True,
-    use_arrow: bool = False,
+    use_arrow: bool = True,
     probe_arrow: bool | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: every corpus vector is assigned to its
@@ -409,15 +416,16 @@ def ivf_topk(
     Every strategy materializes the centroid table on the driver —
     legitimate for the same reason broadcast is: it is a
     ≤n_centroids-row dimension table (KMeans centers live on the
-    driver anyway). The default (``use_arrow=False``) then assigns
-    cells with ONE whole-stage-codegen expression per row (see
-    ``_centroid_order``) — no Python worker in the plan at all, the
-    fastest path for coarse-quantization-sized K (measured ~4× faster
-    than the Arrow pair at K=8, D=64). ``use_arrow=True`` switches the
-    corpus side to an Arrow-batched float64 distance matrix per batch
-    (N×K×D, the Faiss-style vectorized kernel) — worth it only when
-    K·D grows past what a literal codegen expression should carry
-    (hundreds of cells).
+    driver anyway). The default (``use_arrow=True``) assigns corpus
+    cells with one Arrow-batched float64 distance matrix per batch
+    (N×K×D, the Faiss-style vectorized kernel). The expression
+    alternative (``use_arrow=False``, see ``_centroid_order``) keeps
+    Python out of the plan entirely, but Catalyst does NOT
+    whole-stage-codegen higher-order-function lambdas, so its K·D
+    interpreted ops per row plus the K·D-sized expression tree's
+    analysis cost lose to the matmul in practice — measured at
+    sf0.1 (5000×64, K=8): arrow 1.24s vs expression 2.34s end-to-end.
+    It remains the right choice only for UDF-free environments.
 
     ``probe_arrow`` controls the QUERY side independently (default:
     follow ``use_arrow``); the sides scale differently — corpus

@@ -227,7 +227,7 @@ def test_pgm_render_decode_round_trip(spark):
         w, h = 8 + len(text) % 24, 8 + (len(text) * 3) % 24
         seed = did % 256
         expect = f"P5\n{w} {h}\n255\n".encode() + bytes(
-            (seed + 7 * i) % 256 for i in range(w * h)
+            (seed + i) % 256 for i in range(w * h)
         )
         assert raw[did] == expect  # byte-exact standard PGM
     decoded = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
@@ -238,7 +238,7 @@ def test_pgm_render_decode_round_trip(spark):
         assert r["height"] == 8 + (len(text) * 3) % 24
         assert r["n_frames"] == 1 + seed % 8
         got_px = [round(f * 255) for f in r["features"]]
-        assert got_px == [(seed + 7 * i) % 256 for i in range(8)]
+        assert got_px == [(seed + i) % 256 for i in range(8)]
 
 
 # ---------------------------------------------------------------- sampling

@@ -107,7 +107,12 @@ def test_pack_shards_single_bucket_shuffle(spark):
 
 def test_nested_flatten_is_map_only(spark):
     """The nested-JSON ingest flatten is scan→project: one from_json
-    pass, no shuffle, no join."""
-    plan = plan_str(REGISTRY["nested_event_flatten"].fn(spark, SF_SMOKE), "simple")
+    pass, no shuffle, no join. EXACTLY one parse: without the observe
+    pushdown boundary, Catalyst plants four more from_json calls into
+    the pushed required-field filter (measured 2-3× slower)."""
+    df = REGISTRY["nested_event_flatten"].fn(spark, SF_SMOKE)
+    plan = plan_str(df, "simple")
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("from_json") == 1, opt
