@@ -315,7 +315,7 @@ def rolling_customer_metrics(spark, sf_dir):
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("r90_total_spend"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0).alias("r90_total_spend"),
         F.round(F.avg("o_totalprice").over(w), 6).alias("r90_avg_spend"),
         F.count("*").over(w).alias("r90_n_orders"),
     )
@@ -1942,7 +1942,7 @@ def salted_segment_spend(spark, sf_dir):
     joined = scale.salted_join(ev, dim, ["user_id"], n_salts=8)
     return joined.groupBy("segment").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
     )
 
 
@@ -2378,7 +2378,7 @@ def session_window_stats(spark, sf_dir):
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.max("n_events").cast("long").alias("longest_session"),
-        F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        (F.sum(F.round(F.col("total_value") * 100).cast("long")) / 100.0).alias("total_value"),
     )
 
 
@@ -2734,9 +2734,7 @@ def flagship_order_enrichment(spark, sf_dir):
         "o_custkey",
         "o_orderdate",
         "o_totalprice",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
         .alias("r90_total_spend"),
         F.round(F.avg("o_totalprice").over(w), 6).alias("r90_avg_spend"),
         F.count("*").over(w).alias("r90_n_orders"),

@@ -46,7 +46,7 @@ def windowed_event_counts(
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(win.alias("win"), "event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
     )
 
 
@@ -81,7 +81,7 @@ def session_window_totals(
         F.session_window(F.col(ts_col), gap).alias("sess"), key_col
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
+        (F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0).alias("total_value"),
     )
 
 
