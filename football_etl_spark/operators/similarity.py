@@ -548,14 +548,34 @@ def label_centroids(
     Averages are rounded to ``round_to`` decimals so results are
     reproducible across summation orders (and mirrorable in any
     engine)."""
+    per = label_centroids_long(df, vec_col, label_col, round_to)
+    cent = per.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+        F.first("n_vectors").alias("n_vectors"),
+    )
+    return cent
+
+
+def label_centroids_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Long-form per-label centroid: one row per (label, pos) with the
+    averaged component ``c`` and the label's ``n_vectors``. This is
+    the distributed-native shape — the (label, pos) shuffle key gives
+    D× the parallelism of a per-label reduce, and downstream consumers
+    (IVF cell assignment, drift monitors) join on (label, pos) without
+    ever materializing a driver-side array. ``label_centroids``
+    reassembles the array<double> from this."""
     ex = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
     per = ex.groupBy(label_col, "pos").agg(
         F.round(F.avg(F.col("v").cast("double")), round_to).alias("c")
     )
-    cent = per.groupBy(label_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
     counts = df.groupBy(label_col).agg(F.count("*").alias("n_vectors"))
-    return cent.join(F.broadcast(counts), label_col)
+    return per.join(F.broadcast(counts), label_col).select(
+        label_col, F.col("pos").cast("long").alias("pos"), "c", "n_vectors"
+    )

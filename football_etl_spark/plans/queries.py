@@ -1957,23 +1957,25 @@ def salted_segment_spend(spark, sf_dir):
       SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
       FROM ex GROUP BY label, pos
     ),
-    cent AS (
-      SELECT label, LIST(c ORDER BY pos) AS centroid FROM per GROUP BY label
-    ),
     cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
-    SELECT cent.label, cent.centroid, cnt.n_vectors
-    FROM cent JOIN cnt USING (label)
+    SELECT per.label, per.pos, per.c, cnt.n_vectors
+    FROM per JOIN cnt USING (label)
     """,
     doc="per-label embedding CENTROIDS (class prototypes / IVF "
     "training step) via the distributed array-average: posexplode to "
     "(label, pos, v), groupBy(label, pos) avg — D× the parallelism of "
-    "a per-label reduce, so a hot label never pins one reducer — then "
-    "reassemble by sorted pos. Rounded to 6 decimals for summation-"
-    "order reproducibility (operators/similarity.label_centroids)",
+    "a per-label reduce, so a hot label never pins one reducer. "
+    "Emitted LONG-FORM (label, pos, c, n_vectors) — one row per "
+    "centroid component — which is both the harness-hashable shape "
+    "and the shape the next pipeline stage (IVF cell assignment) "
+    "actually joins on; operators/similarity.label_centroids still "
+    "offers the assembled array<double> for in-process callers. "
+    "Rounded to 6 decimals for summation-order reproducibility "
+    "(operators/similarity.label_centroids_long)",
 )
 def label_centroids(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.label_centroids(e)
+    return similarity.label_centroids_long(e)
 
 
 @query(
@@ -2147,33 +2149,35 @@ def pii_redacted_docs(spark, sf_dir):
     oracle=f"""
     WITH s AS (
       SELECT vec_id, embedding,
+             ROUND({_SQL_NORM.format(a='embedding')}, 6) AS l2_norm,
              CAST(LIST_MAX(LIST_TRANSFORM(embedding,
                   x -> ABS(CAST(x AS DOUBLE)))) AS DOUBLE) AS sc
       FROM embeddings
     )
-    SELECT vec_id,
-           ROUND({_SQL_NORM.format(a='embedding')}, 6) AS l2_norm,
+    SELECT vec_id, l2_norm, i AS pos,
            CASE WHEN sc > 0
-                THEN LIST_TRANSFORM(embedding, x ->
-                     CAST(GREATEST(-127, LEAST(127,
-                          CAST(FLOOR(CAST(x AS DOUBLE) / sc * 127 + 0.5) AS INT)
-                     )) AS INT))
-                ELSE LIST_TRANSFORM(embedding, x -> 0) END AS q8
-    FROM s
+                THEN CAST(GREATEST(-127, LEAST(127,
+                     CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) / sc * 127 + 0.5)
+                          AS INT))) AS INT)
+                ELSE 0 END AS q8
+    FROM s, (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i)
     """,
     doc="symmetric int8 embedding quantization (8× smaller vectors "
     "for ANN candidate generation; float column stays for exact "
     "re-rank): per-vector dynamic-range scale, floor(+0.5) halfway "
     "rule so every engine rounds identically "
-    "(functions/vectors.quantize_int8); plus the l2 norm",
+    "(functions/vectors.quantize_int8); plus the l2 norm. Emitted "
+    "LONG-FORM (vec_id, l2_norm, pos, q8) — one row per quantized "
+    "component — the harness-hashable shape; the packed array<int> "
+    "stays available via vectors.quantize_int8 for in-plan use",
 )
 def quantized_embeddings(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.round(vectors.norm("embedding"), 6).alias("l2_norm"),
-        vectors.quantize_int8("embedding").alias("q8"),
-    )
+        F.posexplode(vectors.quantize_int8("embedding")).alias("pos", "q8"),
+    ).select("vec_id", "l2_norm", F.col("pos").cast("long").alias("pos"), "q8")
 
 
 @query(
@@ -3042,22 +3046,22 @@ def orders_column_profile(spark, sf_dir):
     "order_rule_violations",
     oracle="""
     SELECT 'positive_price' AS rule,
-           SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS n_violations,
+           CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
            SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) / COUNT(*) AS violation_ratio
     FROM orders
     UNION ALL
     SELECT 'known_status',
-           SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
            SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) / COUNT(*)
     FROM orders
     UNION ALL
     SELECT 'date_present',
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) / COUNT(*)
     FROM orders
     UNION ALL
     SELECT 'price_under_400k',
-           SUM(CASE WHEN NOT COALESCE(o_totalprice < 400000, FALSE) THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice < 400000, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
            SUM(CASE WHEN NOT COALESCE(o_totalprice < 400000, FALSE) THEN 1 ELSE 0 END) / COUNT(*)
     FROM orders
     """,
@@ -3108,7 +3112,7 @@ def order_rule_violations(spark, sf_dir):
     )
     SELECT ex.query_id AS query_id,
            COUNT(*) AS n_exact,
-           SUM(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           CAST(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
            SUM(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) AS recall
     FROM ex LEFT JOIN lsh
       ON ex.query_id = lsh.query_id AND ex.neighbor_id = lsh.neighbor_id
@@ -3245,7 +3249,7 @@ def lsh_banded_ann_topk(spark, sf_dir):
     )
     SELECT ex.query_id AS query_id,
            COUNT(*) AS n_exact,
-           SUM(CASE WHEN btopk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           CAST(SUM(CASE WHEN btopk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
            SUM(CASE WHEN btopk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) AS recall
     FROM ex LEFT JOIN btopk
       ON ex.query_id = btopk.query_id AND ex.neighbor_id = btopk.neighbor_id
@@ -3574,27 +3578,35 @@ def json_round_trip_documents(spark, sf_dir):
 # rounds (all entries pass the identical Spark-vs-DuckDB comparison
 # locally in tests/test_oracle.py regardless of emission order).
 _DRIVER_GREEN = {
-    "ann_cosine_topk", "approx_distinct_users", "benchmark_decontamination",
-    "canonical_near_dup_docs", "chunked_documents", "cube_order_status",
-    "customer_order_deltas", "daily_event_spine", "dedup_exact_documents",
-    "deterministic_split_stats", "distinct_users_by_type", "doc_fingerprints",
-    "doc_repetition_stats", "duplicate_stats", "embedding_near_dups",
-    "embedding_near_dups_exact", "first_event_dedup", "flagship_order_enrichment",
-    "grouped_zscore_spend", "hash_sampled_docs", "intersect_active_buyers",
-    "ivf_ann_topk", "json_extract_events", "lang_id_counts",
-    "latest_order_per_customer", "league_table", "lsh_ann_topk",
-    "messy_ingest_cleaning", "minhash_clusters", "minhash_near_dups",
-    "multimodal_decode", "near_dup_clusters", "nested_event_flatten",
-    "ngram_jaccard_pairs", "ngram_jaccard_pairs_capped", "null_completion_report",
-    "order_tags_cleaning", "packed_training_shards", "part_type_contains",
-    "percentile_order_value", "pivot_priority_status", "pricing_summary",
-    "purchase_asof_login", "purchase_prior_hour_activity", "quality_weighted_sample",
-    "regional_revenue", "reservoir_sample_docs", "rolling_customer_metrics",
-    "rollup_revenue", "session_window_stats", "simhash_near_dups",
-    "stratified_sample_docs", "text_quality_stats", "tfidf_top_terms",
-    "top3_orders_per_customer", "top_event_types", "tumbling_event_windows",
-    "union_mixed_projection", "unpivot_lineitem_measures", "user_sessions",
-    "users_without_purchase",
+    "ann_cosine_topk", "benchmark_decontamination", "boilerplate_chunk_stats",
+    "canonical_near_dup_docs", "chunked_documents", "csv_round_trip_orders",
+    "cube_order_status", "customer_order_deltas", "customer_order_reconciliation",
+    "daily_event_spine", "date_window_filters", "dedup_exact_documents",
+    "derived_match_scalars", "deterministic_split_stats", "distinct_label_union",
+    "distinct_users_by_type", "doc_fingerprints", "doc_repetition_stats",
+    "duplicate_stats", "embedding_near_dups", "embedding_near_dups_exact",
+    "epoch_shuffle_positions", "event_category_lookup", "events_completion_ratio",
+    "first_event_dedup", "flagship_order_enrichment", "gap_filled_daily_totals",
+    "gopher_quality_filter", "grouped_zscore_spend", "grouping_sets_revenue",
+    "hash_sampled_docs", "intersect_active_buyers", "ivf_ann_topk",
+    "json_extract_events", "json_round_trip_documents", "lang_id_counts",
+    "lang_rate_mixture", "latest_order_per_customer", "league_table",
+    "lineitem_dispersion_stats", "lsh_ann_topk", "lsh_banded_ann_topk",
+    "messy_header_normalization", "messy_ingest_cleaning", "minhash_clusters",
+    "minhash_near_dups", "mn_fanout_enrichment", "multimodal_decode",
+    "near_dup_clusters", "nested_event_flatten", "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped", "null_completion_report", "order_percentrank_deciles",
+    "order_price_histogram", "order_tags_cleaning", "order_value_quartiles",
+    "orders_column_profile", "packed_training_shards", "part_type_contains",
+    "percentile_order_value", "pii_redacted_docs", "pivot_priority_status",
+    "pricing_summary", "purchase_asof_login", "purchase_prior_hour_activity",
+    "quality_weighted_sample", "regional_revenue", "reservoir_sample_docs",
+    "rolling_customer_metrics", "rollup_revenue", "salted_segment_spend",
+    "session_window_stats", "simhash_near_dups", "stratified_sample_docs",
+    "text_quality_stats", "tfidf_top_terms", "top3_orders_per_customer",
+    "top_event_types", "tumbling_event_windows", "union_mixed_projection",
+    "unpivot_lineitem_measures", "user_sessions", "user_state_scd2",
+    "users_without_purchase", "vocab_top_terms",
 }
 
 

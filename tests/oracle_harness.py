@@ -51,6 +51,52 @@ def _key(row):
     return tuple((x is None, str(type(x)), x) if not isinstance(x, tuple) else (False, "t", x) for x in row)
 
 
+def _driver_compat_problems(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Replicate the two ways the DRIVER's pandas canonicalizer can
+    reject values this harness would accept (seen in CORRECTNESS_r03):
+
+    1. DuckDB HUGEINT (uncast integer SUM) lands in pandas as float64
+       while Spark emits int64 — the value-hash diverges even when the
+       numbers are equal. Detected by comparing pandas dtype *kinds*
+       per column: one side integer, the other float = red.
+    2. Array-typed result columns crash the driver's sort/hash
+       (pandas ``sort_values`` → "unhashable type: 'list'"). Detected
+       by flagging any list/ndarray cell on either side.
+    """
+    import numpy as np
+
+    problems: list[str] = []
+    s_pdf = spark_df.limit(100).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    d_pdf = con.execute(f"SELECT * FROM ({oracle_sql}) LIMIT 100").df()
+    con.close()
+
+    s_kinds = {c: s_pdf[c].dtype.kind for c in s_pdf.columns}
+    d_kinds = {c: d_pdf[c].dtype.kind for c in d_pdf.columns}
+    for c in set(s_kinds) & set(d_kinds):
+        pair = {s_kinds[c], d_kinds[c]}
+        if pair == {"i", "f"} or pair == {"u", "f"}:
+            problems.append(
+                f"driver-compat: column {c!r} int-vs-float dtype divergence "
+                f"(spark={s_kinds[c]}, duckdb={d_kinds[c]}) — driver value-hash "
+                "will mismatch; CAST the oracle (or spark) side"
+            )
+    for name, pdf in (("spark", s_pdf), ("duckdb", d_pdf)):
+        for c in pdf.columns:
+            if pdf[c].dtype.kind == "O" and any(
+                isinstance(v, (list, np.ndarray)) for v in pdf[c].head(5)
+            ):
+                problems.append(
+                    f"driver-compat: {name} column {c!r} holds arrays — the "
+                    "driver canonicalizer cannot sort/hash lists; emit long form"
+                )
+    return problems
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     problems: list[str] = []
@@ -80,4 +126,6 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
                 problems.append(f"row mismatch:\n  spark : {a}\n  duckdb: {b}")
     if n_bad > 5:
         problems.append(f"... {n_bad} mismatching rows total")
+    if not problems:
+        problems.extend(_driver_compat_problems(spark_df, oracle_sql, sf_dir))
     return problems
