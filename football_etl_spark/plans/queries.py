@@ -68,13 +68,29 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # the same win as a shared catalog's resolved-relation cache.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Driver-side control-plane values (collected centroid/query rows —
+# dimension-table-sized by contract) cached per session+sf, same
+# rationale as _TABLE_CACHE: rebuilding a plan should not re-run a
+# Spark job for a ≤8-row table that is already pinned on the driver.
+_CONTROL_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def _evict_dead_sessions(cache: dict, app_id: str) -> None:
+    """Drop entries pinned to stopped SparkContexts (any key whose
+    applicationId differs from the active session's) so long-lived
+    drivers that stop/recreate sessions don't accumulate dead plans."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # applicationId is unique per SparkContext, so a stopped-and-
     # recreated session can never be handed another session's plans
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), name)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        _evict_dead_sessions(_TABLE_CACHE, app_id)
         df = _TABLE_CACHE[key] = load_table(spark, sf_dir, name)
     return df
 
@@ -82,14 +98,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _dec_sum(c, alias: str, scale: int = 2):
     """Exact money sum: accumulate the value scaled to an integer —
     a whole-stage-codegen long sum, measured ~3× faster than decimal
-    aggregation at bench scale — then divide back in double. The
-    result is bit-identical to a DECIMAL(18,scale) sum cast to double
-    (both produce the correctly-rounded double of the same exact
-    rational), which is exactly what the DuckDB oracles compute.
-    Long partials overflow only past ~1e13 rows of 1e5-sized 2dp
-    values; a petabyte-scale money pipeline switches the accumulator
-    back to decimal (or sums per-partition into decimal) at that
-    point."""
+    aggregation at bench scale — then divide back in double.
+
+    Validity bounds (know BOTH before scaling this up): the result is
+    bit-identical to a DECIMAL(18,scale) sum cast to double only while
+    |sum·10^scale| ≤ 2^53 ≈ 9.0e15 scaled units (~9e8 rows of
+    1e5-sized 2dp values) — past that the long→double conversion
+    rounds before the /10^scale division and double-rounding can
+    diverge from the decimal-cast result. The long accumulator itself
+    overflows later, at ~9.2e18/10^scale. A pipeline beyond the 2^53
+    bound switches the accumulator back to decimal (or sums
+    per-partition into decimal)."""
     f = float(10**scale)
     return (F.sum(F.round(c * f).cast("long")) / F.lit(f)).alias(alias)
 
@@ -1484,8 +1503,23 @@ def _sql_l2(a: str, b: str) -> str:
 )
 def ivf_ann_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
+    # the 8 query vectors double as the default centroid table (both
+    # are vec_id < 8); ONE cached collect feeds both control planes,
+    # so steady-state plan construction runs zero Spark jobs
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "__ivf_ctrl8")
+    rows = _CONTROL_CACHE.get(key)
+    if rows is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        rows = _CONTROL_CACHE[key] = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in e.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
     out = similarity.ivf_topk(
-        e, e.filter(F.col("vec_id") < 8), k=10, n_probe=2, n_centroids=8,
+        e, e.filter(F.col("vec_id") < 8), k=10, n_probe=2,
+        centroids=rows, probe_strategy="fused", query_rows=rows,
     )
     return out.select(
         "query_id",
@@ -2173,11 +2207,15 @@ def pii_redacted_docs(spark, sf_dir):
 )
 def quantized_embeddings(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        F.round(vectors.norm("embedding"), 6).alias("l2_norm"),
-        F.posexplode(vectors.quantize_int8("embedding")).alias("pos", "q8"),
-    ).select("vec_id", "l2_norm", F.col("pos").cast("long").alias("pos"), "q8")
+    return (
+        e.select("vec_id", vectors.quantize_int8_arrow("embedding").alias("s"))
+        .select(
+            "vec_id",
+            F.round(F.col("s.l2_norm"), 6).alias("l2_norm"),
+            F.posexplode("s.q8").alias("pos", "q8"),
+        )
+        .select("vec_id", "l2_norm", F.col("pos").cast("long").alias("pos"), "q8")
+    )
 
 
 @query(
