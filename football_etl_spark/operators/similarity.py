@@ -18,6 +18,8 @@ JVM-side, no Python UDF in the scan path.
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -132,6 +134,30 @@ def lsh_bucket(
     return df.withColumn("__bucket", _bucket(F.col(vec_col)))
 
 
+def _literal_rows_df(spark, rows: list[dict], schema: str) -> DataFrame:
+    """A tiny driver-held relation as a pure-JVM literal plan:
+    explode(array(struct(...))) over range(1). ``createDataFrame``
+    would wrap the rows in a Python RDD (``applySchemaToPythonRDD``)
+    whose every execution launches a Python worker to emit them —
+    ~0.2-0.3s per run for 8 rows; the literal plan evaluates inside
+    the JVM for free. Only for control-plane-sized data: every value
+    becomes an expression-tree literal."""
+    pairs = [f.split(":", 1) for f in schema.split(",")]
+    fields = [(n.strip(), t.strip()) for n, t in pairs]
+
+    def lit_of(v, typ):
+        if isinstance(v, list):
+            return F.array(*[F.lit(x) for x in v]).cast(typ)
+        return F.lit(v).cast(typ)
+
+    entries = [
+        F.struct(*[lit_of(r[name], typ).alias(name) for name, typ in fields])
+        for r in rows
+    ]
+    base = spark.range(1).select(F.explode(F.array(*entries)).alias("__r"))
+    return base.select(*[F.col(f"__r.{name}").alias(name) for name, _ in fields])
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,21 +168,49 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     exclude_self: bool = True,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
     are scored. With 2^n_planes buckets the candidate set shrinks
     ~2^n_planes×; recall is tunable via n_planes (fewer planes →
-    bigger buckets → higher recall)."""
+    bigger buckets → higher recall).
+
+    ``query_rows`` (precollected (id, vector) rows) switches the query
+    side to a driver-built local relation — bucket + norm computed in
+    one numpy pass — removing the query-side Arrow stage entirely.
+    Right only for a broadcast-sized query set (it broadcasts into the
+    bucket join anyway); measured at sf0.1 |Q|=8: 0.82s → 0.55s."""
     planes = _hyperplanes(dim, n_planes, seed)
-    qb = lsh_bucket(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            norm(vec_col).alias("__qn"),
-        ),
-        "__qv",
-        planes,
-    )
+    if query_rows is not None:
+        P = np.asarray([[float(x) for x in p] for p in planes], dtype=np.float64)
+        weights = np.int64(1) << np.arange(P.shape[0], dtype=np.int64)
+        local = []
+        for r in query_rows:
+            qv = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+            bucket = int((((P @ qv) > 0.0) @ weights))
+            local.append(
+                {
+                    "query_id": int(r[0]),
+                    "__qv": qv.tolist(),
+                    "__qn": float(np.sqrt((qv * qv).sum())),
+                    "__bucket": bucket,
+                }
+            )
+        qb = _literal_rows_df(
+            queries.sparkSession,
+            local,
+            "query_id: long, __qv: array<double>, __qn: double, __bucket: long",
+        )
+    else:
+        qb = lsh_bucket(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                norm(vec_col).alias("__qn"),
+            ),
+            "__qv",
+            planes,
+        )
     cb = lsh_bucket(
         ensure_min_partitions(corpus.select(id_col, vec_col)).select(
             F.col(id_col).alias("neighbor_id"),
@@ -165,6 +219,18 @@ def lsh_topk(
         ),
         "__cv",
         planes,
+    )
+    # observe() audit boundary = single-evaluation pin (the ingest
+    # module's from_json trick): the inner join infers
+    # IsNotNull(__bucket) and PushDownPredicates would push it through
+    # the repartition Exchange by DUPLICATING the Arrow bucket UDF
+    # below it — the whole corpus hashed twice (measured: 2×
+    # ArrowEvalPython in the physical plan, ~0.4s extra at sf0.1).
+    # Predicates cannot cross a CollectMetrics node, and the bucketed-
+    # corpus count is a legitimate index-build metric anyway.
+    cb = cb.observe(
+        f"lsh_bucketed_corpus_{uuid.uuid4().hex[:12]}",
+        F.count(F.lit(1)).alias("n_corpus_bucketed"),
     )
     pairs = F.broadcast(qb).join(cb, "__bucket")
     if exclude_self:
@@ -251,6 +317,11 @@ def lsh_topk_banded(
     identical to the MinHash-LSH banding join (operators/dedup.py),
     never a cross product; duplicate candidates from multi-band hits
     collapse in the rank window's input via distinct."""
+    # the observe() nodes are single-evaluation pins (see lsh_topk):
+    # without them the equi-join's inferred IsNotNull(band/bkt)
+    # predicates push below each side's repartition Exchange by
+    # duplicating the Arrow band-code UDF — 4 ArrowEvalPython nodes in
+    # the physical plan instead of 2, every vector hashed twice
     qb = lsh_band_buckets(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -258,6 +329,9 @@ def lsh_topk_banded(
             norm(vec_col).alias("__qn"),
         ),
         "__qv", dim, n_bands, planes_per_band, seed,
+    ).observe(
+        f"lsh_banded_queries_{uuid.uuid4().hex[:12]}",
+        F.count(F.lit(1)).alias("n_queries_banded"),
     ).select(
         "query_id", "__qv", "__qn",
         F.posexplode("__bands").alias("band", "bkt"),
@@ -267,6 +341,9 @@ def lsh_topk_banded(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         ),
         "__cv", dim, n_bands, planes_per_band, seed,
+    ).observe(
+        f"lsh_banded_corpus_{uuid.uuid4().hex[:12]}",
+        F.count(F.lit(1)).alias("n_corpus_banded"),
     ).select("neighbor_id", F.posexplode("__bands").alias("band", "bkt"))
 
     cand = (
@@ -617,10 +694,18 @@ def ivf_topk(
             for i, r in enumerate(q_rows):
                 qv = [float(x) for x in r[1]]
                 for cid in ids[order[i]]:
-                    probe_rows.append((int(r[0]), qv, float(qns[i]), int(cid)))
-        probes = queries.sparkSession.createDataFrame(
+                    probe_rows.append(
+                        {
+                            "query_id": int(r[0]),
+                            "__qv": qv,
+                            "__qn": float(qns[i]),
+                            "cid": int(cid),
+                        }
+                    )
+        probes = _literal_rows_df(
+            queries.sparkSession,
             probe_rows,
-            schema="query_id long, __qv array<double>, __qn double, cid long",
+            "query_id: long, __qv: array<double>, __qn: double, cid: long",
         )
     elif probe_strategy == "arrow":
 
