@@ -37,7 +37,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif isinstance(df.schema[c].dataType, TimestampNTZType):
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # tz-FREE normalization: micros since the NTZ epoch via
+            # timestampdiff (pure wall-clock arithmetic), then
+            # timestamp_micros — the same path as the nanos branch. A
+            # plain cast('timestamp') would interpret the wall-clock
+            # in the SESSION timezone, silently shifting events.ts
+            # under a non-UTC driver session (the driver contract runs
+            # a stock session in the machine tz) relative to both the
+            # nanos branch and the DuckDB oracle.
+            micros = F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)"
+            )
+            df = df.withColumn(c, F.timestamp_micros(micros))
     return df
 
 

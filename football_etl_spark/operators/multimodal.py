@@ -5,14 +5,17 @@ with typed metadata structs, Arrow-batched ``mapInPandas`` operators
 with explicit output schemas, and partitioning that keeps large blobs
 from skewing tasks.
 
-Decoding is REAL for NetPBM grayscale images (PGM "P5"): the default
-decoder parses the binary header and pixel plane with nothing but the
-stdlib — ``render_pgm_payload`` produces genuine P5 images entirely
-JVM-side, so the whole encode→decode loop is exercised on real bytes
-without any media library in the container. Payloads in formats that
-DO need an external codec (JPEG/WAV/MP4 …) fall back to a clearly
-documented deterministic digest stub — swap ``decoder=`` for
-PIL/torchaudio/pyav in production; the Arrow plumbing is identical.
+Decoding is REAL for two formats: NetPBM grayscale (PGM "P5", text
+header) and 8-bit grayscale Windows BMP (little-endian binary header
++ palette) — the default decoder parses header and pixel plane with
+nothing but the stdlib, and ``render_pgm_payload`` /
+``render_bmp_payload`` produce genuine images entirely JVM-side, so
+the whole encode→decode loop is exercised on real bytes in two
+independent container layouts without any media library. Payloads in
+formats that DO need an external codec (JPEG/WAV/MP4 …) fall back to
+a clearly documented deterministic digest stub — swap ``decoder=``
+for PIL/torchaudio/pyav in production; the Arrow plumbing is
+identical.
 """
 
 from __future__ import annotations
@@ -74,6 +77,16 @@ def attach_binary_payload(df: DataFrame, id_col: str, source_col: str, mime: str
 # supported pixel-plane length (≤ 31·31 bytes) is a plain substring.
 _RAMP_HEX = "".join(f"{b:02X}" for b in range(256)) * 5
 
+# render_pgm_payload's substring trick silently truncates (and every
+# decode then raises "unsupported PGM variant") if the ramp is ever
+# shorter than the worst case: seed offset (≤255) + the 31·31 max
+# pixel plane the 8 + n%24 sizing can produce. Prove coverage here so
+# widening the dimension formula without growing the ramp cannot ship.
+_MAX_SEED, _MAX_W, _MAX_H = 255, 31, 31
+assert len(_RAMP_HEX) >= (_MAX_SEED + _MAX_W * _MAX_H) * 2, (
+    "_RAMP_HEX no longer covers seed_max + w_max*h_max pixels"
+)
+
 
 def render_pgm_payload(df: DataFrame, id_col: str, source_col: str) -> DataFrame:
     """Render a REAL binary NetPBM grayscale image (PGM "P5") per row,
@@ -117,17 +130,100 @@ def render_pgm_payload(df: DataFrame, id_col: str, source_col: str) -> DataFrame
     )
 
 
+# 8-bit grayscale BMP palette: 256 BGRA entries (i, i, i, 0) — a
+# constant, like the ramp.
+_BMP_PALETTE_HEX = "".join(f"{i:02X}{i:02X}{i:02X}00" for i in range(256))
+_BMP_PIXEL_OFFSET = 14 + 40 + 256 * 4  # file header + DIB + palette
+
+
+def _le_hex(v, n_bytes: int):
+    """Little-endian hex rendering of an int column, ``n_bytes`` wide —
+    how BMP headers store every integer field."""
+    parts = [
+        F.format_string("%02X", F.shiftright(v.cast("int"), 8 * i).bitwiseAND(F.lit(255)))
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def render_bmp_payload(df: DataFrame, id_col: str, source_col: str) -> DataFrame:
+    """Render a REAL 8-bit grayscale Windows BMP per row, JVM-side —
+    the second genuine decoder format (PGM is text-headered; BMP is a
+    little-endian binary-headered container with a palette), proving
+    the multimodal contract generalizes beyond one format.
+
+    Layout: 14-byte file header ('BM', file size LE32, pixel-data
+    offset), 40-byte BITMAPINFOHEADER (w, h, 1 plane, 8 bpp,
+    BI_RGB), the constant 256-entry grayscale BGRA palette, then the
+    pixel plane. Width is forced to a multiple of 4 (w = 8 + 4*(len%6))
+    so the BMP row stride equals w — no per-row padding — and the
+    whole plane is ONE ramp substring + unhex like the PGM path
+    (px[i] = (seed + i) mod 256, seed = id mod 256, stored order).
+    Height reuses the PGM formula (8 + 3*len % 24)."""
+    n = F.length(F.col(source_col))
+    w = (F.lit(8) + (n % 6) * 4).cast("int")
+    h = (F.lit(8) + (n * 3) % 24).cast("int")
+    seed = (F.col(id_col).cast("long") % 256).cast("int")
+    npx = w * h
+    file_size = F.lit(_BMP_PIXEL_OFFSET) + npx
+    header_hex = F.concat(
+        F.lit("424D"),                      # 'BM'
+        _le_hex(file_size, 4),
+        F.lit("00000000"),                  # reserved
+        _le_hex(F.lit(_BMP_PIXEL_OFFSET), 4),
+        _le_hex(F.lit(40), 4),              # DIB header size
+        _le_hex(w, 4),
+        _le_hex(h, 4),
+        _le_hex(F.lit(1), 2),               # color planes
+        _le_hex(F.lit(8), 2),               # bits per pixel
+        F.lit("00000000"),                  # BI_RGB
+        _le_hex(npx, 4),                    # image size
+        F.lit("00000000" * 2),              # x/y pixels-per-meter
+        _le_hex(F.lit(256), 4),             # palette colors
+        F.lit("00000000"),                  # important colors
+        F.lit(_BMP_PALETTE_HEX),
+    )
+    px_hex = F.substring(F.lit(_RAMP_HEX), seed * 2 + 1, npx * 2)
+    payload = F.unhex(F.concat(header_hex, px_hex))
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Default decoder. Binary PGM ("P5") payloads are decoded for
-    REAL — stdlib header parse + pixel plane: width/height from the
-    header, n_frames = 1 + px[0] mod 8 (treating the ramp phase as a
-    frame-count surrogate), features = first 8 pixels / 255. Other
-    formats fall back to a deterministic digest stub (no media codecs
-    in this container); raises on None like a real decoder would on
-    corrupt input."""
+    """Default decoder. Binary PGM ("P5") and 8-bit grayscale BMP
+    ("BM") payloads are decoded for REAL — stdlib header parse +
+    pixel plane: width/height from the header, n_frames = 1 + px[0]
+    mod 8 (treating the ramp phase as a frame-count surrogate),
+    features = first 8 pixels / 255. Other formats fall back to a
+    deterministic digest stub (no media codecs in this container);
+    raises on None like a real decoder would on corrupt input."""
     if payload is None:
         raise NotImplementedError("corrupt/absent payload — real decoder required")
     b = bytes(payload)
+    if b[:2] == b"BM":
+        import struct
+
+        if len(b) < 54:
+            raise NotImplementedError("truncated BMP header")
+        offset = struct.unpack_from("<I", b, 10)[0]
+        width = struct.unpack_from("<i", b, 18)[0]
+        height = struct.unpack_from("<i", b, 22)[0]
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        px = b[offset:]
+        # stride == width requires width % 4 == 0 (our renderer
+        # guarantees it); other variants need row-padding logic
+        if bpp != 8 or width <= 0 or width % 4 or len(px) != width * height:
+            raise NotImplementedError("unsupported BMP variant")
+        n_frames = 1 + px[0] % 8
+        features = [x / 255.0 for x in px[:8]]
+        return width, height, n_frames, features
     if b[:2] == b"P5":
         import re
 
@@ -176,6 +272,19 @@ def decode_media(df: DataFrame, batch_size_hint: int = 256, decoder=None) -> Dat
             if payload is None:
                 raise NotImplementedError("corrupt/absent payload — real decoder required")
             b = bytes(payload)
+            if b[:2] == b"BM":
+                import struct as _st
+
+                if len(b) < 54:
+                    raise NotImplementedError("truncated BMP header")
+                off = _st.unpack_from("<I", b, 10)[0]
+                w = _st.unpack_from("<i", b, 18)[0]
+                h = _st.unpack_from("<i", b, 22)[0]
+                bpp = _st.unpack_from("<H", b, 28)[0]
+                px = b[off:]
+                if bpp != 8 or w <= 0 or w % 4 or len(px) != w * h:
+                    raise NotImplementedError("unsupported BMP variant")
+                return w, h, 1 + px[0] % 8, [x / 255.0 for x in px[:8]]
             if b[:2] == b"P5":
                 m = _re.match(
                     rb"^P5[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]", b

@@ -1618,6 +1618,44 @@ def multimodal_decode(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_decode_bmp",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(8 + (LENGTH(text) % 6) * 4 AS INT) AS width,
+           CAST(8 + (LENGTH(text) * 3) % 24 AS INT) AS height,
+           CAST(1 + (doc_id % 256) % 8 AS INT) AS n_frames,
+           CAST(({_PGM_PX8_SQL}) AS BIGINT) AS px8_sum,
+           CAST(14 + 40 + 1024 + (8 + (LENGTH(text) % 6) * 4) *
+                (8 + (LENGTH(text) * 3) % 24) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="second REAL decoder format: render_bmp_payload builds a "
+    "genuine 8-bit grayscale Windows BMP per document JVM-side "
+    "(little-endian binary header + 256-entry palette + ramp pixel "
+    "plane — a structurally different container from PGM's text "
+    "header), decode_media's stdlib BMP branch parses it back in the "
+    "same Arrow-batched mapInPandas. px8_sum recovers the first 8 "
+    "decoded pixels (shared ramp arithmetic with the PGM oracle); "
+    "n_bytes checks the full container layout byte count "
+    "(operators/multimodal.render_bmp_payload)",
+)
+def multimodal_decode_bmp(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.render_bmp_payload(d, "doc_id", "text")
+    decoded = multimodal.decode_media(media)
+    px8 = F.aggregate(
+        F.transform(F.slice("features", 1, 8), lambda x: F.round(x * 255).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sizes = media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
+    return decoded.join(sizes, "media_id").select(
+        "media_id", "width", "height", "n_frames",
+        px8.alias("px8_sum"), "n_bytes",
+    )
+
+
 # ===========================================================================
 # §2.4/§2.5/§2.6 surface extensions: rollup, lag deltas, intersect,
 # messy-ingest cleaning chain, approximate distinct
@@ -2725,7 +2763,10 @@ def grouped_zscore_spend(spark, sf_dir):
     oracle=None,
     doc="approx_count_distinct (HLL++) beside the exact count — the 100 TB "
     "cardinality path (SURVEY §2.4 'at scale also expose approx'); "
-    "approximate by construction → rows-only driver check",
+    "approximate by construction → rows-only driver check BY DESIGN, "
+    "guarded instead by tests/test_operators.py::"
+    "test_approx_count_distinct_within_documented_error (exact twin "
+    "in-row + relative-error bound)",
 )
 def approx_distinct_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -2745,8 +2786,10 @@ def approx_distinct_users(spark, sf_dir):
     "the re-rollup never touches raw events again, which is the 100 TB "
     "pre-aggregation pattern approx_count_distinct's internal partials "
     "can't give you (sketches here are persistable binary columns). "
-    "Estimate is algorithm-specific → rows-only driver check; "
-    "tests/test_operators.py bounds it against the exact distinct",
+    "Estimate is algorithm-specific → rows-only driver check BY "
+    "DESIGN, guarded instead by tests/test_operators.py::"
+    "test_hll_sketch_rollup_bounds_and_mergeability (merged estimate "
+    "within 2% of exact, and re-rollup == direct sketch)",
 )
 def hll_user_reach(spark, sf_dir):
     from ..operators import sketches
@@ -2764,7 +2807,9 @@ def hll_user_reach(spark, sf_dir):
     "t-digest role beside the exact `percentile` twin "
     "(percentile_order_value): at 100 TB the exact form full-sorts every "
     "group, the sketch form never shuffles raw values. Approximate by "
-    "construction → rows-only check; pytest bounds vs exact",
+    "construction → rows-only driver check BY DESIGN, guarded instead "
+    "by tests/test_operators.py::test_approx_percentiles_close_to_exact "
+    "(sketch quantiles within documented accuracy of the exact sort)",
 )
 def approx_order_percentiles(spark, sf_dir):
     from ..operators import sketches

@@ -130,3 +130,38 @@ def test_write_parquet_observed_collects_metrics_in_one_pass(spark, tmp_path):
     )
     assert got == {"n_rows": 3, "n_null_v": 1, "sum_v": 12.5}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_load_table_ntz_normalization_is_session_tz_independent(spark, tmp_path):
+    """Some driver testdata generations store events.ts as plain µs
+    TIMESTAMP_NTZ (no nanos). The loader must map the wall-clock to
+    the SAME instant regardless of spark.sql.session.timeZone — the
+    driver contract runs a stock session in the machine timezone, and
+    a cast('timestamp') there would silently shift ts relative to the
+    nanos branch and the DuckDB oracle."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from football_etl_spark.io.loader import load_table
+
+    d = str(tmp_path)
+    duckdb.sql(
+        "COPY (SELECT 1::BIGINT AS event_id, "
+        "TIMESTAMP '2024-03-01 12:34:56.789' AS ts) "
+        f"TO '{d}/events.parquet'"
+    )
+    expect = duckdb.sql(
+        "SELECT EPOCH_US(TIMESTAMP '2024-03-01 12:34:56.789')"
+    ).fetchone()[0]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = (
+                load_table(spark, d, "events")
+                .select(F.unix_micros("ts").alias("us"))
+                .collect()[0]["us"]
+            )
+            assert got == expect, f"ts shifted under session tz {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -241,6 +241,46 @@ def test_pgm_render_decode_round_trip(spark):
         assert got_px == [(seed + i) % 256 for i in range(8)]
 
 
+def test_bmp_render_decode_round_trip(spark):
+    """render_bmp_payload emits a REAL 8-bit grayscale BMP; verify the
+    container byte-for-byte against an independent pure-Python
+    construction (struct-packed little-endian headers + BGRA palette),
+    then decode_media's stdlib BMP branch must recover dimensions and
+    the ramp pixels."""
+    import struct
+
+    docs = spark.createDataFrame(
+        [(3, "hello"), (260, "a longer document body"), (7, "x" * 50)],
+        ["doc_id", "text"],
+    )
+    media = multimodal.render_bmp_payload(docs, "doc_id", "text")
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    for did, text in [(3, "hello"), (260, "a longer document body"), (7, "x" * 50)]:
+        w = 8 + (len(text) % 6) * 4
+        h = 8 + (len(text) * 3) % 24
+        seed = did % 256
+        offset = 14 + 40 + 1024
+        plane = bytes((seed + i) % 256 for i in range(w * h))
+        expect = (
+            b"BM"
+            + struct.pack("<IIII", offset + w * h, 0, offset, 40)
+            + struct.pack("<iiHHIIIIII", w, h, 1, 8, 0, w * h, 0, 0, 256, 0)
+            + palette
+            + plane
+        )
+        assert raw[did] == expect  # byte-exact standard BMP
+    decoded = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    for did, text in [(3, "hello"), (260, "a longer document body")]:
+        seed = did % 256
+        r = decoded[did]
+        assert r["width"] == 8 + (len(text) % 6) * 4
+        assert r["height"] == 8 + (len(text) * 3) % 24
+        assert r["n_frames"] == 1 + seed % 8
+        got_px = [round(f * 255) for f in r["features"]]
+        assert got_px == [(seed + i) % 256 for i in range(8)]
+
+
 # ---------------------------------------------------------------- sampling
 
 
@@ -559,3 +599,23 @@ def test_rate_mixture_rates_and_determinism(spark):
     # unknown strata are dropped
     df2 = df.withColumn("grp", F.lit("unlisted"))
     assert sampling.rate_mixture(df2, "grp", rates, F.col("id")).count() == 0
+
+
+def test_approx_count_distinct_within_documented_error(spark):
+    """Guards the rows-only registry entry approx_distinct_users: the
+    HLL++ estimate must sit within a generous multiple of the default
+    5% relative standard deviation of the exact distinct computed in
+    the same row (small groups run in HLL++'s near-exact sparse mode,
+    so 3x rsd is conservative)."""
+    from football_etl_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    rows = REGISTRY["approx_distinct_users"].fn(spark, SF_ORACLE).collect()
+    assert rows, "entry returned no groups"
+    for r in rows:
+        exact = r["exact_users"]
+        approx = r["approx_users"]
+        assert exact > 0
+        assert abs(approx - exact) <= max(2, 0.15 * exact), (
+            f"{r['event_type']}: approx={approx} exact={exact}"
+        )
