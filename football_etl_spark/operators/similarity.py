@@ -803,3 +803,167 @@ def label_centroids_long(
     return per.join(F.broadcast(counts), label_col).select(
         label_col, F.col("pos").cast("long").alias("pos"), "c", "n_vectors"
     )
+
+
+def _nearest_cell_col(vec_col: str, cent_pairs: list[tuple[int, list[float]]]) -> Column:
+    """struct<cid, d2> of the nearest centroid for every row, as ONE
+    Arrow-batched kernel: a (batch x K x D) float64 distance tensor per
+    Arrow batch — the Faiss assignment shape — with argmin over
+    cid-sorted centroids so distance ties break toward the lower cid
+    (np.argmin returns the first minimum). The centroid table is a
+    dimension-table-sized closure constant (K*D floats), exactly what
+    broadcast would ship anyway, so the kernel is embarrassingly
+    parallel at any corpus size."""
+    pairs = sorted((int(c), [float(x) for x in v]) for c, v in cent_pairs)
+    cid_list = [c for c, _ in pairs]
+    cv_list = [v for _, v in pairs]
+
+    @F.pandas_udf("struct<cid: long, d2: double>")
+    def _assign(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.DataFrame({"cid": [], "d2": []})
+        C = np.asarray(cv_list, dtype=np.float64)
+        ids = np.asarray(cid_list, dtype=np.int64)
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"cid": ids[best], "d2": d2[np.arange(len(M)), best]}
+        )
+
+    return _assign(vec_col)
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    init_pairs: list[tuple[int, list[float]]],
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's iterations, Spark-native: each round is
+    (1) one Arrow assignment pass against the current centroid
+    literals, (2) a posexplode + groupBy(cid, pos) average — the same
+    D-wide shuffle key as ``label_centroids_long``, so a hot cluster
+    never pins a single reducer — and (3) a K*D-row collect of the new
+    centroids (control plane: K*D is dimension-sized, the same table a
+    broadcast join would ship). Centroids are rounded to ``round_to``
+    decimals every update so the whole trajectory is reproducible
+    across engines and summation orders; clusters that lose all
+    members drop out (standard Lloyd's on fixed data — deterministic,
+    and any SQL mirror reproduces it by construction).
+
+    This is the trainer behind ``ivf_topk``'s pluggable centroid
+    table: at 100 TB each iteration is one map pass + one (cid, pos)
+    shuffle of K*D cells, and the driver only ever holds K*D floats."""
+    cent = sorted((int(c), [float(x) for x in v]) for c, v in init_pairs)
+    for _ in range(int(n_iter)):
+        assigned = corpus.select(
+            _nearest_cell_col(vec_col, cent)["cid"].alias("cid"),
+            F.col(vec_col).alias("__v"),
+        )
+        per = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), round_to).alias("c"))
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in per.collect():
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["c"])
+        cent = [
+            (cid, [comp[p] for p in range(len(comp))])
+            for cid, comp in sorted(by_cid.items())
+        ]
+    return cent
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Final cluster assignment under a fixed centroid table:
+    (id, cid, d2) with d2 rounded for cross-engine reproducibility.
+    One map-only Arrow pass — no shuffle, no join."""
+    a = _nearest_cell_col(vec_col, centroids)
+    return corpus.select(
+        F.col(id_col),
+        a["cid"].alias("cid"),
+        F.round(a["d2"], round_to).alias("d2"),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus with a coarse centroid
+    table, then look for near-duplicate pairs ONLY within a cluster —
+    the cluster id turns the quadratic all-pairs scan into a
+    per-cell equi-join, the same blowup-kill as MinHash banding but
+    driven by embedding geometry instead of shingle hashes.
+
+    Within each cell every (i < j) pair with cosine >= ``threshold``
+    marks j as a duplicate of i; a duplicate row records its canonical
+    (lowest-id) twin. Output is one row per vector:
+    (id, cid, kept, canonical_id) — kept=false rows are the ones a
+    training pipeline drops. Deterministic: ties and chains resolve by
+    MIN id, no randomness.
+
+    The per-cell pair scan is ONE normalized matmul per cell
+    (applyInPandas grouped-map): the corpus crosses the Arrow boundary
+    once — N*D floats, not N²/cells pair rows — and the cell's cosine
+    matrix is a single BLAS call, the exact kernel shape the SemDeDup
+    paper runs per cluster. The interpreted-HOF alternative (pair
+    equi-join + zip_with cosine per pair) does K*(N/K)²*D lambda ops
+    and loses by orders of magnitude at corpus scale.
+
+    At 100 TB: assignment is the map-only Arrow pass above; the pair
+    scan shuffles on cid so each cell lands on one worker; cell sizes
+    are bounded by the centroid count chosen at train time (size K so
+    cells fit a worker's matmul budget, and cap a runaway cell the
+    same way ngram_jaccard_pairs_capped caps hot shingles)."""
+    a = _nearest_cell_col(vec_col, centroids)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        a["cid"].alias("cid"),
+    )
+    thr = float(threshold)
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+        n = np.sqrt((M * M).sum(axis=1))
+        denom = n[:, None] * n[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (M @ M.T) / denom, 0.0)
+        ii, jj = np.nonzero(np.triu(cos >= thr, k=1))
+        return pd.DataFrame({"i": ids[ii], "j": ids[jj]})
+
+    pairs = assigned.groupBy("cid").applyInPandas(_cell_pairs, "i long, j long")
+    dropped = pairs.groupBy("j").agg(F.min("i").alias("canonical_id"))
+    return (
+        assigned.join(F.broadcast(dropped), assigned.vec_id == dropped.j, "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("j").isNull().alias("kept"),
+            "canonical_id",
+        )
+    )

@@ -3698,6 +3698,114 @@ def json_round_trip_documents(spark, sf_dir):
     return spark.read.schema(schema).json(path)
 
 
+def _sql_kmeans_assign(vtab: str, ctab: str) -> str:
+    """DuckDB mirror of similarity.kmeans_assign over the long-form
+    (vec_id, pos, x) / (cid, pos, c) views: squared-L2 per (vec, cid)
+    via a pos-join SUM, nearest cid with ties toward the lower cid —
+    the same ordering the Arrow kernel's first-minimum argmin gives."""
+    return f"""
+      SELECT vec_id, cid, d2 FROM (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+        FROM {vtab} v JOIN {ctab} c ON v.pos = c.pos
+        GROUP BY v.vec_id, c.cid)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, cid ASC) = 1"""
+
+
+def _kmeans_cent(spark: SparkSession, sf_dir: str) -> list:
+    """Final 2-iteration Lloyd's centroids, cached per (session, sf):
+    training runs two assignment+update passes (Spark jobs) the FIRST
+    time a kmeans-family plan is built, then every rebuild reuses the
+    K*D-float control plane — same rationale as _q8_rows."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "__kmeans_cent")
+    cent = _CONTROL_CACHE.get(key)
+    if cent is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        e = _t(spark, sf_dir, "embeddings")
+        cent = _CONTROL_CACHE[key] = similarity.kmeans_fit(
+            e, _q8_rows(spark, sf_dir, e), n_iter=2
+        )
+    return cent
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i)
+    ),
+    c0 AS (SELECT vec_id AS cid, pos, x AS c FROM v WHERE vec_id < 8),
+    a0 AS ({_sql_kmeans_assign('v', 'c0')}),
+    c1 AS (
+      SELECT cid, pos, ROUND(AVG(x), 6) AS c
+      FROM a0 JOIN v USING (vec_id) GROUP BY cid, pos
+    ),
+    a1 AS ({_sql_kmeans_assign('v', 'c1')}),
+    c2 AS (
+      SELECT cid, pos, ROUND(AVG(x), 6) AS c
+      FROM a1 JOIN v USING (vec_id) GROUP BY cid, pos
+    ),
+    fin AS ({_sql_kmeans_assign('v', 'c2')})
+    SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM fin
+    """,
+    doc="K-MEANS clustering over the embedding corpus — deterministic "
+    "2-iteration Lloyd's (operators/similarity.kmeans_fit): fixed "
+    "first-8 init, centroids re-averaged via the (cid, pos) wide-key "
+    "shuffle (D× parallelism, label_centroids' shape) and rounded to "
+    "6dp each update so the trajectory reproduces across engines; "
+    "final assignment is one map-only Arrow pass emitting "
+    "(vec_id, cid, d2). The trained centroids feed ivf_topk's "
+    "pluggable centroid table — this is the IVF training stage a "
+    "production ANN index runs, expressed as 2 scans + 2 K*D-cell "
+    "shuffles per iteration with only K*D floats ever on the driver",
+)
+def kmeans_embedding_clusters(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(e, _kmeans_cent(spark, sf_dir))
+
+
+@query(
+    "semantic_dedup_docs",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                  FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, cid
+      FROM embeddings e, cent
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {_sql_l2('e.embedding', 'cv')} ASC,
+                                          cid ASC) = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    ),
+    dropped AS (SELECT j, MIN(i) AS canonical_id FROM pairs GROUP BY j)
+    SELECT a.vec_id, a.cid, d.j IS NULL AS kept, d.canonical_id
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.j
+    """,
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:"
+    "2303.09540) — the embedding-space near-dup pass a web-scale "
+    "training pipeline runs AFTER lexical dedup: coarse-cluster the "
+    "corpus (fixed first-8 centroid table, one map-only Arrow "
+    "assignment), then find cosine>=0.35 duplicate pairs ONLY within "
+    "a cell via ONE normalized matmul per cell (applyInPandas — the "
+    "corpus crosses Arrow once as N*D floats, never as pair rows), "
+    "mark each duplicate with its lowest-id canonical twin. "
+    "(vec_id, cid, kept, canonical_id); kept=false rows are what the "
+    "pipeline drops. Cluster-id equi-shuffle kills the d² all-pairs "
+    "blowup the same way MinHash banding does "
+    "(operators/similarity.semantic_dedup)",
+)
+def semantic_dedup_docs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, _q8_rows(spark, sf_dir, e), threshold=0.35)
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

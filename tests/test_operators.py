@@ -619,3 +619,63 @@ def test_approx_count_distinct_within_documented_error(spark):
         assert abs(approx - exact) <= max(2, 0.15 * exact), (
             f"{r['event_type']}: approx={approx} exact={exact}"
         )
+
+
+def test_kmeans_fit_decreases_inertia_and_is_deterministic(spark):
+    """Lloyd's invariant: total within-cluster squared distance is
+    non-increasing across iterations; fixed init + fixed iteration
+    count must reproduce the exact same centroids on every run."""
+    from football_etl_spark.operators import similarity
+    from football_etl_spark.plans.queries import _q8_rows, _t
+    from tests.conftest import SF_ORACLE
+
+    e = _t(spark, SF_ORACLE, "embeddings")
+    init = _q8_rows(spark, SF_ORACLE, e)
+
+    def inertia(cent):
+        rows = similarity.kmeans_assign(e, cent).collect()
+        return sum(r["d2"] for r in rows)
+
+    i0 = inertia(init)
+    c1 = similarity.kmeans_fit(e, init, n_iter=1)
+    i1 = inertia(c1)
+    c2 = similarity.kmeans_fit(e, init, n_iter=2)
+    i2 = inertia(c2)
+    # rounding to 6dp perturbs each update by <=5e-7 per component,
+    # so allow a hair of slack on the monotonicity check
+    assert i1 <= i0 + 1e-3, (i0, i1)
+    assert i2 <= i1 + 1e-3, (i1, i2)
+    assert similarity.kmeans_fit(e, init, n_iter=2) == c2  # deterministic
+
+
+def test_semantic_dedup_marks_known_pairs(spark):
+    """kept=false rows must each name a lower-id canonical in the same
+    cell whose cosine clears the threshold; kept=true rows have no
+    canonical; the kept set must be a strict subset of the corpus."""
+    from football_etl_spark.operators import similarity
+    from football_etl_spark.plans.queries import _q8_rows, _t
+    from tests.conftest import SF_ORACLE
+
+    e = _t(spark, SF_ORACLE, "embeddings")
+    out = similarity.semantic_dedup(e, _q8_rows(spark, SF_ORACLE, e), threshold=0.35)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    dropped = [r for r in rows if not r["kept"]]
+    assert dropped, "sf0.01 plants near-dups; none found"
+    cid_of = {r["vec_id"]: r["cid"] for r in rows}
+    for r in dropped:
+        assert r["canonical_id"] is not None and r["canonical_id"] < r["vec_id"]
+        assert cid_of[r["canonical_id"]] == r["cid"], "canonical in another cell"
+    # spot-verify the cosine claim for the first dropped pair
+    d0 = dropped[0]
+    pair = {d0["vec_id"], d0["canonical_id"]}
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in e.filter(F.col("vec_id").isin(list(pair))).collect()
+    }
+    import numpy as np
+
+    a = np.asarray(vecs[d0["vec_id"]], dtype=np.float64)
+    b = np.asarray(vecs[d0["canonical_id"]], dtype=np.float64)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos >= 0.35 - 1e-9, cos
