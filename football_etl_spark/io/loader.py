@@ -95,3 +95,11 @@ def read_json(spark: SparkSession, path: str, table) -> DataFrame:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the third columnar interchange format next to
+    parquet and CSV/JSON. ORC files carry their own schema (and
+    column statistics usable for predicate pushdown), so no declared
+    StructType is needed; pairs with sinks.write_orc."""
+    return spark.read.orc(path)

@@ -127,3 +127,14 @@ def write_parquet_observed(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return dict(obs.get)
+
+
+def write_orc(
+    df: DataFrame, path: str, columns: tuple[str, ...] = (), mode: str = "overwrite"
+) -> None:
+    """ORC sink (JVM-native, no extra package): columnar with min/max
+    stripe statistics — like parquet, filters push down into the scan
+    on re-read. Fixed column projection as in write_csv."""
+    if columns:
+        df = df.select(*columns)
+    df.write.mode(mode).orc(path)

@@ -3698,6 +3698,37 @@ def json_round_trip_documents(spark, sf_dir):
     return spark.read.schema(schema).json(path)
 
 
+@query(
+    "orc_round_trip_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    """,
+    doc="ORC round trip (§2.1 source/sink family, third columnar "
+    "format next to parquet and CSV/JSON): project lineitem, write "
+    "through sinks.write_orc, re-read with io.loader.read_orc (ORC "
+    "files carry their own schema + stripe min/max stats, so the "
+    "re-read scan supports pushdown like parquet), return the "
+    "round-tripped rows; hash-equal against the source table proves "
+    "the binary-columnar write/scan cycle is lossless incl. "
+    "timestamps (UTC-pinned session; same-session ORC ts round-trip "
+    "is tz-stable by construction)",
+)
+def orc_round_trip_lineitem(spark, sf_dir):
+    # eager-write + deterministic temp path: see csv_round_trip_orders
+    import os
+    import tempfile
+
+    from ..io import loader, sinks
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    path = f"{tempfile.gettempdir()}/fes_orcrt_{os.getpid()}/lineitem_orc"
+    sinks.write_orc(li, path)
+    return loader.read_orc(spark, path)
+
+
 def _sql_kmeans_assign(vtab: str, ctab: str) -> str:
     """DuckDB mirror of similarity.kmeans_assign over the long-form
     (vec_id, pos, x) / (cid, pos, c) views: squared-L2 per (vec, cid)

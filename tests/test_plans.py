@@ -23,7 +23,11 @@ def plan_str(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
-    return buf.getvalue()
+    plan = buf.getvalue()
+    # A plan-cached DataFrame another test already EXECUTED explains as
+    # AQE's final plan PLUS the "== Initial Plan ==" echo — every
+    # operator would be counted twice. Assert against the final plan.
+    return plan.split("== Initial Plan ==")[0]
 
 
 def test_flagship_broadcasts_all_dimensions(spark):
