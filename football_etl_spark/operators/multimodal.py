@@ -24,7 +24,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -323,27 +323,43 @@ def decode_media(df: DataFrame, batch_size_hint: int = 256, decoder=None) -> Dat
     return df.select("media_id", "payload").mapInPandas(op, DECODED_SCHEMA)
 
 
+def sampled_frame_indices(every_n: int = 2) -> Column:
+    """Sampled frame indices as an ARRAY column over n_frames — the
+    shared core of sample_frames. Exposed as a column so a consumer
+    that only needs per-row facts (count of sampled frames, membership
+    tests) composes it into ONE decode pass instead of re-aggregating
+    an exploded relation — re-referencing a mapInPandas relation in a
+    self-join re-RUNS the Python decode stage per reference."""
+    return F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+
+
+def resized_features(out_dim: int = 4) -> Column:
+    """'Resize' stand-in as a column: truncate/renormalize the feature
+    vector with array expressions (slice + transform) — the real
+    resize happens in the decoder; this demonstrates post-decode
+    vector surgery JVM-side. Shared core of resize_features."""
+    return F.transform(
+        F.slice(F.col("features"), 1, out_dim), lambda x: x.cast("float")
+    )
+
+
 def sample_frames(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling over decoded video metadata — pure column ops:
-    frame indices materialize as an array, exploded to one row per
+    frame indices (sampled_frame_indices) exploded to one row per
     sampled frame (bounded by n_frames, no blob duplication)."""
     return (
         decoded.filter(F.col("n_frames").isNotNull())
         .select(
             "media_id",
-            F.explode(
-                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-            ).alias("frame_idx"),
+            F.explode(sampled_frame_indices(every_n)).alias("frame_idx"),
         )
     )
 
 
 def resize_features(decoded: DataFrame, out_dim: int = 4) -> DataFrame:
-    """'Resize' stand-in: truncate/renormalize the feature vector with
-    array expressions (slice + transform) — the real resize happens in
-    the decoder; this demonstrates post-decode vector surgery JVM-side."""
-    feats = F.slice(F.col("features"), 1, out_dim)
+    """Relation form of resized_features for pipeline consumers that
+    carry the resized vectors forward."""
     return decoded.filter(F.col("features").isNotNull()).select(
         "media_id",
-        F.transform(feats, lambda x: x.cast("float")).alias("features_resized"),
+        resized_features(out_dim).alias("features_resized"),
     )
