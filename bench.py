@@ -60,6 +60,15 @@ HEADLINE = [
     "purchase_prior_hour_activity",
     "benchmark_decontamination",
     "epoch_shuffle_positions",
+    # round 4 additions: k-means training + SemDeDup semantic dedup,
+    # plus the rest of the text-pipeline family (quality filter,
+    # language id, fingerprints) — previously only text_quality_stats
+    # and vocab_top_terms represented it
+    "kmeans_embedding_clusters",
+    "semantic_dedup_docs",
+    "gopher_quality_filter",
+    "lang_id_counts",
+    "doc_fingerprints",
 ]
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from .scale import ensure_min_partitions
+from .similarity import _literal_rows_df
 
 
 def chunk_documents(
@@ -181,10 +182,14 @@ def global_shuffle_index(
     )
     offsets, acc = [], 0
     for b, n in counts:
-        offsets.append((b, acc))
+        offsets.append({"__b": b, "__off": acc})
         acc += n
+    # JVM-literal relation, NOT createDataFrame: a Python-RDD-backed
+    # local relation re-launches a Python worker on EVERY execution of
+    # the plan (~0.2s/run for 256 rows); the literal plan evaluates
+    # JVM-side for free and the control plane is bucket-count-sized.
     off = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "__b string, __off long")
+        _literal_rows_df(df.sparkSession, offsets, "__b: string, __off: long")
     )
     w = Window.partitionBy("__b").orderBy(key, F.col(id_col))
     return (

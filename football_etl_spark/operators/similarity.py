@@ -941,7 +941,12 @@ def semantic_dedup(
     )
     thr = float(threshold)
 
-    def _cell_pairs(pdf):
+    def _cell_dedup(key, pdf):
+        # the whole verdict is decidable inside the cell, so emit the
+        # final per-vector rows here — one Arrow stage total. A
+        # pairs-then-join formulation re-references `assigned`, which
+        # re-RUNS the Arrow assignment kernel per reference (measured
+        # 0.67s vs 0.48s at sf0.1).
         import numpy as np
         import pandas as pd
 
@@ -953,17 +958,22 @@ def semantic_dedup(
         denom = n[:, None] * n[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom > 0, (M @ M.T) / denom, 0.0)
-        ii, jj = np.nonzero(np.triu(cos >= thr, k=1))
-        return pd.DataFrame({"i": ids[ii], "j": ids[jj]})
-
-    pairs = assigned.groupBy("cid").applyInPandas(_cell_pairs, "i long, j long")
-    dropped = pairs.groupBy("j").agg(F.min("i").alias("canonical_id"))
-    return (
-        assigned.join(F.broadcast(dropped), assigned.vec_id == dropped.j, "left")
-        .select(
-            "vec_id",
-            "cid",
-            F.col("j").isNull().alias("kept"),
-            "canonical_id",
+        dup = np.triu(cos >= thr, k=1)  # dup[i, j]: i < j near-identical
+        has_twin = dup.any(axis=0)
+        first_i = dup.argmax(axis=0)  # first True = lowest id (sorted)
+        canonical = pd.array(
+            [int(ids[first_i[j]]) if has_twin[j] else None for j in range(len(ids))],
+            dtype="Int64",
         )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cid": np.full(len(ids), key[0], dtype=np.int64),
+                "kept": ~has_twin,
+                "canonical_id": canonical,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        _cell_dedup, "vec_id long, cid long, kept boolean, canonical_id long"
     )

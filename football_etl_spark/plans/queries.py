@@ -590,7 +590,11 @@ def users_without_purchase(spark, sf_dir):
 )
 def part_type_contains(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
-    patterns = spark.createDataFrame([("eco",), ("promo",)], ["pattern"])
+    # JVM-literal dim (not createDataFrame: a Python-RDD local
+    # relation re-launches a Python worker per execution)
+    patterns = similarity._literal_rows_df(
+        spark, [{"pattern": "eco"}, {"pattern": "promo"}], "pattern: string"
+    )
     return joins.theta_contains_join(p, patterns, "p_type", "pattern").select(
         "p_partkey", "p_type"
     )
@@ -1962,14 +1966,15 @@ def reservoir_sample_docs(spark, sf_dir):
 )
 def event_category_lookup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_type")
-    dim = spark.createDataFrame(
+    dim = similarity._literal_rows_df(
+        spark,
         [
-            ("click", "engagement"),
-            ("view", "engagement"),
-            ("purchase", "revenue"),
-            ("login", "session"),
+            {"k": "click", "category": "engagement"},
+            {"k": "view", "category": "engagement"},
+            {"k": "purchase", "category": "revenue"},
+            {"k": "login", "category": "session"},
         ],
-        "k string, category string",
+        "k: string, category: string",
     )
     mapped = joins.lookup_join(
         ev, dim, key="event_type", dim_key="k", value_col="category"
