@@ -1345,6 +1345,54 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "retrieval_topk_docs",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cosine_sim
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             ROUND(cosine_sim, 6) AS cosine_sim
+      FROM scored
+      QUALIFY rank <= 5
+    )
+    SELECT t.query_id, t.neighbor_id AS doc_id, t.rank, t.cosine_sim,
+           d.lang, d.source, d.n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+    """,
+    doc="end-to-end RETRIEVAL: cosine top-5 per query vector joined "
+    "back to the documents table for the metadata a RAG consumer "
+    "needs (lang, source, n_chars). The |Q|*k-row hit list is the "
+    "BROADCAST side against the corpus-sized documents scan — at "
+    "100 TB the big table never shuffles to serve a retrieval; "
+    "1:1 vec_id↔doc_id is the testdata contract",
+)
+def retrieval_topk_docs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    hits = similarity.cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    d = _t(spark, sf_dir, "documents")
+    return (
+        F.broadcast(
+            hits.select(
+                "query_id",
+                F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("rank"),
+                F.round("cosine_sim", 6).alias("cosine_sim"),
+            )
+        )
+        .join(d.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select(
+            "query_id", "doc_id", "rank", "cosine_sim", "lang", "source", "n_chars"
+        )
+    )
+
+
+@query(
     "embedding_near_dups",
     oracle=f"""
     WITH b AS (SELECT vec_id, embedding,

@@ -26,8 +26,13 @@ def plan_str(df, mode: str = "formatted") -> str:
     plan = buf.getvalue()
     # A plan-cached DataFrame another test already EXECUTED explains as
     # AQE's final plan PLUS the "== Initial Plan ==" echo — every
-    # operator would be counted twice. Assert against the final plan.
-    return plan.split("== Initial Plan ==")[0]
+    # operator would be counted twice. Operator-COUNT assertions run on
+    # "simple" mode, where stripping the echo leaves the final plan.
+    # "formatted" assertions are membership checks on the per-node
+    # detail section, which prints AFTER the echo — keep it whole.
+    if mode == "simple":
+        return plan.split("== Initial Plan ==")[0]
+    return plan
 
 
 def test_flagship_broadcasts_all_dimensions(spark):
@@ -120,3 +125,41 @@ def test_nested_flatten_is_map_only(spark):
     assert "Join" not in plan, plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("from_json") == 1, opt
+
+
+def test_multimodal_decode_is_map_only_single_decode(spark):
+    """The multimodal decode query is one render→decode→project pass:
+    no join, no shuffle, exactly one mapInPandas (Python) stage — the
+    join-back formulation re-ran the decode 3×."""
+    plan = plan_str(REGISTRY["multimodal_decode"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """Final k-means assignment is one Arrow pass over the corpus —
+    no join, no shuffle, one Python evaluation (the K*D centroid
+    table rides the closure, not a join)."""
+    plan = plan_str(REGISTRY["kmeans_embedding_clusters"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    """SemDeDup = assignment pass + ONE shuffle on cid into the
+    per-cell matmul kernel; the verdicts come straight out of the
+    kernel (no join-back, which would re-run assignment)."""
+    plan = plan_str(REGISTRY["semantic_dedup_docs"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_epoch_shuffle_offsets_are_jvm_literal(spark):
+    """The 256-row cumulative-offset control plane must be a JVM
+    literal relation: a Python-RDD-backed createDataFrame local
+    relation re-launches a Python worker on every execution."""
+    plan = plan_str(REGISTRY["epoch_shuffle_positions"].fn(spark, SF_SMOKE), "simple")
+    assert "Scan ExistingRDD" not in plan, plan
