@@ -163,3 +163,13 @@ def test_epoch_shuffle_offsets_are_jvm_literal(spark):
     relation re-launches a Python worker on every execution."""
     plan = plan_str(REGISTRY["epoch_shuffle_positions"].fn(spark, SF_SMOKE), "simple")
     assert "Scan ExistingRDD" not in plan, plan
+
+
+def test_decontamination_is_map_only(spark):
+    """The closure-probe decontamination path plans no join and no
+    hash shuffle: per-doc counts are row-local facts, the eval suite
+    rides the Arrow kernel's closure (round-robin repartition for
+    parallelism over the compact input is allowed)."""
+    plan = plan_str(REGISTRY["benchmark_decontamination"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
