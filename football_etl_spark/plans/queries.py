@@ -3771,6 +3771,83 @@ def json_round_trip_documents(spark, sf_dir):
 
 
 @query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: filtered customer segment "
+    "broadcast into orders, orders⋈lineitem on the shared orderkey "
+    "(the one shuffle a fact-fact join needs; both date filters push "
+    "to the scans), decimal-exact revenue, TakeOrderedAndProject "
+    "top-10 — the canonical 3-table analytic join the engine must "
+    "plan well at any scale",
+)
+def shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                             .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(rev, "revenue", 4))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "partitioned_sink_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS order_year
+    FROM orders WHERE YEAR(o_orderdate) = 1997
+    """,
+    doc="date-partitioned parquet sink + PARTITION-PRUNED re-read "
+    "(§2.1 'one file per date' family at engine scale): orders "
+    "written through sinks.write_parquet(partition_by=order_year), "
+    "read back with an order_year predicate that must resolve at the "
+    "FILE LISTING — the scan's PartitionFilters, not a data filter — "
+    "so a 100 TB history reads exactly one year's files. "
+    "tests/test_plans.py asserts the pruned scan; hash-equality "
+    "proves the partitioned layout is lossless",
+)
+def partitioned_sink_pruned_read(spark, sf_dir):
+    # eager-write + deterministic temp path: see csv_round_trip_orders
+    import os
+    import tempfile
+
+    from ..io import sinks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    path = f"{tempfile.gettempdir()}/fes_partrt_{os.getpid()}/orders_by_year"
+    sinks.write_parquet(o, path, partition_by=("order_year",))
+    back = spark.read.parquet(path)
+    return back.filter(F.col("order_year") == 1997).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("order_year").cast("long").alias("order_year"),
+    )
+
+
+@query(
     "orc_round_trip_lineitem",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate

@@ -173,3 +173,12 @@ def test_decontamination_is_map_only(spark):
     plan = plan_str(REGISTRY["benchmark_decontamination"].fn(spark, SF_SMOKE), "simple")
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_partitioned_read_prunes_at_file_listing(spark):
+    """The order_year predicate must be a PartitionFilter (resolved at
+    file listing — only one year's directories scanned), not a data
+    filter evaluated per row."""
+    plan = plan_str(REGISTRY["partitioned_sink_pruned_read"].fn(spark, SF_SMOKE))
+    assert "PartitionFilters: [isnotnull(order_year" in plan or \
+           "PartitionFilters: [(order_year" in plan, plan
