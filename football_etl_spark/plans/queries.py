@@ -3331,7 +3331,9 @@ def lsh_recall_at_k(spark, sf_dir):
         .withColumn("__hit", F.lit(1))
     )
     return (
-        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        # both sides are |Q|*k-bounded hit lists — broadcast the probe
+        # side so the recall join never sort-merges
+        exact.join(F.broadcast(lsh), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").alias("n_exact"),
@@ -3467,7 +3469,9 @@ def lsh_banded_recall(spark, sf_dir):
         .withColumn("__hit", F.lit(1))
     )
     return (
-        exact.join(banded, ["query_id", "neighbor_id"], "left")
+        # both sides are |Q|*k-bounded hit lists — broadcast the probe
+        # side so the recall join never sort-merges
+        exact.join(F.broadcast(banded), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").alias("n_exact"),
