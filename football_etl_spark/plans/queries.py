@@ -3913,10 +3913,10 @@ def _kmeans_cent(spark: SparkSession, sf_dir: str) -> list:
     return cent
 
 
-@query(
-    "kmeans_embedding_clusters",
-    oracle=f"""
-    WITH v AS (
+# The 2-iteration Lloyd's trajectory as a reusable CTE chain: c2 is
+# the trained centroid table (long form), shared by the kmeans entry
+# and the trained-IVF capstone below.
+_SQL_KMEANS_CTES = f"""v AS (
       SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
       FROM embeddings, (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i)
     ),
@@ -3930,7 +3930,13 @@ def _kmeans_cent(spark: SparkSession, sf_dir: str) -> list:
     c2 AS (
       SELECT cid, pos, ROUND(AVG(x), 6) AS c
       FROM a1 JOIN v USING (vec_id) GROUP BY cid, pos
-    ),
+    )"""
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
     fin AS ({_sql_kmeans_assign('v', 'c2')})
     SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM fin
     """,
@@ -3948,6 +3954,62 @@ def _kmeans_cent(spark: SparkSession, sf_dir: str) -> list:
 def kmeans_embedding_clusters(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_assign(e, _kmeans_cent(spark, sf_dir))
+
+
+@query(
+    "ivf_trained_ann_topk",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    cent AS (SELECT cid, LIST(c ORDER BY pos) AS cv FROM c2 GROUP BY cid),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, cid
+      FROM embeddings e, cent
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {_sql_l2('e.embedding', 'cv')} ASC, cid ASC) = 1
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, cid
+      FROM embeddings q, cent
+      WHERE q.vec_id < 8
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                 ORDER BY {_sql_l2('q.embedding', 'cv')} ASC, cid ASC) <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {_sql_cosine('p.qv', 'a.cvec')} AS cosine_sim
+      FROM probes p JOIN assigned a ON p.cid = a.cid AND a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           ROUND(cosine_sim, 6) AS cosine_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="the ANN CAPSTONE composition — IVF serving over TRAINED "
+    "centroids: kmeans_fit's 2-iteration Lloyd's output (not the "
+    "first-k placeholder) becomes ivf_topk's pluggable centroid "
+    "table, exactly the train-then-index lifecycle a production "
+    "vector index runs. Same fused single-Arrow-kernel scan as "
+    "ivf_ann_topk; the oracle replays the full trajectory "
+    "(training CTE chain + assignment + probe + re-rank), so "
+    "hash-equality certifies the END-TO-END train+serve pipeline "
+    "across engines",
+)
+def ivf_trained_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cent = _kmeans_cent(spark, sf_dir)
+    out = similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), k=10, n_probe=2,
+        centroids=cent, probe_strategy="fused",
+        query_rows=_q8_rows(spark, sf_dir, e),
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
 
 
 @query(
