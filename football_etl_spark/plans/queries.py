@@ -3852,6 +3852,40 @@ def partitioned_sink_pruned_read(spark, sf_dir):
 
 
 @query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped forecast-revenue-change: the pure "
+    "filter+aggregate scan — every predicate (ship-date year, "
+    "discount band, quantity cap) must push to the parquet scan and "
+    "the whole query runs as one map-side partial agg + one "
+    "single-row final agg, zero joins; the canonical 'is the fast "
+    "path actually fast' probe at any scale",
+)
+def forecast_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta", 4),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
     "orc_round_trip_lineitem",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
