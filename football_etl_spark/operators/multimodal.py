@@ -5,14 +5,16 @@ with typed metadata structs, Arrow-batched ``mapInPandas`` operators
 with explicit output schemas, and partitioning that keeps large blobs
 from skewing tasks.
 
-Decoding is REAL for two formats: NetPBM grayscale (PGM "P5", text
-header) and 8-bit grayscale Windows BMP (little-endian binary header
-+ palette) — the default decoder parses header and pixel plane with
-nothing but the stdlib, and ``render_pgm_payload`` /
-``render_bmp_payload`` produce genuine images entirely JVM-side, so
-the whole encode→decode loop is exercised on real bytes in two
+Decoding is REAL for three formats: NetPBM grayscale (PGM "P5", text
+header), 8-bit grayscale Windows BMP (little-endian binary header +
+palette), and 8-bit PCM RIFF/WAVE audio (chunked container, walked
+chunk-by-chunk — ``decode_audio``) — the decoders parse headers and
+sample/pixel planes with nothing but the stdlib, and
+``render_pgm_payload`` / ``render_bmp_payload`` /
+``render_wav_payload`` produce genuine media entirely JVM-side, so
+the whole encode→decode loop is exercised on real bytes in three
 independent container layouts without any media library. Payloads in
-formats that DO need an external codec (JPEG/WAV/MP4 …) fall back to
+formats that DO need an external codec (JPEG/MP3/MP4 …) fall back to
 a clearly documented deterministic digest stub — swap ``decoder=``
 for PIL/torchaudio/pyav in production; the Arrow plumbing is
 identical.
@@ -363,3 +365,122 @@ def resize_features(decoded: DataFrame, out_dim: int = 4) -> DataFrame:
         "media_id",
         resized_features(out_dim).alias("features_resized"),
     )
+
+
+# Audio decode output contract (decode_audio): integer-exact fields so
+# oracles mirror them with plain arithmetic — no float rounding pact.
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "s8_sum long, energy_sum long"
+)
+
+
+def render_wav_payload(
+    df: DataFrame, id_col: str, source_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """Render a REAL RIFF/WAVE file per row, JVM-side — the third
+    genuine media format (PGM: text header; BMP: little-endian binary
+    header + palette; WAV: chunked RIFF container), extending the
+    multimodal contract to AUDIO with zero media libraries.
+
+    Layout: 'RIFF' + LE32 riff-size + 'WAVE', a 16-byte PCM 'fmt '
+    chunk (format 1, mono, ``sample_rate``, 8-bit), then the 'data'
+    chunk whose unsigned-8-bit samples are the same deterministic
+    ramp as the image planes (sample[i] = (seed + i) mod 256,
+    seed = id mod 256) — one substring of the shared _RAMP_HEX.
+    n_samples = 8 + (len(source)*5) mod 32 (even, so no pad byte)."""
+    n = F.length(F.col(source_col))
+    n_samples = (F.lit(8) + (n * 5) % 32).cast("int")
+    seed = (F.col(id_col).cast("long") % 256).cast("int")
+    byte_rate = F.lit(int(sample_rate)).cast("int")
+    fmt_hex = F.concat(
+        F.lit("666D7420"),                  # 'fmt '
+        _le_hex(F.lit(16), 4),              # PCM fmt chunk size
+        _le_hex(F.lit(1), 2),               # audio format = PCM
+        _le_hex(F.lit(1), 2),               # channels = 1
+        _le_hex(F.lit(int(sample_rate)), 4),
+        _le_hex(byte_rate, 4),              # byte rate = rate·1·1
+        _le_hex(F.lit(1), 2),               # block align
+        _le_hex(F.lit(8), 2),               # bits per sample
+    )
+    data_hdr = F.concat(F.lit("64617461"), _le_hex(n_samples, 4))  # 'data'
+    riff_size = F.lit(4 + 24 + 8) + n_samples  # 'WAVE' + fmt + data hdr + samples
+    header_hex = F.concat(
+        F.lit("52494646"),                  # 'RIFF'
+        _le_hex(riff_size, 4),
+        F.lit("57415645"),                  # 'WAVE'
+        fmt_hex,
+        data_hdr,
+    )
+    sample_hex = F.substring(F.lit(_RAMP_HEX), seed * 2 + 1, n_samples * 2)
+    payload = F.unhex(F.concat(header_hex, sample_hex))
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def decode_audio(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """REAL WAV decode via Arrow-batched mapInPandas: walk the RIFF
+    chunk list (not fixed offsets — a correct parser survives extra
+    chunks), read the PCM format fields, then compute integer-exact
+    audio features from the sample plane: s8_sum (sum of the first 8
+    unsigned samples — the audio twin of the image px8_sum) and
+    energy_sum (sum of squared samples over the whole clip, the
+    un-normalized energy). Same scale contract as decode_media: blobs
+    never touch the driver, closure fully self-contained."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        import pandas as _pd
+
+        def decode(b):
+            b = bytes(b)
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise NotImplementedError("not a RIFF/WAVE payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                sz = _st.unpack_from("<I", b, pos + 4)[0]
+                body = b[pos + 8 : pos + 8 + sz]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + sz + (sz & 1)  # RIFF chunks pad to even
+            if fmt is None or data is None or len(fmt) < 16:
+                raise NotImplementedError("missing fmt/data chunk")
+            audio_fmt, n_ch = _st.unpack_from("<HH", fmt, 0)
+            rate = _st.unpack_from("<I", fmt, 4)[0]
+            bits = _st.unpack_from("<H", fmt, 14)[0]
+            if audio_fmt != 1 or bits != 8:
+                raise NotImplementedError("only 8-bit PCM supported")
+            s8 = sum(data[:8])
+            energy = sum(x * x for x in data)
+            return rate, n_ch, len(data), s8, energy
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "s8_sum", "energy_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, n_ch, n, s8, en = decode(payload)
+                except NotImplementedError:
+                    rate = n_ch = n = s8 = en = None
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_samples"].append(n)
+                out["s8_sum"].append(s8)
+                out["energy_sum"].append(en)
+            yield _pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(op, AUDIO_SCHEMA)

@@ -1727,6 +1727,39 @@ def multimodal_decode_bmp(spark, sf_dir):
     )
 
 
+# s8_sum oracle: first 8 samples of the ramp s[i] = (doc_id%256 + i)
+# mod 256 — same closed form as the image px8_sum.
+_WAV_S8_SQL = " + ".join(f"((doc_id % 256 + {i}) % 256)" for i in range(8))
+
+
+@query(
+    "audio_decode_wav",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(8 + (LENGTH(text) * 5) % 32 AS BIGINT) AS n_samples,
+           CAST(({_WAV_S8_SQL}) AS BIGINT) AS s8_sum,
+           (SELECT CAST(SUM(((doc_id % 256 + i) % 256) * ((doc_id % 256 + i) % 256)) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(0, 8 + (LENGTH(text) * 5) % 32 - 1)) t(i)) AS energy_sum
+    FROM documents
+    """,
+    doc="AUDIO pipeline over REAL RIFF/WAVE bytes: render_wav_payload "
+    "builds a genuine 8-bit PCM WAV per document JVM-side (RIFF + "
+    "fmt + data chunks, ramp samples), decode_audio walks the chunk "
+    "list with a real stdlib RIFF parser in Arrow-batched mapInPandas "
+    "and emits integer-exact features — s8_sum (first 8 samples) and "
+    "energy_sum (sum of squared samples, un-normalized clip energy) — "
+    "so the oracle verifies the DECODED sample values with closed-form "
+    "arithmetic. Third real decoder format after PGM and BMP "
+    "(operators/multimodal.py render_wav_payload/decode_audio)",
+)
+def audio_decode_wav(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.render_wav_payload(d, "doc_id", "text")
+    return multimodal.decode_audio(media)
+
+
 # ===========================================================================
 # §2.4/§2.5/§2.6 surface extensions: rollup, lag deltas, intersect,
 # messy-ingest cleaning chain, approximate distinct

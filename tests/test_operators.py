@@ -679,3 +679,37 @@ def test_semantic_dedup_marks_known_pairs(spark):
     b = np.asarray(vecs[d0["canonical_id"]], dtype=np.float64)
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert cos >= 0.35 - 1e-9, cos
+
+
+def test_wav_render_decode_round_trip(spark):
+    """render_wav_payload must emit bytes the stdlib `wave` reader
+    accepts as a genuine WAV file (independent validation, not our own
+    parser), and decode_audio must recover the exact sample plane."""
+    import io
+    import wave
+
+    from football_etl_spark.operators import multimodal
+    from football_etl_spark.plans.queries import _t
+    from tests.conftest import SF_ORACLE
+
+    d = _t(spark, SF_ORACLE, "documents").limit(20)
+    media = multimodal.render_wav_payload(d, "doc_id", "text")
+    rows = media.collect()
+    assert rows
+    for r in rows[:5]:
+        with wave.open(io.BytesIO(bytes(r["payload"]))) as w:
+            assert w.getnchannels() == 1
+            assert w.getframerate() == 8000
+            assert w.getsampwidth() == 1  # 8-bit PCM
+            frames = w.readframes(w.getnframes())
+        seed = r["media_id"] % 256
+        expect = bytes((seed + i) % 256 for i in range(len(frames)))
+        assert frames == expect, "decoded sample plane != rendered ramp"
+    decoded = {r["media_id"]: r for r in multimodal.decode_audio(media).collect()}
+    for r in rows:
+        dr = decoded[r["media_id"]]
+        seed = r["media_id"] % 256
+        n = dr["n_samples"]
+        assert dr["sample_rate"] == 8000 and dr["n_channels"] == 1
+        assert dr["s8_sum"] == sum((seed + i) % 256 for i in range(8))
+        assert dr["energy_sum"] == sum(((seed + i) % 256) ** 2 for i in range(n))
