@@ -713,3 +713,20 @@ def test_wav_render_decode_round_trip(spark):
         assert dr["sample_rate"] == 8000 and dr["n_channels"] == 1
         assert dr["s8_sum"] == sum((seed + i) % 256 for i in range(8))
         assert dr["energy_sum"] == sum(((seed + i) % 256) ** 2 for i in range(n))
+
+
+def test_decode_audio_corrupt_payloads_yield_nulls(spark):
+    """Garbage / truncated / wrong-container payloads must surface as
+    null feature rows, not task failures (the decode contract)."""
+    from football_etl_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(b"not audio at all")),
+        (2, bytearray(b"RIFF\x04\x00\x00\x00WAVE")),  # no fmt/data chunks
+        (3, bytearray(b"RIFF")),                      # truncated header
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r["sample_rate"] is None and r["energy_sum"] is None

@@ -373,3 +373,41 @@ def test_interval_stream_join_matches_batch(spark):
         }
     assert got == expected
     assert got  # non-degenerate: at least one pair joined
+
+
+def test_kmeans_assignment_runs_on_a_stream(spark):
+    """The k-means assignment kernel is map-only, so the SAME operator
+    must run unchanged on a readStream source (train on batch history,
+    assign arriving vectors incrementally — the online-serving shape).
+    Streamed assignments must equal the batch assignment exactly."""
+    import tempfile
+
+    from football_etl_spark.operators import similarity
+    from football_etl_spark.plans.queries import _kmeans_cent
+
+    e = load_table(spark, SF, "embeddings")
+    cent = _kmeans_cent(spark, SF)
+    expected = {
+        r["vec_id"]: (r["cid"], r["d2"])
+        for r in similarity.kmeans_assign(e, cent).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/feed"
+        e.write.parquet(feed)
+        stream = spark.readStream.schema(spark.read.parquet(feed).schema).parquet(feed)
+        assigned = similarity.kmeans_assign(stream, cent)
+        q = (
+            assigned.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_kmeans_test")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["vec_id"]: (r["cid"], r["d2"])
+            for r in spark.sql("SELECT * FROM stream_kmeans_test").collect()
+        }
+    assert got == expected
+    assert len(got) > 0
