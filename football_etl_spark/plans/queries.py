@@ -4119,6 +4119,242 @@ def semantic_dedup_docs(spark, sf_dir):
     return similarity.semantic_dedup(e, _q8_rows(spark, sf_dir, e), threshold=0.35)
 
 
+# ===========================================================================
+# TPC-H-shaped analytic suite — the remaining canonical decision-
+# support join/subquery shapes an engine must plan well (Q3/Q6 landed
+# earlier as shipping_priority / forecast_revenue_change; these add the
+# EXISTS semi-join, conditional-aggregate ratio, HAVING join-back,
+# disjunctive-predicate join, and scalar-subquery + anti-join shapes).
+# ===========================================================================
+
+
+@query(
+    "order_priority_backlog",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped order-priority backlog: one quarter of "
+    "orders, kept only where EXISTS a lineitem that shipped >30 days "
+    "after the order date, counted per priority. The EXISTS becomes "
+    "a LEFT SEMI join with an equi key (orderkey) plus a non-equi "
+    "residual (shipdate > orderdate+30d) — the hash-dispatchable "
+    "shape, never a nested-loop; the quarter filter pushes to the "
+    "orders scan so only ~1/20 of the fact table reaches the semi "
+    "join's shuffle. Fact-fact semi joins shuffle on the shared key "
+    "at any scale — the plan to want at 100 TB",
+)
+def order_priority_backlog(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    return (
+        o.join(li, (li.l_orderkey == o.o_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+    )
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_rev,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+      100.0 * (CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE)) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14-shaped promo revenue effect: one month of "
+    "lineitem broadcast-joined to part, conditional decimal-exact "
+    "revenue sums (promo vs all), ratio as ONE IEEE division of two "
+    "cross-engine-identical doubles (the file-header exactness "
+    "policy). The month filter pushes to the lineitem scan; part is "
+    "the broadcast dim; a single partial-agg-combined scalar row "
+    "leaves the executors — the minimal-traffic plan at any scale",
+)
+def promo_revenue_ratio(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(_dec_sum(promo, "promo_rev", 4), _dec_sum(rev, "total_rev", 4))
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        # parenthesization mirrors the oracle exactly — 100*(a/b), not
+        # (100*a)/b — so the double result is bit-identical cross-engine
+        (F.lit(100.0) * (F.col("promo_rev") / F.col("total_rev"))).alias("promo_pct"),
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18-shaped large-volume customers: aggregate lineitem "
+    "per order (decimal-exact quantity sum), HAVING-filter to the "
+    "rare big orders, join the survivors back to orders and "
+    "customer. The one unavoidable shuffle is the lineitem groupBy "
+    "(map-side partial combine); the HAVING survivor set is tiny by "
+    "construction, so BOTH enrichment joins broadcast the survivor "
+    "side into the big tables — at 100 TB neither orders nor "
+    "customer is ever shuffled. The classic "
+    "aggregate-subquery-join-back plan done scale-right",
+)
+def large_volume_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty", 2))
+        .filter(F.col("total_qty") > 120)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    enriched = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
+    return c.join(F.broadcast(enriched), c.c_custkey == F.col("o_custkey")).select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19-shaped disjunctive-predicate revenue: lineitem ⋈ "
+    "broadcast(part) under an OR-of-ANDs mixing both sides' columns "
+    "— the predicate cannot be split per side, but Catalyst derives "
+    "the implied per-side prefilters (p_brand IN (…), l_quantity "
+    "BETWEEN min..max) and pushes them to the scans, so the join "
+    "probes only candidate rows and the full disjunction runs as a "
+    "codegen'd residual on the join output. Decimal-exact revenue + "
+    "line count in one partial-agg scalar row",
+)
+def disjunctive_part_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#13") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#9") & s.between(1, 35) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(pred)
+        .agg(F.count(F.lit(1)).alias("n_lines"), _dec_sum(rev, "revenue", 4))
+    )
+
+
+@query(
+    "dormant_high_value_customers",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13) AND c_acctbal > 0
+    ),
+    thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM pool
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM pool, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22-shaped dormant high-value customers: a scalar "
+    "subquery (average positive balance over 7 nations — computed as "
+    "decimal-exact sum / exact count so ONE division yields a "
+    "bit-identical threshold on both engines, never an "
+    "order-dependent AVG) filters customers above it, an anti-join "
+    "against RECENT orders (the recency filter pushes to the orders "
+    "scan) keeps only customers dormant since mid-2000, grouped per "
+    "nation. The scalar crosses as a 1-row broadcast (the "
+    "doc-count pattern); the anti-join shuffles on custkey with the "
+    "orders side pre-projected to the single join column — the "
+    "minimal fact-side traffic for a NOT EXISTS at 100 TB",
+)
+def dormant_high_value_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    pool = c.filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13) & (F.col("c_acctbal") > 0)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    thr = pool.agg(
+        (
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0))
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_keys, pool.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), "totacctbal", 2),
+        )
+    )
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

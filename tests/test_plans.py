@@ -182,3 +182,62 @@ def test_partitioned_read_prunes_at_file_listing(spark):
     plan = plan_str(REGISTRY["partitioned_sink_pruned_read"].fn(spark, SF_SMOKE))
     assert "PartitionFilters: [isnotnull(order_year" in plan or \
            "PartitionFilters: [(order_year" in plan, plan
+
+
+def test_backlog_semi_join_has_equi_key(spark):
+    """The Q4-shaped EXISTS must compile to a LeftSemi HASH join on
+    the orderkey (residual shipdate predicate attached), never a
+    nested-loop scan of lineitem per order, and the quarter filter
+    must reach the orders parquet scan."""
+    plan = plan_str(REGISTRY["order_priority_backlog"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan, plan
+
+
+def test_promo_ratio_single_broadcast_and_partial_agg(spark):
+    """Q14 shape: part is the broadcast dim, the month filter pushes
+    to the lineitem scan, and ONE partial-combined scalar row crosses
+    the SinglePartition exchange."""
+    plan = plan_str(REGISTRY["promo_revenue_ratio"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+    fmt = plan_str(REGISTRY["promo_revenue_ratio"].fn(spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(l_shipdate,1997-09-01" in fmt, fmt
+
+
+def test_large_volume_broadcasts_survivors_not_facts(spark):
+    """Q18 shape: the only hash shuffle is the lineitem groupBy; the
+    HAVING survivor set is the BROADCAST side of both enrichment
+    joins, so orders and customer are never shuffled."""
+    plan = plan_str(REGISTRY["large_volume_customers"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_disjunctive_predicate_derives_per_side_pushdown(spark):
+    """Q19 shape: the OR-of-ANDs cannot be split across sides, but
+    Catalyst must derive the implied per-side disjunctions and push
+    them into BOTH parquet scans (lineitem quantity bands; part
+    brand/size bands) so the join probes candidates only."""
+    plan = plan_str(REGISTRY["disjunctive_part_revenue"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    # derived lineitem-side prefilter reached the scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+    # derived part-side prefilter reached the scan
+    assert "EqualTo(p_brand,Brand#13)" in plan, plan
+
+
+def test_dormant_scalar_broadcast_and_anti_join(spark):
+    """Q22 shape: the balance threshold crosses as a 1-row
+    IdentityBroadcastMode relation (bounded by construction — the
+    sanctioned scalar pattern), the NOT EXISTS is a LeftAnti hash
+    join, and the recency filter reaches the orders scan so only
+    recent orderers' keys are built."""
+    plan = plan_str(REGISTRY["dormant_high_value_customers"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+    assert "IdentityBroadcastMode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-06-01" in plan, plan
