@@ -161,6 +161,76 @@ def minhash_near_dup_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental corpus dedup: screen an INCOMING batch against the
+    EXISTING corpus with an asymmetric banded MinHash join — the
+    day-2 problem of a 100 TB pipeline, where re-running all-pairs
+    dedup over corpus ∪ increment would redo corpus×corpus work that
+    is already settled. Banding both sides and equi-joining
+    incoming-bands → corpus-bands makes candidate volume proportional
+    to the INCREMENT (each incoming band probes one bucket), while
+    the corpus pays only its signature scan + one (band, bkey)
+    shuffle — no corpus self-pairs are ever generated.
+
+    Returns one verdict row per incoming doc:
+    (new_id, is_dup, best_match_id, best_jaccard) — best = highest
+    estimated Jaccard ≥ threshold, ties to the lowest corpus id;
+    novel docs keep NULL match columns. Signatures ride through the
+    band join as arrays (no join back), same as
+    minhash_near_dup_pairs."""
+    c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    i_sig = minhash_signatures(incoming, id_col, text_col, num_hashes, shingle_n)
+    cb = _banded(c_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_c"), "band", "bkey"
+    )
+    ib = _banded(i_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_i"), "band", "bkey"
+    )
+    matches = F.aggregate(
+        F.zip_with(F.col("sig_i"), F.col("sig_c"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        ib.join(cb, ["band", "bkey"])
+        .select("new_id", "corpus_id", "sig_i", "sig_c")
+        .dropDuplicates(["new_id", "corpus_id"])
+        .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("est_jaccard"), F.asc("corpus_id")
+    )
+    best = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("new_id").alias("__bid"),
+            F.col("corpus_id").alias("best_match_id"),
+            F.col("est_jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        incoming.select(F.col(id_col).alias("new_id"))
+        .join(best, F.col("new_id") == F.col("__bid"), "left")
+        .select(
+            "new_id",
+            F.col("best_match_id").isNotNull().alias("is_dup"),
+            "best_match_id",
+            "best_jaccard",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -977,10 +977,9 @@ def dedup_exact_documents(spark, sf_dir):
     return dedup.exact_dedup(d).select("doc_id")
 
 
-def _minhash_cte_body(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
-    """The MinHash-LSH pipeline as a reusable CTE chain ending in
-    ``mhpairs(id_a, id_b, est_jaccard)`` — shared by the pair query
-    and the MinHash-edge clustering oracle."""
+def _minhash_prefix_cte(num_hashes: int = 16, bands: int = 4) -> str:
+    """Shared MinHash-LSH CTE prefix ending in ``mh`` (per-doc
+    signatures) and ``bands`` (per-doc band bucket keys)."""
     from ..operators.dedup import MINHASH_P, minhash_params
 
     rows = num_hashes // bands
@@ -995,16 +994,25 @@ def _minhash_cte_body(num_hashes: int = 16, bands: int = 4, threshold: float = 0
         )
         for b in range(bands)
     )
-    matches = " + ".join(
-        f"CAST(ma.mh{k} = mb.mh{k} AS INT)" for k in range(num_hashes)
-    )
     return f"""toks_cte AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),
     ex AS (SELECT doc_id,
                   CAST(('0x' || SUBSTR(MD5(UNNEST(shingles)), 1, 12)) AS BIGINT) AS h
            FROM sh),
     mh AS (SELECT doc_id, {", ".join(mh_cols)} FROM ex GROUP BY doc_id),
-    bands AS ({band_selects}),
+    bands AS ({band_selects})"""
+
+
+def _minhash_matches_expr(num_hashes: int = 16) -> str:
+    return " + ".join(f"CAST(ma.mh{k} = mb.mh{k} AS INT)" for k in range(num_hashes))
+
+
+def _minhash_cte_body(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """The MinHash-LSH pipeline as a reusable CTE chain ending in
+    ``mhpairs(id_a, id_b, est_jaccard)`` — shared by the pair query
+    and the MinHash-edge clustering oracle."""
+    matches = _minhash_matches_expr(num_hashes)
+    return f"""{_minhash_prefix_cte(num_hashes, bands)},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -4352,6 +4360,67 @@ def dormant_high_value_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             _dec_sum(F.col("c_acctbal"), "totacctbal", 2),
         )
+    )
+
+
+def _incremental_minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    matches = _minhash_matches_expr(num_hashes)
+    return f"""
+    WITH {_minhash_prefix_cte(num_hashes, bands)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    pairs AS (
+      SELECT new_id, corpus_id,
+             ({matches}) / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+      FROM cand
+      JOIN mh ma ON ma.doc_id = cand.new_id
+      JOIN mh mb ON mb.doc_id = cand.corpus_id
+      WHERE ({matches}) / CAST({num_hashes} AS DOUBLE) >= {threshold}
+    ),
+    best AS (
+      SELECT new_id, corpus_id AS best_match_id, est_jaccard AS best_jaccard,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY est_jaccard DESC, corpus_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT d.doc_id AS new_id,
+           b.best_match_id IS NOT NULL AS is_dup,
+           b.best_match_id, b.best_jaccard
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """
+
+
+@query(
+    "incremental_corpus_dedup",
+    oracle=_incremental_minhash_oracle(16, 4, 0.5),
+    doc="incremental (day-2) corpus dedup: the incoming batch "
+    "(doc_id % 10 = 0 — the synthetic daily increment) screened "
+    "against the existing corpus (the rest) with an ASYMMETRIC "
+    "banded MinHash join — incoming bands probe corpus band buckets, "
+    "so candidate volume is proportional to the increment and no "
+    "corpus self-pairs are ever generated; re-running all-pairs over "
+    "corpus ∪ increment at 100 TB would redo settled corpus×corpus "
+    "work every day. One verdict row per incoming doc: is_dup + best "
+    "match (highest estimated Jaccard ≥ 0.5, ties to lowest corpus "
+    "id), novel docs keep NULL match columns "
+    "(operators/dedup.incremental_minhash_dedup)",
+)
+def incremental_corpus_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.incremental_minhash_dedup(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        threshold=0.5,
     )
 
 

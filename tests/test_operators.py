@@ -730,3 +730,28 @@ def test_decode_audio_corrupt_payloads_yield_nulls(spark):
     assert len(out) == 3
     for r in out.values():
         assert r["sample_rate"] is None and r["energy_sum"] is None
+
+
+def test_incremental_dedup_screens_incoming_against_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words everywhere nothing shared at all " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (3, far), (5, base + " extra tail tokens here")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [(10, near), (20, "brand new unseen content with its own words " * 5)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["new_id"]: r
+        for r in dedup.incremental_minhash_dedup(
+            corpus, incoming, threshold=0.4
+        ).collect()
+    }
+    assert set(out) == {10, 20}  # one verdict row per incoming doc
+    assert out[10]["is_dup"] and out[10]["best_match_id"] in (1, 5)
+    assert not out[20]["is_dup"] and out[20]["best_match_id"] is None
+    # corpus self-pairs must never surface: every row keys an incoming doc
+    assert all(k in (10, 20) for k in out)

@@ -241,3 +241,14 @@ def test_dormant_scalar_broadcast_and_anti_join(spark):
     assert "IdentityBroadcastMode" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "GreaterThanOrEqual(o_orderdate,2000-06-01" in plan, plan
+
+
+def test_incremental_dedup_band_join_no_self_pairs(spark):
+    """The incremental screen must be ONE equi band-join between the
+    incoming and corpus band tables — no cartesian, no join back to a
+    signature table (signatures ride the band join as arrays)."""
+    plan = plan_str(REGISTRY["incremental_corpus_dedup"].fn(spark, SF_SMOKE), "simple")
+    assert "CartesianProduct" not in plan, plan
+    # band equi-join + verdict left join; the signature tables are
+    # never re-joined (would add two more joins)
+    assert plan.count("Join") <= 3, plan
