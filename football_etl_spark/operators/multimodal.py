@@ -84,10 +84,17 @@ _RAMP_HEX = "".join(f"{b:02X}" for b in range(256)) * 5
 # shorter than the worst case: seed offset (≤255) + the 31·31 max
 # pixel plane the 8 + n%24 sizing can produce. Prove coverage here so
 # widening the dimension formula without growing the ramp cannot ship.
+# The Y4M renderer's worst case (seed ≤255, frame phase ≤ _Y4M_MAX_F-1,
+# 22·23 max luma plane) is strictly smaller; assert it anyway so the
+# formulas can't drift past the ramp independently.
 _MAX_SEED, _MAX_W, _MAX_H = 255, 31, 31
+_Y4M_MAX_F, _Y4M_MAX_W, _Y4M_MAX_H = 5, 22, 23
 assert len(_RAMP_HEX) >= (_MAX_SEED + _MAX_W * _MAX_H) * 2, (
     "_RAMP_HEX no longer covers seed_max + w_max*h_max pixels"
 )
+assert len(_RAMP_HEX) >= (
+    _MAX_SEED + (_Y4M_MAX_F - 1) + _Y4M_MAX_W * _Y4M_MAX_H
+) * 2, "_RAMP_HEX no longer covers the Y4M worst-case frame plane"
 
 
 def render_pgm_payload(df: DataFrame, id_col: str, source_col: str) -> DataFrame:
@@ -365,6 +372,149 @@ def resize_features(decoded: DataFrame, out_dim: int = 4) -> DataFrame:
         "media_id",
         resized_features(out_dim).alias("features_resized"),
     )
+
+
+# Video decode output contract (decode_video): one row PER FRAME with
+# integer-exact per-frame facts, so frame sampling downstream is a
+# plain JVM filter over frame_idx and oracles mirror every field with
+# arithmetic — no float rounding pact, no array columns.
+VIDEO_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, "
+    "frame_idx int, y8_sum long"
+)
+
+
+def render_y4m_payload(df: DataFrame, id_col: str, source_col: str) -> DataFrame:
+    """Render a REAL multi-frame YUV4MPEG2 ("Y4M") stream per row,
+    JVM-side — the fourth genuine media format and the first with a
+    TIME axis, extending the multimodal contract to VIDEO with zero
+    media libraries. Y4M is the uncompressed interchange format the
+    video toolchain (ffmpeg/mjpegtools/x264) reads and writes: a
+    plain-text stream header, then per frame a "FRAME\\n" marker
+    followed by the raw plane bytes.
+
+    Layout here: header ``YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\\n``
+    (Cmono = luma-only planes, so each frame is exactly w·h bytes),
+    then ``n_frames`` frames whose luma is the shared deterministic
+    ramp with a PER-FRAME phase shift: frame f, pixel i =
+    (seed + f + i) mod 256, seed = id mod 256 — each frame is one
+    substring of _RAMP_HEX, and the whole stream is a single
+    concat+unhex expression. Dimensions from the source text
+    (w = 8 + 2·(len mod 8), h = 8 + (3·len mod 16)); frame count from
+    the id (n_frames = 2 + id mod 4, so 2..5 — every stream is a real
+    multi-frame video). The stream is built as a fixed 5-way
+    conditional concat (hex level) because expression trees are
+    static while n_frames is data-dependent."""
+    n = F.length(F.col(source_col))
+    w = (F.lit(8) + (n % 8) * 2).cast("int")
+    h = (F.lit(8) + (n * 3) % 16).cast("int")
+    n_frames = (F.lit(2) + F.col(id_col).cast("long") % 4).cast("int")
+    seed = (F.col(id_col).cast("long") % 256).cast("int")
+    npx = w * h
+    header_hex = F.hex(
+        F.encode(
+            F.concat(
+                F.lit("YUV4MPEG2 W"), w.cast("string"),
+                F.lit(" H"), h.cast("string"),
+                F.lit(" F25:1 Ip A1:1 Cmono\n"),
+            ),
+            "UTF-8",
+        )
+    )
+    frame_marker = "4652414D450A"  # hex of b"FRAME\n"
+    frames = [
+        F.when(
+            F.lit(f) < n_frames,
+            F.concat(
+                F.lit(frame_marker),
+                F.substring(F.lit(_RAMP_HEX), (seed + f) * 2 + 1, npx * 2),
+            ),
+        ).otherwise(F.lit(""))
+        for f in range(_Y4M_MAX_F)
+    ]
+    payload = F.unhex(F.concat(header_hex, *frames))
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("video/x-yuv4mpeg").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def decode_video(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """REAL Y4M decode via Arrow-batched mapInPandas: parse the
+    stream header (token walk — a correct parser survives extra
+    parameters and any token order), then walk the FRAME markers,
+    emitting ONE ROW PER FRAME with integer-exact facts: y8_sum =
+    sum of the frame's first 8 luma samples (the per-frame twin of
+    the image px8_sum — it differs per frame because each frame has
+    its own ramp phase). Frame sampling composes downstream as a
+    plain ``frame_idx % k`` filter — no second decode pass, no blob
+    duplication. Same scale contract as decode_media: blobs never
+    touch the driver, closure fully self-contained. Corrupt rows
+    surface as a single all-null-fact row, not task failures."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def decode(b):
+            # returns (width, height, n_frames, [(frame_idx, y8_sum)])
+            if b is None:
+                raise NotImplementedError("corrupt/absent payload")
+            b = bytes(b)
+            nl = b.find(b"\n")
+            if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+                raise NotImplementedError("not a YUV4MPEG2 stream")
+            w = h = None
+            cs = "420"  # Y4M default colourspace when no C token
+            for tok in b[:nl].split(b" ")[1:]:
+                if tok[:1] == b"W":
+                    w = int(tok[1:])
+                elif tok[:1] == b"H":
+                    h = int(tok[1:])
+                elif tok[:1] == b"C":
+                    cs = tok[1:].decode("ascii", "replace")
+            if w is None or h is None or w <= 0 or h <= 0:
+                raise NotImplementedError("missing W/H in stream header")
+            if cs != "mono":
+                raise NotImplementedError("only Cmono planes supported")
+            npx = w * h
+            pos, frames = nl + 1, []
+            while pos < len(b):
+                if b[pos : pos + 5] != b"FRAME":
+                    raise NotImplementedError("malformed FRAME marker")
+                fnl = b.find(b"\n", pos)
+                if fnl < 0 or fnl + 1 + npx > len(b):
+                    raise NotImplementedError("truncated frame")
+                plane = b[fnl + 1 : fnl + 1 + npx]
+                frames.append((len(frames), sum(plane[:8])))
+                pos = fnl + 1 + npx
+            if not frames:
+                raise NotImplementedError("zero-frame stream")
+            return w, h, len(frames), frames
+
+        cols = ("media_id", "width", "height", "n_frames", "frame_idx", "y8_sum")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, nf, frames = decode(payload)
+                except NotImplementedError:
+                    w = h = nf = None
+                    frames = [(None, None)]
+                for fi, y8 in frames:
+                    out["media_id"].append(mid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(nf)
+                    out["frame_idx"].append(fi)
+                    out["y8_sum"].append(y8)
+            yield _pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(op, VIDEO_SCHEMA)
 
 
 # Audio decode output contract (decode_audio): integer-exact fields so

@@ -1768,6 +1768,40 @@ def audio_decode_wav(spark, sf_dir):
     return multimodal.decode_audio(media)
 
 
+_Y4M_Y8_SQL = " + ".join(f"((doc_id % 256 + f + {i}) % 256)" for i in range(8))
+
+
+@query(
+    "video_frame_scan",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(8 + (LENGTH(text) % 8) * 2 AS INT) AS width,
+           CAST(8 + (LENGTH(text) * 3) % 16 AS INT) AS height,
+           CAST(2 + doc_id % 4 AS INT) AS n_frames,
+           CAST(f AS INT) AS frame_idx,
+           CAST(({_Y4M_Y8_SQL}) AS BIGINT) AS y8_sum
+    FROM documents,
+         UNNEST(GENERATE_SERIES(0, 1 + doc_id % 4, 2)) t(f)
+    """,
+    doc="VIDEO pipeline over REAL YUV4MPEG2 bytes — the fourth real "
+    "media format and the first with a time axis: render_y4m_payload "
+    "builds a genuine multi-frame Y4M stream per document JVM-side "
+    "(text stream header + FRAME markers + per-frame phase-shifted "
+    "luma planes), decode_video walks the frame markers with a real "
+    "stdlib parser in Arrow-batched mapInPandas emitting ONE ROW PER "
+    "FRAME with integer-exact facts (y8_sum differs per frame — "
+    "proof the decoder read each frame's own plane), and frame "
+    "SAMPLING (every 2nd frame) composes downstream as a plain JVM "
+    "filter on frame_idx — no second decode pass. The oracle rebuilds "
+    "every sampled frame's facts with closed-form arithmetic "
+    "(operators/multimodal.py render_y4m_payload/decode_video)",
+)
+def video_frame_scan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.render_y4m_payload(d, "doc_id", "text")
+    return multimodal.decode_video(media).filter(F.col("frame_idx") % 2 == 0)
+
+
 # ===========================================================================
 # §2.4/§2.5/§2.6 surface extensions: rollup, lag deltas, intersect,
 # messy-ingest cleaning chain, approximate distinct

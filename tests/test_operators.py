@@ -755,3 +755,61 @@ def test_incremental_dedup_screens_incoming_against_corpus(spark):
     assert not out[20]["is_dup"] and out[20]["best_match_id"] is None
     # corpus self-pairs must never surface: every row keys an incoming doc
     assert all(k in (10, 20) for k in out)
+
+
+def test_y4m_render_decode_round_trip(spark):
+    """render_y4m_payload must emit a structurally valid YUV4MPEG2
+    stream (validated by an independent re-parse here, byte layout per
+    the public y4m spec), and decode_video must recover every frame's
+    own phase-shifted luma plane."""
+    from football_etl_spark.operators import multimodal
+    from football_etl_spark.plans.queries import _t
+    from tests.conftest import SF_ORACLE
+
+    d = _t(spark, SF_ORACLE, "documents").limit(20)
+    media = multimodal.render_y4m_payload(d, "doc_id", "text")
+    rows = media.collect()
+    assert rows
+    for r in rows[:5]:
+        b = bytes(r["payload"])
+        head, rest = b.split(b"\n", 1)
+        toks = head.split(b" ")
+        assert toks[0] == b"YUV4MPEG2" and b"Cmono" in toks
+        w = int(next(t[1:] for t in toks if t[:1] == b"W"))
+        h = int(next(t[1:] for t in toks if t[:1] == b"H"))
+        seed, f = r["media_id"] % 256, 0
+        while rest:
+            assert rest[:6] == b"FRAME\n", "frame marker missing"
+            plane, rest = rest[6 : 6 + w * h], rest[6 + w * h :]
+            assert plane == bytes((seed + f + i) % 256 for i in range(w * h))
+            f += 1
+        assert f == 2 + r["media_id"] % 4  # all frames present
+    decoded = multimodal.decode_video(media).collect()
+    by_doc: dict = {}
+    for dr in decoded:
+        by_doc.setdefault(dr["media_id"], []).append(dr)
+    for mid, frames in by_doc.items():
+        seed = mid % 256
+        assert len(frames) == frames[0]["n_frames"] == 2 + mid % 4
+        for dr in frames:
+            expect = sum((seed + dr["frame_idx"] + i) % 256 for i in range(8))
+            assert dr["y8_sum"] == expect
+
+
+def test_decode_video_corrupt_payloads_yield_null_rows(spark):
+    """Garbage / truncated / non-mono streams must surface as a single
+    null-fact row per payload, not task failures."""
+    from football_etl_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(b"not video at all")),
+        (2, bytearray(b"YUV4MPEG2 W4 H4 Cmono\nFRAME\nxx")),     # truncated frame
+        (3, bytearray(b"YUV4MPEG2 W4 H4 C420\nFRAME\n" + b"x" * 24)),  # chroma planes
+        (4, bytearray(b"YUV4MPEG2 F25:1 Cmono\n")),              # no dimensions
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.decode_video(df).collect()
+    assert len(out) == 4  # exactly one verdict row per corrupt payload
+    assert {r["media_id"] for r in out} == {1, 2, 3, 4}
+    for r in out:
+        assert r["width"] is None and r["frame_idx"] is None and r["y8_sum"] is None

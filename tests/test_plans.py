@@ -252,3 +252,14 @@ def test_incremental_dedup_band_join_no_self_pairs(spark):
     # band equi-join + verdict left join; the signature tables are
     # never re-joined (would add two more joins)
     assert plan.count("Join") <= 3, plan
+
+
+def test_video_frame_scan_single_decode_pass(spark):
+    """The video pipeline is render→decode→sample in ONE map-only
+    pass: no join, no shuffle, exactly one mapInPandas stage — the
+    every-2nd-frame sampling is a plain filter over the decoder's
+    per-frame rows, never a second decode."""
+    plan = plan_str(REGISTRY["video_frame_scan"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
