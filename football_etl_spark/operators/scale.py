@@ -85,3 +85,42 @@ def salted_join(
     b = big.withColumn("__salt", salt)
     s = explode_salts(small, n_salts)
     return b.join(s, [*keys, "__salt"], how).drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    hot_factor: float = 1.5,
+) -> DataFrame:
+    """Join-key skew diagnostic — the measurement half of the skew
+    toolkit (salted_join is the treatment half): per-key row counts,
+    each key's share of the relation, and a hot flag for keys whose
+    count exceeds ``hot_factor``× the mean per-key load, top-N
+    heaviest first. Run it on a join key BEFORE the join to decide
+    whether AQE's skew split suffices or a salt is needed.
+
+    Plan: one hash shuffle for the per-key count (map-side partial
+    combine), a 1-row totals aggregate broadcast back (the scalar
+    pattern), TakeOrderedAndProject for the top-N — profiling a
+    100 TB key column costs one count pass, never a sort of all keys.
+    All derived numbers are single IEEE divisions of exact longs, so
+    an external oracle matches them bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    mean_load = F.col("total").cast("double") / F.col("n_keys")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "n",
+            ((F.lit(100.0) * F.col("n")) / F.col("total")).alias("share_pct"),
+            (F.col("n") > F.lit(hot_factor) * mean_load).alias("is_hot"),
+        )
+        .orderBy(F.desc("n"), F.asc(key_col))
+        .limit(top_n)
+    )

@@ -187,3 +187,52 @@ def scd2_intervals(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized mean — outlier-robust aggregation by
+    clamping values to the group's [lo, hi] order statistics before
+    averaging. The bounds are RANK-based (value at row ceil(q·n) of
+    the group's ascending sort), not interpolated percentiles:
+    order-statistic values are actual data values, so both the clamp
+    comparisons and the resulting mean are exact and engine-identical
+    (interpolated quantiles differ in the last bit across engines and
+    poison every downstream comparison).
+
+    Plan: ONE exchange on the group key serves the whole operator —
+    both window passes (rank+count, then the conditional-max bound
+    attach) AND the final aggregate, whose required distribution the
+    window partitioning already satisfies, so Catalyst plans no
+    second shuffle (plan-asserted). No join-back (which would re-run
+    the ranking subtree per reference)."""
+    w_sort = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    w_all = Window.partitionBy(group_col)
+    v = F.col(value_col)
+    k_lo = F.ceil(F.lit(lo) * F.col("__n")).cast("long")
+    k_hi = F.ceil(F.lit(hi) * F.col("__n")).cast("long")
+    ranked = df.select(
+        group_col,
+        value_col,
+        F.row_number().over(w_sort).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    bounded = ranked.select(
+        group_col,
+        value_col,
+        F.max(F.when(F.col("__rn") == k_lo, v)).over(w_all).alias("p_lo"),
+        F.max(F.when(F.col("__rn") == k_hi, v)).over(w_all).alias("p_hi"),
+    )
+    clamped = F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), v))
+    scaled = F.sum(F.round(clamped * 100).cast("long"))
+    return bounded.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        ((scaled / F.lit(100.0)) / F.count(F.lit(1))).alias("winsorized_mean"),
+    )

@@ -4458,6 +4458,87 @@ def incremental_corpus_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "event_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT event_type, n,
+           (100.0 * n) / total AS share_pct,
+           n > 1.5 * (CAST(total AS DOUBLE) / n_keys) AS is_hot
+    FROM counts, tot
+    ORDER BY n DESC, event_type ASC
+    LIMIT 10
+    """,
+    doc="join-key skew diagnostic over the event_type key that feeds "
+    "the dictionary lookup join (event_category_lookup): per-key "
+    "counts, share of the relation, and a hot flag for keys above "
+    "1.5x the mean per-key load — the measurement that decides "
+    "between AQE's skew split and an explicit salt "
+    "(operators/scale.salted_join) BEFORE a 100 TB shuffle is "
+    "launched. One count shuffle + a 1-row totals broadcast + "
+    "TakeOrderedAndProject; every derived number is a single IEEE "
+    "division of exact longs (operators/scale.key_skew_profile)",
+)
+def event_key_skew_profile(spark, sf_dir):
+    from ..operators.scale import key_skew_profile
+
+    e = _t(spark, sf_dir, "events")
+    return key_skew_profile(e, "event_type", top_n=10, hot_factor=1.5)
+
+
+@query(
+    "winsorized_priority_spend",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    bounded AS (
+      SELECT o_orderpriority, o_totalprice,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                      THEN o_totalprice END)
+               OVER (PARTITION BY o_orderpriority) AS p_lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN o_totalprice END)
+               OVER (PARTITION BY o_orderpriority) AS p_hi
+      FROM ranked
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(p_lo) AS p_lo,
+           MIN(p_hi) AS p_hi,
+           (CAST(SUM(CAST(ROUND(GREATEST(p_lo, LEAST(p_hi, o_totalprice)) * 100, 0)
+                          AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*)
+             AS winsorized_mean
+    FROM bounded
+    GROUP BY o_orderpriority
+    """,
+    doc="outlier-robust winsorized mean of order value per priority: "
+    "values clamped to the group's rank-based [P5, P95] order "
+    "statistics (actual data values at row ceil(q*n) of the "
+    "ascending sort — NOT interpolated quantiles, which differ in "
+    "the last bit across engines) before a decimal-exact average. "
+    "ONE exchange on the group key serves both window passes AND the "
+    "final aggregate (its distribution is already satisfied — "
+    "plan-asserted), no join-back "
+    "(operators/windows.winsorized_stats)",
+)
+def winsorized_priority_spend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return windows.winsorized_stats(o, "o_orderpriority", "o_totalprice")
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

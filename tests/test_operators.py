@@ -813,3 +813,33 @@ def test_decode_video_corrupt_payloads_yield_null_rows(spark):
     assert {r["media_id"] for r in out} == {1, 2, 3, 4}
     for r in out:
         assert r["width"] is None and r["frame_idx"] is None and r["y8_sum"] is None
+
+
+def test_key_skew_profile_flags_planted_hot_key(spark):
+    from football_etl_spark.operators.scale import key_skew_profile
+
+    rows = [(i, "hot") for i in range(80)] + [
+        (100 + i, f"cold{i % 4}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = {r["k"]: r for r in key_skew_profile(df, "k", top_n=10).collect()}
+    assert out["hot"]["is_hot"] and out["hot"]["n"] == 80
+    assert abs(out["hot"]["share_pct"] - 80.0) < 1e-12
+    assert not any(r["is_hot"] for k, r in out.items() if k != "hot")
+
+
+def test_winsorized_mean_clamps_outliers(spark):
+    from football_etl_spark.operators.windows import winsorized_stats
+
+    # 18 well-behaved values + 2 extreme outliers in one group
+    vals = [float(i) for i in range(1, 19)] + [1e6, -1e6]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v double"
+    )
+    r = winsorized_stats(df, "grp", "v").collect()[0]
+    # ceil(0.05*20)=1 → p_lo is the minimum of the sorted set (-1e6
+    # itself occupies rank 1), ceil(0.95*20)=19 → p_hi clamps the 1e6
+    assert r["p_hi"] == 18.0
+    assert r["n_rows"] == 20
+    # the +1e6 outlier is pulled down to 18; mean is finite and sane
+    assert r["winsorized_mean"] < 100.0

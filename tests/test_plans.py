@@ -263,3 +263,23 @@ def test_video_frame_scan_single_decode_pass(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_winsorized_single_group_exchange(spark):
+    """ALL stages — both window passes (rank+count, bound attach) AND
+    the final aggregate — must share ONE hash exchange on the group
+    key: the agg's required distribution is already satisfied by the
+    window's partitioning, so Catalyst plans no second shuffle and no
+    join."""
+    plan = plan_str(REGISTRY["winsorized_priority_spend"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_skew_profile_no_global_sort(spark):
+    """The skew profile must top-N via TakeOrderedAndProject (never a
+    full sort of the key dictionary) and carry the totals as a
+    broadcast scalar, not a shuffle join."""
+    plan = plan_str(REGISTRY["event_key_skew_profile"].fn(spark, SF_SMOKE), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
