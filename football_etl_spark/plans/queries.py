@@ -4539,6 +4539,137 @@ def winsorized_priority_spend(spark, sf_dir):
     return windows.winsorized_stats(o, "o_orderpriority", "o_totalprice")
 
 
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="TPC-H Q13-shaped customer order-count distribution: LEFT "
+    "join customer→orders with the priority filter INSIDE the join "
+    "(zero-order customers must survive with count 0 — a WHERE would "
+    "silently drop them, the classic outer-join-filter bug), "
+    "COUNT(o_orderkey) ignores the null-extended rows, then a second "
+    "aggregation folds per-customer counts into the distribution "
+    "histogram. Two partial-combined aggregations; the orders side "
+    "is pre-filtered before the join so only surviving rows shuffle",
+)
+def customer_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15-shaped top supplier by quarterly revenue — the "
+    "argmax-via-scalar-subquery shape: aggregate revenue per "
+    "supplier (decimal-exact, so the equality against MAX is "
+    "deterministic cross-engine — argmax on float-accumulated sums "
+    "is the classic nondeterminism trap), broadcast the 1-row MAX "
+    "back over the aggregate, keep the row(s) that attain it, "
+    "enrich from the supplier dim. One fact shuffle (suppkey "
+    "groupBy); everything after operates on supplier-cardinality "
+    "data",
+)
+def top_revenue_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev", 4)
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .select("l_suppkey", "total_rev")
+    )
+    return s.join(F.broadcast(top), s.s_suppkey == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", "total_rev"
+    )
+
+
+@query(
+    "nation_profit_trend",
+    oracle="""
+    SELECT n_name,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - l_quantity * p_retailprice * 0.1
+                         AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+    doc="TPC-H Q9-shaped profit star-join: lineitem at the center of "
+    "a 5-table join — part (name-filtered, broadcast), supplier + "
+    "nation (broadcast dim chain), orders (the one FACT-fact join, "
+    "shuffled on the shared orderkey) — profit = revenue minus a "
+    "retail-price cost surrogate (the reference schema has no "
+    "partsupp), decimal-exact, grouped by nation and order year. "
+    "The shape that exposes join-ORDER planning: dims must broadcast "
+    "into the fact scan before the fact-fact shuffle, never after",
+)
+def nation_profit_trend(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * F.col("p_retailprice") * 0.1
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_dec_sum(profit, "profit", 4))
+    )
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

@@ -283,3 +283,33 @@ def test_skew_profile_no_global_sort(spark):
     plan = plan_str(REGISTRY["event_key_skew_profile"].fn(spark, SF_SMOKE), "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_order_distribution_two_aggs_outer_join(spark):
+    """Q13 shape: the priority filter lives in the JOIN (zero-order
+    customers survive), then exactly two aggregation exchanges —
+    per-customer count and the distribution fold."""
+    plan = plan_str(REGISTRY["customer_order_distribution"].fn(spark, SF_SMOKE), "simple")
+    assert "LeftOuter" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_top_supplier_argmax_is_broadcast_equality(spark):
+    """Q15 shape: the MAX scalar must come back as a broadcast (1-row
+    by construction) keyed on the normalized double — never a sort of
+    the whole aggregate or a shuffle join against it."""
+    plan = plan_str(REGISTRY["top_revenue_supplier"].fn(spark, SF_SMOKE), "simple")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "GlobalLimit" not in plan, plan  # argmax ≠ order-by-limit here
+
+
+def test_profit_star_broadcasts_all_dims(spark):
+    """Q9 shape: part/supplier/nation must all broadcast into the
+    lineitem scan side (no dim ever shuffles the fact), and the
+    p_name contains-filter must reach the part scan."""
+    plan = plan_str(REGISTRY["nation_profit_trend"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    fmt = plan_str(REGISTRY["nation_profit_trend"].fn(spark, SF_SMOKE))
+    assert "StringContains(p_name,widget)" in fmt, fmt
