@@ -72,10 +72,10 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str) -> float:
+def run_query(spark, name: str, sf_dir: str | None = None) -> float:
     fn = REGISTRY[name].fn
     t0 = time.perf_counter()
-    fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    fn(spark, sf_dir or SF_DIR).write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
 
 

@@ -4670,6 +4670,63 @@ def nation_profit_trend(spark, sf_dir):
     )
 
 
+@query(
+    "sole_blame_late_suppliers",
+    oracle="""
+    SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q21-shaped sole-blame late suppliers: for multi-"
+    "supplier orders, find the supplier whose line shipped >60 days "
+    "after the order date while EVERY other supplier's lines were on "
+    "time, counted per supplier. The ORACLE keeps Q21's literal "
+    "double-correlated EXISTS + NOT-EXISTS (three scans of lineitem "
+    "correlated through orders); the Spark plan REWRITES it into ONE "
+    "grouped pass over the orderkey-co-partitioned join — per order: "
+    "distinct suppliers, distinct LATE suppliers, and (when exactly "
+    "one) that supplier — then filters n_supp>=2 AND n_late=1. "
+    "Hash-equality between the two formulations certifies the "
+    "rewrite; at 100 TB the rewrite replaces two extra correlated "
+    "fact scans+joins with aggregate state per order",
+)
+def sole_blame_late_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+        .select("s_name", "numwait")
+    )
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

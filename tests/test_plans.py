@@ -313,3 +313,14 @@ def test_profit_star_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in plan, plan
     fmt = plan_str(REGISTRY["nation_profit_trend"].fn(spark, SF_SMOKE))
     assert "StringContains(p_name,widget)" in fmt, fmt
+
+
+def test_sole_blame_rewrite_single_fact_pass(spark):
+    """Q21 shape: the double-correlated EXISTS/NOT-EXISTS must NOT
+    plan as three lineitem scans with correlated joins — the grouped
+    rewrite reads lineitem ONCE, aggregates per order, and finishes
+    on supplier-cardinality data (TakeOrderedAndProject top-N)."""
+    plan = plan_str(REGISTRY["sole_blame_late_suppliers"].fn(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
