@@ -324,3 +324,14 @@ def test_sole_blame_rewrite_single_fact_pass(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_two_scans_window_df(spark):
+    """BM25: exactly TWO corpus scans (postings + the reduced stats
+    aggregate) — doc-frequency must come from the count window over
+    term-partitioned postings, not a groupBy relation that re-runs
+    the tokenize subtree; the top-5 must push into WindowGroupLimit."""
+    plan = plan_str(REGISTRY["bm25_topk_docs"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
