@@ -78,10 +78,14 @@ def main() -> None:
         "UDFs (must be 0 everywhere); scan pushdown flags.",
         "",
         "Sanctioned SMJs: the connected-components label joins",
-        "(near_dup/minhash/canonical clusters — both sides pair-scale)",
-        "and the full-outer reconciliation (full outer cannot build a",
-        "broadcast hash side). Sanctioned cart/BNLJ: the explicitly",
-        "broadcast bounded sides listed in test_plans.py.",
+        "(near_dup/minhash/canonical clusters — both sides pair-scale),",
+        "the full-outer reconciliation (full outer cannot build a",
+        "broadcast hash side), and incremental_corpus_dedup's verdict",
+        "left-join (both sides increment-sized — co-shuffling them on",
+        "new_id is the correct plan at any increment size). Sanctioned",
+        "cart/BNLJ: the explicitly broadcast bounded sides listed in",
+        "test_plans.py, plus 1-row scalar broadcasts (doc-count /",
+        "threshold / totals patterns).",
         "",
         "| query | shuffles | BHJ | SMJ | cart/BNLJ | arrow | pandas-map | row-udf | pushed | part-pruned |",
         "|---|---|---|---|---|---|---|---|---|---|",
