@@ -80,3 +80,82 @@ def test_clean_number_parse_or_null(spark, values):
             continue
         if v is not None and abs(expect) < 1e15:
             assert v == pytest.approx(expect)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_winsorized_stats_matches_reference_clamp(spark, vals):
+    """For any value multiset: the bounds are the exact rank-based
+    order statistics (value at row ceil(q*n) of the ascending sort),
+    and the winsorized mean equals the 2dp-exact mean of the clamped
+    values — verified against a pure-Python reference."""
+    import math
+
+    from football_etl_spark.operators.windows import winsorized_stats
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "grp string, v double")
+    r = winsorized_stats(df, "grp", "v").collect()[0]
+    sv = sorted(vals)
+    n = len(sv)
+    p_lo = sv[math.ceil(0.05 * n) - 1]
+    p_hi = sv[math.ceil(0.95 * n) - 1]
+    assert r["p_lo"] == p_lo and r["p_hi"] == p_hi
+    clamped = [max(p_lo, min(p_hi, v)) for v in vals]
+    expect = sum(round(c * 100) for c in clamped) / 100.0 / n
+    assert abs(r["winsorized_mean"] - expect) < 1e-9
+    assert p_lo <= r["winsorized_mean"] <= p_hi or n < 2
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=60)
+)
+@settings(**_SETTINGS)
+def test_key_skew_profile_shares_and_total(spark, keys):
+    """Shares must sum to 100% when every key fits in top_n, counts
+    must sum to the relation size, and hot flags must agree with the
+    1.5x-mean rule computed independently."""
+    from football_etl_spark.operators.scale import key_skew_profile
+
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "id long, k string")
+    rows = key_skew_profile(df, "k", top_n=10).collect()
+    assert sum(r["n"] for r in rows) == len(keys)
+    assert abs(sum(r["share_pct"] for r in rows) - 100.0) < 1e-9
+    n_keys = len(set(keys))
+    mean_load = len(keys) / n_keys
+    for r in rows:
+        assert r["is_hot"] == (r["n"] > 1.5 * mean_load)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(**_SETTINGS)
+def test_incremental_dedup_verdict_per_incoming_doc(spark, seed):
+    """Whatever the corpus/incoming split, the verdict relation has
+    EXACTLY one row per incoming doc, dup rows carry a match + a
+    jaccard >= threshold, and novel rows carry nulls."""
+    import random
+
+    from football_etl_spark.operators import dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(40))  # noqa: E731
+    corpus_rows = [(i, mk()) for i in range(1, 6)]
+    incoming_rows = [(10 + i, mk()) for i in range(3)]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    incoming = spark.createDataFrame(incoming_rows, ["doc_id", "text"])
+    out = dedup.incremental_minhash_dedup(corpus, incoming, threshold=0.5).collect()
+    assert sorted(r["new_id"] for r in out) == sorted(i for i, _ in incoming_rows)
+    for r in out:
+        if r["is_dup"]:
+            assert r["best_match_id"] in {i for i, _ in corpus_rows}
+            assert r["best_jaccard"] >= 0.5
+        else:
+            assert r["best_match_id"] is None and r["best_jaccard"] is None
