@@ -4863,6 +4863,95 @@ def bm25_topk_docs(spark, sf_dir):
     )
 
 
+@query(
+    "variant_event_facts",
+    oracle="""
+    WITH payloads AS (
+      SELECT printf('{"meta":{"uid":%d,"kind":"%s"},"ids":[%d,%d],"odd":%s}',
+                    user_id, event_type, event_id, user_id,
+                    CASE WHEN event_id % 2 = 1 THEN 'true' ELSE 'false' END)
+               AS payload
+      FROM events
+    ),
+    extracted AS (
+      SELECT payload->>'$.meta.kind' AS kind,
+             TRY_CAST(payload->>'$.meta.uid' AS BIGINT) AS uid,
+             TRY_CAST(payload->>'$.ids[0]' AS BIGINT) AS first_id,
+             payload->>'$.odd' = 'true' AS odd
+      FROM payloads
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(uid) AS BIGINT) AS sum_uid,
+           CAST(SUM(CASE WHEN odd THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
+           CAST(SUM(first_id) AS BIGINT) AS sum_first_id
+    FROM extracted GROUP BY kind
+    """,
+    doc="semi-structured ingestion through Spark 4's VARIANT type — "
+    "the LATE-BINDING twin of nested_event_flatten's declared-schema "
+    "from_json: a nested JSON payload (object, array, boolean) built "
+    "JVM-side per event, parsed ONCE into a variant with parse_json, "
+    "then typed-path access via try_variant_get ($.meta.uid as long, "
+    "$.ids[0] by array index, $.odd as boolean) and a grouped "
+    "aggregate over the extracted facts. Variant keeps the parsed "
+    "binary form through the plan — re-extracting N paths does not "
+    "re-parse N times, the exact trap the from_json entry needed an "
+    "observe() boundary for. Both engines parse the IDENTICAL string "
+    "with their own real JSON machinery",
+)
+def variant_event_facts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    payload = F.format_string(
+        '{"meta":{"uid":%d,"kind":"%s"},"ids":[%d,%d],"odd":%s}',
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.when(F.col("event_id") % 2 == 1, F.lit("true")).otherwise(F.lit("false")),
+    )
+    v = F.parse_json(payload)
+    ext = ev.select(
+        F.try_variant_get(v, "$.meta.kind", "string").alias("kind"),
+        F.try_variant_get(v, "$.meta.uid", "long").alias("uid"),
+        F.try_variant_get(v, "$.ids[0]", "long").alias("first_id"),
+        F.try_variant_get(v, "$.odd", "boolean").alias("odd"),
+    )
+    return ext.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("uid").alias("sum_uid"),
+        F.sum(F.when(F.col("odd"), 1).otherwise(0)).alias("n_odd"),
+        F.sum("first_id").alias("sum_first_id"),
+    )
+
+
+@query(
+    "except_dormant_segment",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    """,
+    doc="EXCEPT set difference (§2.6 completes the set-op trio with "
+    "union and intersect): BUILDING-segment customers minus everyone "
+    "who ordered since mid-2000 — the recency filter pushes to the "
+    "orders scan and the subtrahend side carries only the join "
+    "column. Catalyst plans EXCEPT as a left-anti join over "
+    "distinct rows — the same shape the engine already proves "
+    "scale-right for NOT EXISTS",
+)
+def except_dormant_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.subtract(recent)  # EXCEPT (distinct) semantics
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

@@ -335,3 +335,22 @@ def test_bm25_two_scans_window_df(spark):
     assert plan.count("FileScan parquet") == 2, plan
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_variant_extraction_is_map_only(spark):
+    """The variant path extraction + grouped aggregate is one scan →
+    project → partial-agg plan: no join, a single hash exchange, and
+    the variant parse stays inside the projection (no Python)."""
+    plan = plan_str(REGISTRY["variant_event_facts"].fn(spark, SF_SMOKE), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_except_plans_as_anti_join(spark):
+    """EXCEPT must compile to a left-anti join over distinct rows with
+    the recency filter pushed to the orders scan — never a full
+    materialized set difference."""
+    plan = plan_str(REGISTRY["except_dormant_segment"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-06-01" in plan, plan
