@@ -12,6 +12,7 @@ row 1), asserted field-for-field against that committed row.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import pytest
@@ -148,3 +149,64 @@ def test_required_fields_drop(spark):
     df = spark.createDataFrame(rows, "event_json string")
     out = flatten_api_events(df)
     assert [r["id"] for r in out.collect()] == ["3"]
+
+
+def test_raw_dump_datasource_end_to_end(spark):
+    """The custom Python DataSource must expose the reference's raw
+    capture directory as a partitioned relation (one partition per
+    daily file), and feed the existing peel→explode→flatten chain
+    unchanged — the acquisition layer as a first-class Spark source."""
+    from football_etl_spark.io.dump_source import RawDumpDataSource
+    from football_etl_spark.operators import ingest
+
+    spark.dataSource.register(RawDumpDataSource)
+    raw_dir = str(RAW_DUMP.parent)
+    n_files = len([f for f in os.listdir(raw_dir)
+                   if f.startswith("api_response_") and f.endswith(".txt")])
+    df = (
+        spark.read.format("raw_api_dumps")
+        .option("path", raw_dir)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == n_files  # one row per daily capture
+    assert df.rdd.getNumPartitions() == n_files  # one partition per file
+    dates = [r["capture_date"] for r in rows]
+    assert all(d and len(d) == 10 for d in dates)
+    # the committed captures are TRUNCATED debug dumps — the chain
+    # must degrade to zero rows, never raise (the graceful contract)
+    one = df.filter(df.capture_date == "2025-05-23").select(
+        ingest.extract_dump_content("raw").alias("content")
+    )
+    events = ingest.explode_api_envelope(one, "content")
+    assert ingest.flatten_api_events(events, "event_json").count() == 0
+
+
+def test_raw_dump_datasource_well_formed_capture(spark, tmp_path):
+    """A well-formed capture read through the custom source flattens
+    to the reference's committed row — the full acquisition chain
+    (source → peel → explode → flatten) on one relation."""
+    from football_etl_spark.io.dump_source import RawDumpDataSource
+    from football_etl_spark.operators import ingest
+
+    spark.dataSource.register(RawDumpDataSource)
+    dump = (
+        "Status: 200\nHeaders: {'Content-Type': 'application/json'}\n"
+        'Content: {"events":[' + COMPLETE_EVENT + "]}"
+    )
+    (tmp_path / "api_response_2025-01-01.txt").write_text(dump)
+    df = (
+        spark.read.format("raw_api_dumps")
+        .option("path", str(tmp_path))
+        .load()
+        .select(
+            "capture_date", ingest.extract_dump_content("raw").alias("content")
+        )
+    )
+    flat = ingest.flatten_api_events(
+        ingest.explode_api_envelope(df, "content"), "event_json"
+    )
+    row = flat.first().asDict()
+    assert row["home_team"] == "APO Levadiakos"
+    assert row["away_team"] == "NPS Volos"
+    assert row["country"] == "Greece"
