@@ -4952,6 +4952,159 @@ def except_dormant_segment(spark, sf_dir):
     return building.subtract(recent)  # EXCEPT (distinct) semantics
 
 
+@query(
+    "returned_item_losses",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-shaped returned-item losses: revenue lost to "
+    "returns per customer in a quarter, top-20. Both scan filters "
+    "(quarter, returnflag='R') push to parquet; the quarter-filtered "
+    "orders slice broadcasts into the lineitem scan, the per-custkey "
+    "aggregate (decimal-exact) is customer-bounded, and THAT small "
+    "result broadcasts into customer⋈nation for enrichment — the "
+    "fact tables never shuffle for the dims — finishing in "
+    "TakeOrderedAndProject",
+)
+def returned_item_losses(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(_dec_sum(rev, "revenue", 4))
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(per_cust), c.c_custkey == F.col("o_custkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+    )
+
+
+@query(
+    "major_revenue_parts",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS part_rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(ROUND(part_rev * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS total_scaled
+      FROM per_part
+    )
+    SELECT l_partkey, part_rev,
+           part_rev / (total_scaled / 10000.0) AS rev_share
+    FROM per_part, tot
+    WHERE part_rev > 0.0005 * (total_scaled / 10000.0)
+    """,
+    doc="TPC-H Q11-shaped share-of-global-total filter: per-part "
+    "revenue kept only when it exceeds a fraction of TOTAL revenue — "
+    "the HAVING-against-a-scalar-subquery shape. The total re-"
+    "aggregates the per-part sums as 1e-4-scaled longs (part_rev "
+    "values are exact 4dp multiples, so the long re-sum is exact and "
+    "ORDER-INDEPENDENT — a double re-sum would be the classic "
+    "nondeterminism trap), crosses back as a 1-row broadcast, and "
+    "the share/threshold are single IEEE ops on identical operands. "
+    "One fact shuffle; everything after is part-cardinality",
+)
+def major_revenue_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(_dec_sum(rev, "part_rev", 4))
+    tot = per_part.agg(
+        F.sum(F.round(F.col("part_rev") * 10000).cast("long")).alias("total_scaled")
+    )
+    total = F.col("total_scaled") / F.lit(10000.0)
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_rev") > F.lit(0.0005) * total)
+        .select(
+            "l_partkey",
+            "part_rev",
+            (F.col("part_rev") / total).alias("rev_share"),
+        )
+    )
+
+
+@query(
+    "small_quantity_part_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             SUM(l_quantity) / COUNT(*) AS part_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        AS avg_yearly
+    FROM lineitem
+    JOIN part    ON p_partkey = l_partkey
+    JOIN avg_qty ON avg_qty.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < 0.2 * part_avg_qty
+    """,
+    doc="TPC-H Q17-shaped small-quantity revenue: lines whose "
+    "quantity is below 20% of their part's average quantity — the "
+    "correlated per-group scalar subquery, decorrelated into an "
+    "aggregate join-back (the rewrite every optimizer must make; "
+    "Spark's DataFrame form IS the rewrite). The per-part average is "
+    "exact cross-engine because quantities are integral doubles "
+    "(exact sum in any order) divided once by an exact count; the "
+    "brand filter pushes to the part scan and the per-part averages "
+    "join back via the partkey equi-join. At 100 TB both the avg "
+    "build and the probe are partkey-local — one co-keyed shuffle "
+    "pair, no correlated re-scan per row",
+)
+def small_quantity_part_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("part_avg_qty")
+    ).withColumnRenamed("l_partkey", "ap_partkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("part_avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0))
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+        )
+    )
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

@@ -354,3 +354,36 @@ def test_except_plans_as_anti_join(spark):
     plan = plan_str(REGISTRY["except_dormant_segment"].fn(spark, SF_SMOKE))
     assert "LeftAnti" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate,2000-06-01" in plan, plan
+
+
+def test_returned_losses_dims_broadcast_fact_agg_first(spark):
+    """Q10 shape: the quarter-filtered orders slice and the
+    customer-bounded aggregate must both be BROADCAST sides; the two
+    pushed filters (quarter, returnflag) reach their scans; the
+    top-20 is TakeOrderedAndProject."""
+    plan = plan_str(REGISTRY["returned_item_losses"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,1998-01-01" in plan, plan
+
+
+def test_major_parts_total_is_scalar_broadcast(spark):
+    """Q11 shape: the global total must cross as a 1-row broadcast
+    over the per-part aggregate — one fact shuffle total, no second
+    scan of lineitem (the total derives from the aggregate, but
+    Catalyst re-runs the subtree for the scalar branch: assert the
+    fact is scanned at most twice and never joined shuffled)."""
+    plan = plan_str(REGISTRY["major_revenue_parts"].fn(spark, SF_SMOKE), "simple")
+    assert "IdentityBroadcastMode" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("FileScan parquet") <= 2, plan
+
+
+def test_small_quantity_decorrelated_join_back(spark):
+    """Q17 shape: the correlated per-part average must be a plain
+    aggregate joined back on partkey — no per-row re-scan, no
+    cartesian; the brand filter reaches the part scan."""
+    plan = plan_str(REGISTRY["small_quantity_part_revenue"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "EqualTo(p_brand,Brand#23)" in plan, plan
