@@ -1,0 +1,184 @@
+"""Differential query fuzzing: random relational queries, two engines.
+
+Hypothesis generates small query ASTs — nested AND/OR/NOT predicates
+over the orders table, optional group-by keys, a draw of aggregate
+functions — and each AST is rendered TWICE from the same nodes: once
+as a Spark Column/DataFrame plan, once as DuckDB SQL. The results
+must match exactly (row count, schema, order-insensitive values)
+under tests/oracle_harness.compare, the same discipline as the
+driver's correctness gate.
+
+This is the adversarial complement of the hand-written registry
+oracles: instead of 100+ curated queries, it samples the
+predicate/aggregate space at random, so expression-semantics
+divergences (null handling, comparison edges, aggregate typing) that
+no curated query happens to hit still get caught. Exactness rules
+follow the registry policy: float columns only face inequality
+comparisons against 2dp constants, sums go through the scaled-long /
+DECIMAL pair, averages are exact-sum / exact-count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from football_etl_spark.plans.queries import REGISTRY, _t  # noqa: F401
+from football_etl_spark.io.loader import load_table
+
+from .conftest import SF_SMOKE
+from .oracle_harness import compare
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_STATUSES = ["F", "O", "P"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+# ---- predicate AST ---------------------------------------------------------
+
+_leaf = st.one_of(
+    st.tuples(
+        st.just("price_cmp"),
+        st.sampled_from([">", "<", ">=", "<="]),
+        st.integers(min_value=1000, max_value=400000).map(lambda v: v / 2.0),
+    ),
+    st.tuples(st.just("status_eq"), st.sampled_from(_STATUSES)),
+    st.tuples(
+        st.just("priority_in"),
+        st.lists(st.sampled_from(_PRIORITIES), min_size=1, max_size=3, unique=True),
+    ),
+    st.tuples(
+        st.just("custkey_mod"),
+        st.integers(min_value=2, max_value=7),
+        st.integers(min_value=0, max_value=6),
+    ),
+    st.tuples(
+        st.just("date_ge"),
+        st.sampled_from(["1996-01-01", "1998-06-15", "2000-01-01"]),
+    ),
+)
+
+_predicate = st.recursive(
+    _leaf,
+    lambda children: st.one_of(
+        st.tuples(st.just("and"), children, children),
+        st.tuples(st.just("or"), children, children),
+        st.tuples(st.just("not"), children),
+    ),
+    max_leaves=4,
+)
+
+
+def _pred_sql(node) -> str:
+    kind = node[0]
+    if kind == "price_cmp":
+        return f"(o_totalprice {node[1]} {node[2]!r})"
+    if kind == "status_eq":
+        return f"(o_orderstatus = '{node[1]}')"
+    if kind == "priority_in":
+        vals = ", ".join(f"'{v}'" for v in node[1])
+        return f"(o_orderpriority IN ({vals}))"
+    if kind == "custkey_mod":
+        return f"(o_custkey % {node[1]} = {node[2]})"
+    if kind == "date_ge":
+        return f"(o_orderdate >= TIMESTAMP '{node[1]} 00:00:00')"
+    if kind == "and":
+        return f"({_pred_sql(node[1])} AND {_pred_sql(node[2])})"
+    if kind == "or":
+        return f"({_pred_sql(node[1])} OR {_pred_sql(node[2])})"
+    if kind == "not":
+        return f"(NOT {_pred_sql(node[1])})"
+    raise AssertionError(kind)
+
+
+def _pred_col(node):
+    kind = node[0]
+    if kind == "price_cmp":
+        op, v = node[1], node[2]
+        c = F.col("o_totalprice")
+        return {"<": c < v, ">": c > v, "<=": c <= v, ">=": c >= v}[op]
+    if kind == "status_eq":
+        return F.col("o_orderstatus") == node[1]
+    if kind == "priority_in":
+        return F.col("o_orderpriority").isin(*node[1])
+    if kind == "custkey_mod":
+        return F.col("o_custkey") % node[1] == node[2]
+    if kind == "date_ge":
+        return F.col("o_orderdate") >= F.lit(f"{node[1]} 00:00:00").cast("timestamp")
+    if kind == "and":
+        return _pred_col(node[1]) & _pred_col(node[2])
+    if kind == "or":
+        return _pred_col(node[1]) | _pred_col(node[2])
+    if kind == "not":
+        return ~_pred_col(node[1])
+    raise AssertionError(kind)
+
+
+# ---- aggregate draw --------------------------------------------------------
+
+_AGGS = {
+    "n": (
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        lambda: F.count(F.lit(1)).alias("n"),
+    ),
+    "sum_price": (
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price",
+        lambda: (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
+        ).alias("sum_price"),
+    ),
+    "min_price": (
+        "MIN(o_totalprice) AS min_price",
+        lambda: F.min("o_totalprice").alias("min_price"),
+    ),
+    "max_price": (
+        "MAX(o_totalprice) AS max_price",
+        lambda: F.max("o_totalprice").alias("max_price"),
+    ),
+    "n_cust": (
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust",
+        lambda: F.countDistinct("o_custkey").alias("n_cust"),
+    ),
+    "avg_price": (
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+        " AS avg_price",
+        lambda: (
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0))
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+    ),
+}
+
+_agg_draw = st.lists(
+    st.sampled_from(sorted(_AGGS)), min_size=1, max_size=3, unique=True
+)
+_group_draw = st.sampled_from(
+    [(), ("o_orderstatus",), ("o_orderpriority",), ("o_orderstatus", "o_orderpriority")]
+)
+
+
+@given(pred=_predicate, aggs=_agg_draw, keys=_group_draw)
+@settings(**_SETTINGS)
+def test_random_query_matches_duckdb(spark, pred, aggs, keys):
+    where = _pred_sql(pred)
+    select_cols = list(keys) + [_AGGS[a][0] for a in aggs]
+    sql = f"SELECT {', '.join(select_cols)} FROM orders WHERE {where}"
+    if keys:
+        sql += f" GROUP BY {', '.join(keys)}"
+
+    df = load_table(spark, SF_SMOKE, "orders").filter(_pred_col(pred))
+    agg_cols = [_AGGS[a][1]() for a in aggs]
+    sdf = df.groupBy(*keys).agg(*agg_cols) if keys else df.agg(*agg_cols)
+    sdf = sdf.select(*list(keys), *[a for a in aggs])
+
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"AST={pred!r} aggs={aggs} keys={keys}\n" + "\n".join(problems)
