@@ -182,3 +182,47 @@ def test_random_query_matches_duckdb(spark, pred, aggs, keys):
 
     problems = compare(sdf, sql, SF_SMOKE)
     assert not problems, f"AST={pred!r} aggs={aggs} keys={keys}\n" + "\n".join(problems)
+
+
+# ---- join-shaped fuzz ------------------------------------------------------
+
+_JOIN_AGGS = {
+    "n": _AGGS["n"],
+    "sum_price": _AGGS["sum_price"],
+    "n_cust": _AGGS["n_cust"],
+}
+_join_group = st.sampled_from(
+    [("c_mktsegment",), ("o_orderstatus",), ("c_mktsegment", "o_orderstatus")]
+)
+_join_aggs = st.lists(
+    st.sampled_from(sorted(_JOIN_AGGS)), min_size=1, max_size=2, unique=True
+)
+_acctbal_cut = st.integers(min_value=-900, max_value=9000).map(lambda v: v / 2.0)
+
+
+@given(pred=_predicate, aggs=_join_aggs, keys=_join_group, cut=_acctbal_cut)
+@settings(**_SETTINGS)
+def test_random_join_query_matches_duckdb(spark, pred, aggs, keys, cut):
+    """Join-shaped differential fuzz: a random orders predicate AND a
+    random customer-side balance cut, joined on custkey, grouped on a
+    random mix of keys from BOTH sides — exercising predicate
+    placement across a join, null-free equi-join semantics, and
+    aggregate typing over joined relations."""
+    where = _pred_sql(pred)
+    select_cols = list(keys) + [_JOIN_AGGS[a][0] for a in aggs]
+    sql = (
+        f"SELECT {', '.join(select_cols)} "
+        f"FROM orders JOIN customer ON c_custkey = o_custkey "
+        f"WHERE {where} AND c_acctbal > {cut!r} "
+        f"GROUP BY {', '.join(keys)}"
+    )
+    o = load_table(spark, SF_SMOKE, "orders").filter(_pred_col(pred))
+    c = load_table(spark, SF_SMOKE, "customer").filter(F.col("c_acctbal") > cut)
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    sdf = j.groupBy(*keys).agg(*[_JOIN_AGGS[a][1]() for a in aggs]).select(
+        *list(keys), *[a for a in aggs]
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"AST={pred!r} aggs={aggs} keys={keys} cut={cut}\n" + "\n".join(
+        problems
+    )
