@@ -226,3 +226,68 @@ def test_random_join_query_matches_duckdb(spark, pred, aggs, keys, cut):
     assert not problems, f"AST={pred!r} aggs={aggs} keys={keys} cut={cut}\n" + "\n".join(
         problems
     )
+
+
+# ---- window-shaped fuzz ----------------------------------------------------
+
+_WINDOWS = {
+    "rn": (
+        "ROW_NUMBER() OVER w",
+        lambda w: F.row_number().over(w),
+    ),
+    "rnk": (
+        "RANK() OVER w",
+        lambda w: F.rank().over(w),
+    ),
+    "drnk": (
+        "DENSE_RANK() OVER w",
+        lambda w: F.dense_rank().over(w),
+    ),
+    "lag_price": (
+        "LAG(o_totalprice, 1) OVER w",
+        lambda w: F.lag("o_totalprice", 1).over(w),
+    ),
+    "run_n": (
+        "CAST(COUNT(*) OVER w AS BIGINT)",
+        lambda w: F.count(F.lit(1)).over(w).cast("long"),
+    ),
+}
+_win_fns = st.lists(
+    st.sampled_from(sorted(_WINDOWS)), min_size=1, max_size=3, unique=True
+)
+_win_part = st.sampled_from([(), ("o_orderstatus",), ("o_orderpriority",)])
+_win_dir = st.sampled_from(["ASC", "DESC"])
+
+
+@given(pred=_predicate, fns=_win_fns, part=_win_part, direction=_win_dir)
+@settings(**_SETTINGS)
+def test_random_window_query_matches_duckdb(spark, pred, fns, part, direction):
+    """Window-shaped differential fuzz over a TOTAL order (price then
+    the unique orderkey) so ranking/lag results are deterministic —
+    exercising frame defaults, partition clauses, and tie semantics
+    across engines."""
+    from pyspark.sql import Window
+
+    where = _pred_sql(pred)
+    part_sql = f"PARTITION BY {', '.join(part)} " if part else ""
+    over = (
+        f"({part_sql}ORDER BY o_totalprice {direction}, o_orderkey ASC)"
+    )
+    sel = ", ".join(
+        f"{_WINDOWS[f][0].replace('OVER w', 'OVER ' + over)} AS {f}" for f in fns
+    )
+    sql = f"SELECT o_orderkey, {sel} FROM orders WHERE {where}"
+
+    order_cols = [
+        F.col("o_totalprice").desc() if direction == "DESC" else F.col("o_totalprice").asc(),
+        F.col("o_orderkey").asc(),
+    ]
+    w = Window.partitionBy(*part).orderBy(*order_cols)
+    df = load_table(spark, SF_SMOKE, "orders").filter(_pred_col(pred))
+    sdf = df.select(
+        "o_orderkey", *[_WINDOWS[f][1](w).alias(f) for f in fns]
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"AST={pred!r} fns={fns} part={part} {direction}\n" + "\n".join(
+        problems
+    )
