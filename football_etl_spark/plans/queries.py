@@ -1771,6 +1771,39 @@ def audio_decode_wav(spark, sf_dir):
 _Y4M_Y8_SQL = " + ".join(f"((doc_id % 256 + f + {i}) % 256)" for i in range(8))
 
 
+def _ppm_ch_sql(ch: int) -> str:
+    # channel ch of pixel i sits at ramp offset seed + 3i + ch
+    return " + ".join(f"((doc_id % 256 + {3 * i + ch}) % 256)" for i in range(8))
+
+
+@query(
+    "multimodal_decode_ppm",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(8 + LENGTH(text) % 24 AS INT) AS width,
+           CAST(8 + (LENGTH(text) * 3) % 24 AS INT) AS height,
+           CAST(({_ppm_ch_sql(0)}) AS BIGINT) AS r8_sum,
+           CAST(({_ppm_ch_sql(1)}) AS BIGINT) AS g8_sum,
+           CAST(({_ppm_ch_sql(2)}) AS BIGINT) AS b8_sum
+    FROM documents
+    """,
+    doc="COLOR image pipeline over REAL binary PPM (P6) bytes — the "
+    "fifth real media format and the first with CHANNELS: "
+    "render_ppm_payload builds an interleaved-RGB NetPBM image per "
+    "document JVM-side, decode_color_image parses the header and "
+    "DE-INTERLEAVES the triplets in one Arrow mapInPandas pass, "
+    "emitting integer-exact per-channel sums (r8/g8/b8 differ "
+    "because each channel samples a different ramp phase — proof the "
+    "planes were actually separated, not hashed). The oracle "
+    "rebuilds every channel's facts with closed-form arithmetic "
+    "(operators/multimodal.py render_ppm_payload/decode_color_image)",
+)
+def multimodal_decode_ppm(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.render_ppm_payload(d, "doc_id", "text")
+    return multimodal.decode_color_image(media)
+
+
 @query(
     "video_frame_scan",
     oracle=f"""

@@ -843,3 +843,46 @@ def test_winsorized_mean_clamps_outliers(spark):
     assert r["n_rows"] == 20
     # the +1e6 outlier is pulled down to 18; mean is finite and sane
     assert r["winsorized_mean"] < 100.0
+
+
+def test_ppm_render_decode_round_trip(spark):
+    """render_ppm_payload must emit a structurally valid binary P6
+    (independent re-parse here), and decode_color_image must recover
+    each DE-INTERLEAVED channel plane exactly."""
+    import re
+
+    from football_etl_spark.operators import multimodal
+    from football_etl_spark.plans.queries import _t
+    from tests.conftest import SF_ORACLE
+
+    d = _t(spark, SF_ORACLE, "documents").limit(12)
+    media = multimodal.render_ppm_payload(d, "doc_id", "text")
+    rows = media.collect()
+    for r in rows[:4]:
+        b = bytes(r["payload"])
+        m = re.match(rb"^P6\n(\d+) (\d+)\n255\n", b)
+        assert m, b[:30]
+        w, h = int(m.group(1)), int(m.group(2))
+        px = b[m.end():]
+        seed = r["media_id"] % 256
+        assert px == bytes((seed + i) % 256 for i in range(3 * w * h))
+    decoded = {r["media_id"]: r for r in multimodal.decode_color_image(media).collect()}
+    for r in rows:
+        dr = decoded[r["media_id"]]
+        seed = r["media_id"] % 256
+        for ch, col in enumerate(("r8_sum", "g8_sum", "b8_sum")):
+            assert dr[col] == sum((seed + 3 * i + ch) % 256 for i in range(8))
+
+
+def test_decode_color_image_corrupt_payloads_yield_nulls(spark):
+    from football_etl_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(b"P5\n4 4\n255\n" + b"x" * 16)),  # grayscale, not P6
+        (2, bytearray(b"P6\n4 4\n255\nxx")),            # truncated plane
+        (3, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.decode_color_image(df).collect()
+    assert len(out) == 3
+    assert all(r["r8_sum"] is None and r["width"] is None for r in out)

@@ -387,3 +387,11 @@ def test_small_quantity_decorrelated_join_back(spark):
     plan = plan_str(REGISTRY["small_quantity_part_revenue"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert "EqualTo(p_brand,Brand#23)" in plan, plan
+
+
+def test_ppm_decode_single_pass(spark):
+    """Color decode is render→decode in ONE map-only Arrow pass."""
+    plan = plan_str(REGISTRY["multimodal_decode_ppm"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
