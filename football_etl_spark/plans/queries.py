@@ -5138,6 +5138,123 @@ def small_quantity_part_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE ((cn.n_name = 'NATION_19' AND sn.n_name = 'NATION_18')
+        OR (cn.n_name = 'NATION_18' AND sn.n_name = 'NATION_19'))
+    GROUP BY cn.n_name, sn.n_name, YEAR(l_shipdate)
+    """,
+    doc="TPC-H Q7-shaped bilateral trade volume: revenue shipped "
+    "between a PAIR of nations in either direction, per year — the "
+    "symmetric cross-side disjunction ((c=A AND s=B) OR (c=B AND "
+    "s=A)) cannot anchor either side alone, but Catalyst derives the "
+    "implied per-side IN-pair prefilters so both nation dims arrive "
+    "pre-filtered; orders⋈lineitem is the one fact-fact shuffle, "
+    "every dim chain broadcasts, and the residual pair predicate "
+    "runs on the joined rows. Six-table join planned scale-right",
+)
+def nation_pair_trade_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18")
+    ) | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+                             .select("o_orderkey", "cust_nation")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_dec_sum(rev, "volume", 4))
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+               AS nation_rev,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY YEAR(o_orderdate)
+    )
+    SELECT o_year, nation_rev, total_rev,
+           nation_rev / total_rev AS mkt_share
+    FROM yearly
+    """,
+    doc="TPC-H Q8-shaped national market share: one nation's slice of "
+    "PROMO-part revenue per order year — numerator and denominator "
+    "as two conditional decimal-exact sums in the SAME aggregation "
+    "pass (no second scan, no self-join), share as one IEEE division "
+    "of identical operands. Part filter pushes to its scan and "
+    "prunes the fact rows through the broadcast join before the "
+    "fact-fact shuffle; supplier-nation chain broadcasts",
+)
+def nation_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_dec_sum(nat, "nation_rev", 4), _dec_sum(rev, "total_rev", 4))
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
+    )
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

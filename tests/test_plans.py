@@ -395,3 +395,26 @@ def test_ppm_decode_single_pass(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_nation_pair_derives_per_side_prefilters(spark):
+    """Q7 shape: the symmetric cross-side pair disjunction cannot
+    anchor one side, but both nation dims must arrive pre-filtered
+    (derived IN-pair pushdown) and all dims broadcast around the one
+    fact-fact shuffle."""
+    plan = plan_str(REGISTRY["nation_pair_trade_volume"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # derived per-side disjunction reached both nation scans
+    assert plan.count("EqualTo(n_name,NATION_19)") >= 2, plan
+
+
+def test_market_share_single_agg_pass(spark):
+    """Q8 shape: numerator and denominator are conditional sums in
+    the SAME aggregation — one fact scan, one grouped exchange, no
+    self-join; the part-type filter reaches its scan."""
+    plan = plan_str(REGISTRY["nation_market_share"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 5, plan  # each table once
+    assert "SortMergeJoin" not in plan, plan
+    fmt = plan_str(REGISTRY["nation_market_share"].fn(spark, SF_SMOKE))
+    assert "EqualTo(p_type,PROMO)" in fmt, fmt
