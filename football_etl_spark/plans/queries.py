@@ -5255,6 +5255,192 @@ def nation_market_share(spark, sf_dir):
     )
 
 
+# The reference schema has no partsupp table; the three remaining
+# TPC-H shapes that need one (Q2/Q16/Q20) run over a DERIVED
+# part-supplier relation: the distinct (partkey, suppkey) pairs that
+# actually traded, with unit_cost = MIN(extendedprice/quantity) —
+# row-local division then MIN, so it is exact cross-engine with no
+# accumulation-order pact — and availqty = 10·(number of trades),
+# an exact integer. Both engines derive it from lineitem with the
+# same expressions (the `ps` CTE below mirrors _derived_partsupp).
+_SQL_PARTSUPP = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_unit_cost,
+             CAST(10 * COUNT(*) AS BIGINT) AS ps_availqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _derived_partsupp(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_unit_cost"),
+        (F.lit(10) * F.count(F.lit(1))).cast("long").alias("ps_availqty"),
+    )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle=f"""
+    WITH ps AS ({_SQL_PARTSUPP}),
+    best AS (
+      SELECT ps_partkey, MIN(ps_unit_cost) AS min_cost
+      FROM ps GROUP BY ps_partkey
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name, ps_unit_cost
+    FROM ps
+    JOIN best     ON best.ps_partkey = ps.ps_partkey
+                 AND ps_unit_cost = min_cost
+    JOIN part     ON p_partkey = ps.ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    WHERE p_size <= 10
+    """,
+    doc="TPC-H Q2-shaped cheapest supplier per part: the correlated "
+    "'cost = (SELECT MIN(cost) … WHERE same part)' subquery "
+    "decorrelated into a per-part MIN aggregate equality-joined back "
+    "— per-group ARGMIN via aggregate+rejoin (the window-free form; "
+    "ties keep every best supplier, exactly Q2's semantics). The "
+    "MIN is over row-local divisions so the equality is exact "
+    "cross-engine; part/supplier dims broadcast; the size filter "
+    "pushes to the part scan. Runs over the derived partsupp "
+    "relation (see _SQL_PARTSUPP)",
+)
+def cheapest_supplier_per_part(spark, sf_dir):
+    ps = _derived_partsupp(spark, sf_dir)
+    best = ps.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_unit_cost").alias("min_cost")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_brand")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(
+            best,
+            (ps.ps_partkey == F.col("b_partkey"))
+            & (F.col("ps_unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "ps_unit_cost")
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    oracle=f"""
+    WITH ps AS ({_SQL_PARTSUPP})
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_name LIKE '%000000003%')
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16-shaped supplier diversity per part attribute: "
+    "count distinct suppliers per (brand, type, size) bucket, "
+    "excluding a complained-about supplier set via NOT IN — the "
+    "null-free key makes NOT IN ≡ anti-join (with nullable keys "
+    "Spark would need a null-aware anti join; the doc records the "
+    "distinction), and the excluded set broadcasts. Negated "
+    "predicates (<>, NOT LIKE) still push to the part scan; the "
+    "count-distinct groups on the already-distinct derived pairs",
+)
+def supplier_count_by_part_attrs(spark, sf_dir):
+    ps = _derived_partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%000000003%"))
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "excess_stock_suppliers",
+    oracle=f"""
+    WITH ps AS ({_SQL_PARTSUPP}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_1997
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT ps_suppkey FROM ps
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE '%bolt%')
+        AND ps_availqty > 0.5 * qty_1997
+    )
+    """,
+    doc="TPC-H Q20-shaped excess-stock suppliers: suppliers holding "
+    "more than half a year's shipped quantity of any bolt part — "
+    "the NESTED-IN chain (suppkey IN (… partkey IN (…) AND "
+    "correlated-agg threshold)). Both INs compile to semi-joins "
+    "(name-filtered part keys broadcast into the derived pairs; the "
+    "qualifying pair set semi-joins supplier); the per-pair 1997 "
+    "quantity is a decimal-exact aggregate equi-joined on the pair "
+    "key, and the threshold compare is one IEEE op on exact values. "
+    "No correlated re-execution anywhere — the whole chain is three "
+    "aggregates and three hash joins",
+)
+def excess_stock_suppliers(spark, sf_dir):
+    ps = _derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dec_sum(F.col("l_quantity"), "qty_1997", 2))
+    )
+    bolts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        ps.join(F.broadcast(bolts), ps.ps_partkey == bolts.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("qty_1997"))
+        .select("ps_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(qualifying), s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

@@ -418,3 +418,30 @@ def test_market_share_single_agg_pass(spark):
     assert "SortMergeJoin" not in plan, plan
     fmt = plan_str(REGISTRY["nation_market_share"].fn(spark, SF_SMOKE))
     assert "EqualTo(p_type,PROMO)" in fmt, fmt
+
+
+def test_cheapest_supplier_argmin_rejoin(spark):
+    """Q2 shape: per-part MIN equality-rejoin, dims broadcast, size
+    filter pushed; no cartesian (the float equality is an equi key)."""
+    plan = plan_str(REGISTRY["cheapest_supplier_per_part"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "LessThanOrEqual(p_size,10)" in plan, plan
+
+
+def test_supplier_count_not_in_is_anti_join(spark):
+    """Q16 shape: the null-free NOT IN must compile to a broadcast
+    LeftAnti, and the negated predicates still push to the part scan."""
+    plan = plan_str(REGISTRY["supplier_count_by_part_attrs"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+    assert "Not(EqualTo(p_brand,Brand#13))" in plan, plan
+    assert "In(p_size" in plan, plan
+
+
+def test_excess_stock_nested_in_is_semi_chain(spark):
+    """Q20 shape: both INs must compile to LeftSemi joins — never a
+    correlated re-execution — with the bolt filter pushed."""
+    plan = plan_str(REGISTRY["excess_stock_suppliers"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("LeftSemi") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    fmt = plan_str(REGISTRY["excess_stock_suppliers"].fn(spark, SF_SMOKE))
+    assert "StringContains(p_name,bolt)" in fmt, fmt
