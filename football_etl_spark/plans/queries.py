@@ -5441,6 +5441,90 @@ def excess_stock_suppliers(spark, sf_dir):
     return s.join(F.broadcast(qualifying), s.s_suppkey == F.col("ps_suppkey"), "left_semi")
 
 
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+                     AND e.ts > t1 AND e.ts <= t1 + INTERVAL 1 HOUR
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+                     AND e.ts > t2 AND e.ts <= t2 + INTERVAL 1 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_after,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+             / CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS view_rate,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+             / CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS purchase_rate
+    """,
+    doc="ordered conversion funnel (signup → view within 1h → "
+    "purchase within 1h of that view, per user): the ORACLE is the textbook 3-stage "
+    "aggregate-join cascade (each stage re-probes events against the "
+    "previous stage's min-timestamp); the Spark plan computes the "
+    "SAME stage times in ONE scan with cascaded conditional-min "
+    "windows over a single user_id exchange — stage k's window "
+    "expression references stage k-1's window column, so all three "
+    "resolve in consecutive Window operators on one partitioning, "
+    "then a global count/rate row. Hash-equality certifies the "
+    "single-pass rewrite; at 100 TB it replaces three event-table "
+    "scans + three shuffles with one of each. Rates are exact "
+    "int/int divisions",
+)
+def conversion_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "view")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    # per-user rollup BEFORE the global count: the stage times are
+    # constant within a user, so max() collapses each user to one row
+    # on the window's existing partitioning (no new exchange), and the
+    # global stage counts become plain flag sums — three
+    # count_distinct's here would plant an Expand tripling the event
+    # rows before the shuffle (the same trap Q21's rewrite removes)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    n1 = F.sum(F.col("t1").isNotNull().cast("long"))
+    n2 = F.sum(F.col("t2").isNotNull().cast("long"))
+    n3 = F.sum(F.col("t3").isNotNull().cast("long"))
+    return per_user.agg(
+        n1.alias("n_signup"),
+        n2.alias("n_view_after"),
+        n3.alias("n_purchase_after"),
+        (n2 / n1).alias("view_rate"),
+        (n3 / n2).alias("purchase_rate"),
+    )
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the

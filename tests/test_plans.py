@@ -445,3 +445,13 @@ def test_excess_stock_nested_in_is_semi_chain(spark):
     assert "CartesianProduct" not in plan, plan
     fmt = plan_str(REGISTRY["excess_stock_suppliers"].fn(spark, SF_SMOKE))
     assert "StringContains(p_name,bolt)" in fmt, fmt
+
+
+def test_funnel_single_scan_single_exchange(spark):
+    """The funnel's three stage times must resolve as cascaded Window
+    operators over ONE user_id exchange and ONE events scan — the
+    single-pass rewrite of the oracle's 3-scan join cascade."""
+    plan = plan_str(REGISTRY["conversion_funnel"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
