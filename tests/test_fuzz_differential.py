@@ -291,3 +291,29 @@ def test_random_window_query_matches_duckdb(spark, pred, fns, part, direction):
     assert not problems, f"AST={pred!r} fns={fns} part={part} {direction}\n" + "\n".join(
         problems
     )
+
+
+# ---- semi/anti-shaped fuzz -------------------------------------------------
+
+_exist_kind = st.sampled_from(["semi", "anti"])
+
+
+@given(pred=_predicate, kind=_exist_kind, cut=_acctbal_cut)
+@settings(**_SETTINGS)
+def test_random_exists_query_matches_duckdb(spark, pred, kind, cut):
+    """EXISTS/NOT-EXISTS differential fuzz: customers having (or
+    lacking) an order that satisfies a random predicate — the
+    semi/anti compilation path under arbitrary correlated filters."""
+    where = _pred_sql(pred)
+    op = "EXISTS" if kind == "semi" else "NOT EXISTS"
+    sql = (
+        "SELECT c_custkey FROM customer WHERE "
+        f"c_acctbal > {cut!r} AND {op} "
+        f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {where})"
+    )
+    c = load_table(spark, SF_SMOKE, "customer").filter(F.col("c_acctbal") > cut)
+    o = load_table(spark, SF_SMOKE, "orders").filter(_pred_col(pred))
+    how = "left_semi" if kind == "semi" else "left_anti"
+    sdf = c.join(o, c.c_custkey == o.o_custkey, how).select("c_custkey")
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"AST={pred!r} kind={kind} cut={cut}\n" + "\n".join(problems)
