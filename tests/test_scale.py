@@ -84,3 +84,42 @@ def test_bucketed_join_needs_no_shuffle(spark, bucket_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+PARTITION_SENSITIVE_CANDIDATES = [
+    # every entry whose algorithm touches partition layout: global
+    # rank, exactly-k sampling, hash splits, rate mixtures, Arrow
+    # kernels with per-batch state, per-cell grouped-map dedup
+    "epoch_shuffle_positions",
+    "reservoir_sample_docs",
+    "stratified_sample_docs",
+    "deterministic_split_stats",
+    "hash_sampled_docs",
+    "lang_rate_mixture",
+    "kmeans_embedding_clusters",
+    "semantic_dedup_docs",
+]
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """Distributed-correctness property: results must not depend on
+    the reducer count — on a cluster the same query runs at 32 or
+    2000 shuffle partitions and a result that shifts with layout is a
+    latent at-scale bug. Re-executes each layout-touching entry at 3
+    and 17 shuffle partitions (physical planning re-reads the conf
+    per action) and requires identical row multisets. (A stronger
+    two-JVM variant — different core counts — was probed manually and
+    also holds; the conf flip is the CI-friendly form.)"""
+    from football_etl_spark.plans.queries import REGISTRY
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in PARTITION_SENSITIVE_CANDIDATES:
+            df = REGISTRY[name].fn(spark, SF_SMOKE)
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            r_low = sorted(map(repr, (tuple(r) for r in df.collect())))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            r_high = sorted(map(repr, (tuple(r) for r in df.collect())))
+            assert r_low == r_high, f"{name} depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
