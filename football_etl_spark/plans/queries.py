@@ -5540,6 +5540,47 @@ def conversion_funnel(spark, sf_dir):
     )
 
 
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(1 AS INT) AS batch
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(2 AS INT) AS batch
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc="schema evolution across ingest batches (§2.1 at 100 TB "
+    "reality: yesterday's files lack the column added today): batch 1 "
+    "is written WITHOUT o_orderstatus, batch 2 WITH it, into a "
+    "batch-partitioned layout; one mergeSchema read unifies them — "
+    "old rows surface the new column as NULL, the batch partition "
+    "column comes from directory discovery, and per-file projection "
+    "still reads only each file's own columns. Hash-equality against "
+    "the expected unified relation (derived from the source VIEW, "
+    "not the temp files) proves the widened read is lossless",
+)
+def schema_evolution_read(spark, sf_dir):
+    # eager-write + deterministic temp path: see csv_round_trip_orders
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    root = f"{tempfile.gettempdir()}/fes_evo_{os.getpid()}/orders_evo"
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(f"{root}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{root}/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(root)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "batch")
+    )
+
+
 # Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
 # driver's per-round correctness gate samples ~50 of the registry's
 # entries; emitting the never-yet-sampled entries FIRST steers the
