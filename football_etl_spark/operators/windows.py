@@ -195,6 +195,7 @@ def winsorized_stats(
     value_col: str,
     lo: float = 0.05,
     hi: float = 0.95,
+    scale: int = 2,
 ) -> DataFrame:
     """Per-group winsorized mean — outlier-robust aggregation by
     clamping values to the group's [lo, hi] order statistics before
@@ -204,6 +205,12 @@ def winsorized_stats(
     comparisons and the resulting mean are exact and engine-identical
     (interpolated quantiles differ in the last bit across engines and
     poison every downstream comparison).
+
+    ``scale`` is the decimal precision of the exact mean accumulator:
+    clamped values are quantized to ``scale`` decimal places before
+    the order-independent long sum (same discipline as queries._dec_sum
+    — 2dp is the money default; pass a larger scale for finer-grained
+    inputs, subject to the same |sum·10^scale| ≤ 2^53 validity bound).
 
     Plan: ONE exchange on the group key serves the whole operator —
     both window passes (rank+count, then the conditional-max bound
@@ -229,10 +236,11 @@ def winsorized_stats(
         F.max(F.when(F.col("__rn") == k_hi, v)).over(w_all).alias("p_hi"),
     )
     clamped = F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), v))
-    scaled = F.sum(F.round(clamped * 100).cast("long"))
+    factor = float(10**scale)
+    scaled = F.sum(F.round(clamped * factor).cast("long"))
     return bounded.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("p_lo").alias("p_lo"),
         F.min("p_hi").alias("p_hi"),
-        ((scaled / F.lit(100.0)) / F.count(F.lit(1))).alias("winsorized_mean"),
+        ((scaled / F.lit(factor)) / F.count(F.lit(1))).alias("winsorized_mean"),
     )

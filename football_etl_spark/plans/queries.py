@@ -5479,9 +5479,9 @@ def excess_stock_suppliers(spark, sf_dir):
            CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_after,
            CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
            CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
-             / CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS view_rate,
+             / NULLIF(CAST((SELECT COUNT(*) FROM s1) AS BIGINT), 0) AS view_rate,
            CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
-             / CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS purchase_rate
+             / NULLIF(CAST((SELECT COUNT(*) FROM s2) AS BIGINT), 0) AS purchase_rate
     """,
     doc="ordered conversion funnel (signup → view within 1h → "
     "purchase within 1h of that view, per user): the ORACLE is the textbook 3-stage "
@@ -5531,12 +5531,16 @@ def conversion_funnel(spark, sf_dir):
     n1 = F.sum(F.col("t1").isNotNull().cast("long"))
     n2 = F.sum(F.col("t2").isNotNull().cast("long"))
     n3 = F.sum(F.col("t3").isNotNull().cast("long"))
+    # empty-stage guard: Spark's non-ANSI x/0 yields NULL but DuckDB's
+    # IEEE double division yields inf/NaN — gating the denominator the
+    # same way on both sides (when>0 here, NULLIF in the oracle) keeps
+    # the engines hash-equal on funnels with an empty stage
     return per_user.agg(
         n1.alias("n_signup"),
         n2.alias("n_view_after"),
         n3.alias("n_purchase_after"),
-        (n2 / n1).alias("view_rate"),
-        (n3 / n2).alias("purchase_rate"),
+        F.when(n1 > 0, n2 / n1).alias("view_rate"),
+        F.when(n2 > 0, n3 / n2).alias("purchase_rate"),
     )
 
 
@@ -5562,12 +5566,21 @@ def conversion_funnel(spark, sf_dir):
     "not the temp files) proves the widened read is lossless",
 )
 def schema_evolution_read(spark, sf_dir):
-    # eager-write + deterministic temp path: see csv_round_trip_orders
+    # eager-write + deterministic temp path: see csv_round_trip_orders.
+    # The path additionally carries the applicationId so two sessions
+    # in one process can never overwrite each other's layout mid-read,
+    # and the tree is removed at process exit (atexit) so repeated
+    # runs don't accumulate temp parquet across processes.
+    import atexit
     import os
+    import shutil
     import tempfile
 
     o = _t(spark, sf_dir, "orders")
-    root = f"{tempfile.gettempdir()}/fes_evo_{os.getpid()}/orders_evo"
+    app = spark.sparkContext.applicationId
+    base = f"{tempfile.gettempdir()}/fes_evo_{os.getpid()}_{app}"
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = f"{base}/orders_evo"
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
