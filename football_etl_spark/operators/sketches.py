@@ -24,6 +24,11 @@ cross-engine DuckDB oracle can hash-match them — the registered
 queries use the driver's rows-only gate, and tests/test_operators.py
 bounds the estimates against exact answers (HLL lgK=14 → <1 % typical
 error; percentile accuracy=10000 → exact on the test scales).
+Additionally, each rows-only entry has an ORACLE-GATED companion in
+plans/queries.py (approx_distinct_error_bound, hll_reach_error_bound,
+approx_percentile_error_bound) that reduces the sketch output to
+deterministic bounded-error verdicts a DuckDB oracle replicates —
+so the accuracy contracts also sit under the driver's hash gate.
 """
 
 from __future__ import annotations

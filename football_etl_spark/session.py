@@ -25,6 +25,46 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute the engine's package source to executor Python
+    workers — the in-process twin of ``spark-submit --py-files``.
+
+    Code that pickles BY REFERENCE (Python DataSource classes,
+    module-level helpers) needs ``football_etl_spark`` importable on
+    the worker side; when the driver found the repo via ``sys.path``
+    alone (foreign cwd, no PYTHONPATH export — exactly how the
+    correctness driver invokes the contract module), workers cannot.
+    Zipping the package once per process and ``addPyFile``-ing it puts
+    the archive on every worker's ``sys.path`` before task
+    deserialization. Cached per applicationId; repeat calls are
+    no-ops. On a real cluster the same archive rides
+    ``--py-files``/``spark.submit.pyFiles`` and this helper is a
+    harmless re-add."""
+    import tempfile
+    import zipfile
+
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_root)
+    zp = os.path.join(tempfile.gettempdir(), f"fes_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zp):
+        tmp = f"{zp}.{app}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(pkg_root):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, parent))
+        os.replace(tmp, zp)
+    spark.sparkContext.addPyFile(zp)
+    _SHIPPED.add(app)
+
+
 def get_spark(
     app_name: str = "football-etl-spark",
     master: str | None = None,
