@@ -99,7 +99,7 @@ def table_stats(df: DataFrame, key_cols: Sequence[str], distinct_cols: Sequence[
 def profile_columns(
     df: DataFrame, cols: Sequence[str], approx: bool = False
 ) -> DataFrame:
-    """Long-format numeric column profile — (column, n_rows, n_nulls,
+    """Long-format numeric column profile — (col_name, n_rows, n_nulls,
     n_distinct, min_value, max_value) — in ONE aggregation pass over
     the table (the scalable replacement for per-column pandas
     ``describe`` loops: profiling 100 TB must not rescan per column).
@@ -125,7 +125,7 @@ def profile_columns(
     per_col = F.array(
         *[
             F.struct(
-                F.lit(c).alias("column"),
+                F.lit(c).alias("col_name"),
                 F.col("__n").alias("n_rows"),
                 F.col(f"__nulls_{c}").alias("n_nulls"),
                 F.col(f"__nd_{c}").alias("n_distinct"),

@@ -304,9 +304,9 @@ def duplicate_stats(spark, sf_dir):
     "pivot_priority_status",
     oracle="""
     SELECT o_orderpriority,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
-           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
-           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
     FROM orders GROUP BY o_orderpriority
     """,
     doc="pivot/cross-tab with bounded value list (visualize_data.py:285-290)",
@@ -389,10 +389,12 @@ def rolling_customer_metrics(spark, sf_dir):
     "latest_order_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
-    FROM orders
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
-    """,
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) AS ranked
+    WHERE rn = 1
+""",
     doc="deterministic latest-per-group (as-of selection, SURVEY §2.3/§2.5)",
 )
 def latest_order_per_customer(spark, sf_dir):
@@ -636,9 +638,9 @@ def union_mixed_projection(spark, sf_dir):
                      REGEXP_REPLACE(LOWER(c_name), '[^a-z0-9]', '', 'g')) AS order_tag,
            CONCAT_WS('-',
              CAST(CASE WHEN MONTH(o_orderdate) >= 8 THEN YEAR(o_orderdate)
-                       ELSE YEAR(o_orderdate) - 1 END AS VARCHAR),
+                       ELSE YEAR(o_orderdate) - 1 END AS STRING),
              CAST(CASE WHEN MONTH(o_orderdate) >= 8 THEN YEAR(o_orderdate)
-                       ELSE YEAR(o_orderdate) - 1 END + 1 AS VARCHAR)) AS season,
+                       ELSE YEAR(o_orderdate) - 1 END + 1 AS STRING)) AS season,
            TRY_CAST(REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)', 1) AS BIGINT) AS priority_num
     FROM orders JOIN customer ON o_custkey = c_custkey
     """,
@@ -753,9 +755,9 @@ _EV_M3 = '{"id":%d,"homeTeam":{"name":"Team %d"}}'
     )
     SELECT id, home_team, away_team, league, country, start_timestamp,
            CASE WHEN start_timestamp IS NOT NULL
-                THEN LPAD(CAST((start_timestamp % 86400) // 3600 AS VARCHAR), 2, '0')
+                THEN LPAD(CAST((start_timestamp % 86400) // 3600 AS STRING), 2, '0')
                      || ':' ||
-                     LPAD(CAST((start_timestamp % 3600) // 60 AS VARCHAR), 2, '0')
+                     LPAD(CAST((start_timestamp % 3600) // 60 AS STRING), 2, '0')
                 ELSE 'Unknown' END AS start_time,
            status, venue, "round", source
     FROM flat
@@ -805,10 +807,12 @@ def nested_event_flatten(spark, sf_dir):
     "first_event_dedup",
     oracle="""
     SELECT user_id, event_type, event_id, ts, value
-    FROM events
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                               ORDER BY ts ASC, event_id ASC) = 1
-    """,
+    FROM (SELECT user_id, event_type, event_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events) AS ranked
+    WHERE rn = 1
+""",
     doc="deterministic keep-first dedup (processors/data_processor.py:101-106 "
     "made deterministic per SURVEY §7.4)",
 )
@@ -1659,7 +1663,7 @@ _PGM_PX8_SQL = " + ".join(f"((doc_id % 256 + {i}) % 256)" for i in range(8))
            CAST(8 + (LENGTH(text) * 3) % 24 AS INT) AS height,
            CAST(1 + (doc_id % 256) % 8 AS INT) AS n_frames,
            CAST(({_PGM_PX8_SQL}) AS BIGINT) AS px8_sum,
-           CAST(((doc_id % 256) % 8) // 2 + 1 AS BIGINT) AS n_sampled_frames,
+           CAST(FLOOR(((doc_id % 256) % 8) / 2) + 1 AS BIGINT) AS n_sampled_frames,
            CAST(4 AS INT) AS feat_dim
     FROM documents
     """,
@@ -1870,8 +1874,8 @@ def rollup_revenue(spark, sf_dir):
     oracle="""
     WITH assigned AS (
       SELECT doc_id, text,
-             CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-                  WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e4' THEN 'val'
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 2) < 'cd' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 2) < 'e4' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     )
@@ -1899,9 +1903,9 @@ def deterministic_split_stats(spark, sf_dir):
 @query(
     "hash_sampled_docs",
     oracle="""
-    SELECT doc_id, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    SELECT doc_id, SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 2) AS bucket
     FROM documents
-    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+    WHERE SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 2) < '29'
     """,
     doc="deterministic ~16% corpus sample by md5 bucket range "
     "(operators/sampling.hash_sample): a scan-level filter — samples "
@@ -1940,7 +1944,7 @@ _SQL_QUALITY = """
     )
     SELECT doc_id, ROUND(w, 6) AS weight
     FROM weighted
-    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)
+    WHERE SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 4)
           < LPAD(LOWER(TO_HEX(CAST(LEAST(FLOOR(w * 65536), 65535) AS BIGINT))), 4, '0')
     """,
     doc="quality-weighted deterministic corpus sampling (operators/"
@@ -2087,7 +2091,7 @@ def packed_training_shards(spark, sf_dir):
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
              ROW_NUMBER() OVER (PARTITION BY lang, source
-                                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                                ORDER BY MD5(CAST(doc_id AS STRING)), doc_id) AS rn
       FROM documents) WHERE rn <= 5
     """,
     doc="exactly-k-per-stratum deterministic sample (k=5 per "
@@ -2106,7 +2110,7 @@ def stratified_sample_docs(spark, sf_dir):
     "reservoir_sample_docs",
     oracle="""
     SELECT doc_id, lang, source FROM documents
-    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+    ORDER BY MD5(CAST(doc_id AS STRING)), doc_id
     LIMIT 64
     """,
     doc="exactly-k GLOBAL deterministic sample (k=64): order the whole "
@@ -2271,7 +2275,7 @@ def label_centroids(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            CAST(ROW_NUMBER() OVER (
-               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               ORDER BY MD5(CAST(doc_id AS STRING)), doc_id) - 1
            AS BIGINT) AS position
     FROM documents
     """,
@@ -2584,8 +2588,8 @@ def order_value_quartiles(spark, sf_dir):
     "percentile_order_value",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS median_price,
-           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90_price,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS median_price,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90_price,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -2607,7 +2611,7 @@ def percentile_order_value(spark, sf_dir):
 @query(
     "tumbling_event_windows",
     oracle="""
-    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 86400) * 86400) AS TIMESTAMP) AS win_start,
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS win_start,
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -2765,9 +2769,9 @@ _SQL_NORMALIZE_DATE = (
              WHEN o_orderkey % 4 = 1 THEN STRFTIME(o_orderdate, '%b %d, %Y')
              WHEN o_orderkey % 4 = 2 THEN STRFTIME(o_orderdate, '%A, %B %d, %Y')
              ELSE STRFTIME(o_orderdate, '%Y.%m.%d') END AS messy_date,
-        '$' || CAST(o_orderkey % 10000 AS VARCHAR) || '.'
-            || CAST(o_custkey % 90 + 10 AS VARCHAR) || ' USD' AS messy_price,
-        CAST(o_orderkey % 7 AS VARCHAR) || '-' || CAST(o_custkey % 7 AS VARCHAR) AS score,
+        '$' || CAST(o_orderkey % 10000 AS STRING) || '.'
+            || CAST(o_custkey % 90 + 10 AS STRING) || ' USD' AS messy_price,
+        CAST(o_orderkey % 7 AS STRING) || '-' || CAST(o_custkey % 7 AS STRING) AS score,
         CASE WHEN o_orderkey % 2 = 0 THEN 'Home' ELSE 'Away' END AS venue
       FROM orders)
     SELECT o_orderkey,
@@ -3312,7 +3316,7 @@ def boilerplate_chunk_stats(spark, sf_dir):
     "orders_column_profile",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders)
-    SELECT 'o_orderkey' AS "column", base.n AS n_rows,
+    SELECT 'o_orderkey' AS col_name, base.n AS n_rows,
            (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
            (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
            (SELECT CAST(MIN(o_orderkey) AS DOUBLE) FROM orders) AS min_value,
@@ -3636,10 +3640,10 @@ def customer_order_reconciliation(spark, sf_dir):
     WITH kept AS (
       SELECT lang FROM documents
       WHERE CASE lang
-              WHEN 'en' THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+              WHEN 'en' THEN SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 4) < '4000'
               WHEN 'de' THEN TRUE
-              WHEN 'es' THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
-              WHEN 'fr' THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+              WHEN 'es' THEN SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 4) < '8000'
+              WHEN 'fr' THEN SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 4) < 'c000'
               WHEN 'zh' THEN TRUE
               ELSE FALSE END
     )
@@ -5553,7 +5557,7 @@ def conversion_funnel(spark, sf_dir):
     "schema_evolution_read",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(NULL AS STRING) AS o_orderstatus,
            CAST(1 AS INT) AS batch
     FROM orders WHERE o_orderkey % 2 = 0
     UNION ALL
@@ -5727,7 +5731,7 @@ def streaming_silver_upsert(spark, sf_dir):
 @query(
     "streaming_tumbling_counts",
     oracle="""
-    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 86400) * 86400) AS TIMESTAMP) AS win_start,
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS win_start,
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -89,7 +89,7 @@ def test_oracle_sql_runs_on_spark(spark, name):
 
 
 def test_dual_surface_breadth():
-    """At least 50 oracles must actually exercise the dual path — a
+    """At least 80 oracles must actually exercise the dual path — a
     regression here means queries silently started skipping. Guarded
     against partial collection (-k selection, xdist sharding, random
     ordering placing this before the parametrized run): the floor is
@@ -100,4 +100,4 @@ def test_dual_surface_breadth():
             f"partial selection ({len(_DUAL_ATTEMPTED)}/{len(_ALL_ORACLE_NAMES)} "
             "dual cases ran in this process) — breadth floor needs the full set"
         )
-    assert len(_DUAL_OK) >= 50, sorted(_DUAL_OK)
+    assert len(_DUAL_OK) >= 80, sorted(_DUAL_OK)
