@@ -74,6 +74,12 @@ QUERIES = [
     "nation_profit_trend",
     "winsorized_priority_spend",
     "ann_cosine_topk",
+    # the single-exchange rewrites whose "one exchange replaces N
+    # scans" claims carry measured x10/x100 evidence (BENCH_NOTES):
+    "bm25_topk_docs",
+    "conversion_funnel",
+    "sole_blame_late_suppliers",
+    "cheapest_supplier_per_part",
 ]
 
 
