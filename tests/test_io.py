@@ -165,3 +165,30 @@ def test_load_table_ntz_normalization_is_session_tz_independent(spark, tmp_path)
             assert got == expect, f"ts shifted under session tz {tz}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ship_package_zips_sources_and_is_idempotent(spark):
+    """ship_package must (1) produce a zip whose member paths start
+    with the package name (so the archive lands importable on worker
+    sys.path), (2) include the Python DataSource module that pickles
+    by reference, and (3) be a cheap no-op on repeat calls for the
+    same session (cached per applicationId)."""
+    import os
+    import tempfile
+    import zipfile
+
+    from football_etl_spark.session import _SHIPPED, ship_package
+
+    ship_package(spark)
+    zp = os.path.join(tempfile.gettempdir(), f"fes_pkg_{os.getpid()}.zip")
+    assert os.path.exists(zp)
+    with zipfile.ZipFile(zp) as z:
+        names = z.namelist()
+    assert all(n.startswith("football_etl_spark/") for n in names)
+    assert "football_etl_spark/io/dump_source.py" in names
+    assert "football_etl_spark/session.py" in names
+    app = spark.sparkContext.applicationId
+    assert app in _SHIPPED
+    mtime = os.path.getmtime(zp)
+    ship_package(spark)  # cached — must not rebuild the archive
+    assert os.path.getmtime(zp) == mtime
