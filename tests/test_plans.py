@@ -455,3 +455,46 @@ def test_funnel_single_scan_single_exchange(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_percentile_certificate_shares_rank_exchange(spark):
+    """approx_percentile_error_bound: the exact rank brackets (window)
+    and their per-group rollup must share ONE o_orderpriority exchange
+    (the winsorized_stats technique), the sketch side adds its own
+    partial-combined agg, and the 5-row bracket⋈sketch join must be
+    broadcast — never a sort-merge shuffle of either side."""
+    plan = plan_str(REGISTRY["approx_percentile_error_bound"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hll_certificate_broadcast_join(spark):
+    """hll_reach_error_bound: the sketch rollup and the exact count
+    meet in a broadcast join of two ~5-row aggregates — the certificate
+    must not plan a shuffle join for dimension-sized verdict tables."""
+    plan = plan_str(REGISTRY["hll_reach_error_bound"].fn(spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_streaming_entries_return_shuffle_free_reads(spark):
+    """The three streaming entries do their work inside the streaming
+    job at construction; the RETURNED plan must be a plain scan/project
+    of the landed table — zero exchanges, zero joins — so the driver's
+    comparison reads exactly what the stream committed."""
+    for name in ("streaming_bronze_ingest", "streaming_silver_upsert"):
+        plan = plan_str(REGISTRY[name].fn(spark, SF_SMOKE), "simple")
+        assert "Exchange" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
+def test_raw_dump_ingest_is_map_only_single_parse(spark):
+    """The DataSource→peel→explode→flatten chain is map-only (no
+    exchange — partition-per-capture-file parallelism is preserved end
+    to end) with exactly ONE from_json parse of each event (the
+    candidate-path coalesces are struct-field accesses, not
+    re-parses)."""
+    plan = plan_str(REGISTRY["raw_dump_ingest"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange" not in plan, plan
+    assert plan.count("from_json") == 1, plan
