@@ -317,3 +317,69 @@ def test_random_exists_query_matches_duckdb(spark, pred, kind, cut):
     sdf = c.join(o, c.c_custkey == o.o_custkey, how).select("c_custkey")
     problems = compare(sdf, sql, SF_SMOKE)
     assert not problems, f"AST={pred!r} kind={kind} cut={cut}\n" + "\n".join(problems)
+
+
+# ---- set-op-shaped fuzz ----------------------------------------------------
+
+_setop = st.sampled_from(["union_all", "intersect", "except"])
+_setop_proj = st.sampled_from(
+    [("o_orderstatus", "o_orderpriority"), ("o_custkey", "o_orderstatus")]
+)
+
+
+@given(p1=_predicate, p2=_predicate, op=_setop, proj=_setop_proj)
+@settings(**_SETTINGS)
+def test_random_setop_query_matches_duckdb(spark, p1, p2, op, proj):
+    """Set-operation differential fuzz: two independently random
+    filters of orders combined with UNION ALL (bag), INTERSECT
+    (set-distinct) or EXCEPT (set-distinct) over a duplicate-rich
+    projection — the dedup-vs-bag semantics of each operator must
+    agree across engines for arbitrary operand overlap."""
+    cols = ", ".join(proj)
+    sql_op = {"union_all": "UNION ALL", "intersect": "INTERSECT", "except": "EXCEPT"}[op]
+    sql = (
+        f"SELECT {cols} FROM orders WHERE {_pred_sql(p1)} "
+        f"{sql_op} "
+        f"SELECT {cols} FROM orders WHERE {_pred_sql(p2)}"
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    a = o.filter(_pred_col(p1)).select(*proj)
+    b = o.filter(_pred_col(p2)).select(*proj)
+    sdf = {
+        "union_all": a.union(b),
+        "intersect": a.intersect(b),
+        "except": a.subtract(b),
+    }[op]
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"p1={p1!r} p2={p2!r} {op} {proj}\n" + "\n".join(problems)
+
+
+# ---- top-k-shaped fuzz -----------------------------------------------------
+
+_k_draw = st.integers(min_value=1, max_value=40)
+
+
+@given(pred=_predicate, direction=_win_dir, k=_k_draw)
+@settings(**_SETTINGS)
+def test_random_topk_query_matches_duckdb(spark, pred, direction, k):
+    """ORDER BY ... LIMIT k differential fuzz over a TOTAL order
+    (price direction, then the unique orderkey as tiebreak) — the
+    TakeOrderedAndProject path must select the identical k rows the
+    oracle's full sort does, for arbitrary filters and k."""
+    sql = (
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+        f"WHERE {_pred_sql(pred)} "
+        f"ORDER BY o_totalprice {direction}, o_orderkey ASC LIMIT {k}"
+    )
+    price = (
+        F.col("o_totalprice").desc() if direction == "DESC" else F.col("o_totalprice").asc()
+    )
+    sdf = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(_pred_col(pred))
+        .orderBy(price, F.col("o_orderkey").asc())
+        .limit(k)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"AST={pred!r} {direction} k={k}\n" + "\n".join(problems)
