@@ -64,6 +64,88 @@ def merge_hll(sketches: DataFrame, by: str = "grp") -> DataFrame:
     )
 
 
+def daily_cms_sketches(
+    df: DataFrame,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 17,
+) -> DataFrame:
+    """One Count-Min FREQUENCY sketch of ``key_col`` per (group, day) —
+    the heavy-hitter/point-frequency companion to the HLL cardinality
+    sketches above, via the built-in ``count_min_sketch`` aggregate
+    (JVM-side, partial-combined: each map task sketches its slice and
+    the reduce merges, so the shuffle carries ~(1/eps)·ln(1/δ) counters
+    per group-day, never raw keys). The sketch binary is persistable
+    and mergeable across jobs; ``n_rows`` rides along because every
+    CMS error bound is stated against the stream length.
+
+    Output: (grp, day, cms binary, n_rows)."""
+    return df.groupBy(
+        F.col(group_col).alias("grp"), F.to_date(ts_col).alias("day")
+    ).agg(
+        F.count_min_sketch(key_col, F.lit(eps), F.lit(confidence), F.lit(seed)).alias(
+            "cms"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def cms_merge_and_probe(
+    spark,
+    sketches: DataFrame,
+    probes: list[int],
+    by: str = "grp",
+) -> DataFrame:
+    """Re-rollup + point-frequency probe: union the per-day sketches up
+    to ``by`` and estimate the count of each probe key — answering "how
+    often did key k occur per group over all time" from the sketch
+    table alone, never re-reading raw data.
+
+    The merge runs DRIVER-SIDE over the collected sketch table via the
+    JVM ``CountMinSketch.readFrom`` / ``mergeInPlace`` API — a
+    deliberate control-plane step: the sketch table is KBs per
+    group-day regardless of raw volume (there is no built-in
+    ``cms_union_agg`` to keep it executor-side, unlike HLL), and the
+    probe list is a handful of keys. Same-seed sketches share hash
+    functions, so the merged estimate is IDENTICAL to a single sketch
+    built over the union — the mergeability equality the unit test
+    asserts exactly. Determinism: groups are merged in collection
+    order but CMS merge is commutative counter addition, so estimates
+    are order-independent.
+
+    Guarantees carried to the output: ``est_count >= exact`` always
+    (CMS never undercounts), and ``est_count <= exact + eps·n_rows``
+    with probability ``confidence`` per probe. Output: (grp, key,
+    est_count, n_rows). Registration as an oracle-gated bounded-error
+    certificate entry (exact side + within-bound verdict, like
+    approx_distinct_error_bound) is planned for the next round — this
+    round's driver sample is budgeted to re-certify the stale third of
+    the registry, so the operator ships pytest-gated."""
+    rows = sketches.select(by, "cms", "n_rows").collect()
+    jread = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom
+    merged: dict = {}
+    totals: dict = {}
+    for r in rows:
+        g = r[0]
+        sk = jread(bytearray(r[1]))
+        if g in merged:
+            merged[g].mergeInPlace(sk)
+        else:
+            merged[g] = sk
+        totals[g] = totals.get(g, 0) + int(r[2])
+    out = [
+        (g, int(k), int(merged[g].estimateCount(int(k))), totals[g])
+        for g in sorted(merged)
+        for k in probes
+    ]
+    return spark.createDataFrame(
+        out, f"{by} string, key long, est_count long, n_rows long"
+    )
+
+
 def approx_group_percentiles(
     df: DataFrame,
     value_col: str,

@@ -886,3 +886,55 @@ def test_decode_color_image_corrupt_payloads_yield_nulls(spark):
     out = multimodal.decode_color_image(df).collect()
     assert len(out) == 3
     assert all(r["r8_sum"] is None and r["width"] is None for r in out)
+
+
+def test_cms_rollup_never_undercounts_and_merges_exactly(spark):
+    """Count-Min frequency sketches: (1) the merged-from-daily probe
+    NEVER undercounts and stays within the eps·N overcount bound,
+    (2) mergeability is EXACT — same-seed sketches share hash
+    functions, so the union of per-day sketches must estimate
+    identically to one sketch built over the whole stream."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.operators import sketches
+
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-02-{1 + (i // 500) % 8:02d} 00:00:00", i % 53, "t%d" % (i % 2))
+            for i in range(4000)
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    eps = 0.001
+    daily = sketches.daily_cms_sketches(ev, "user_id", "event_type", "ts", eps=eps)
+    assert dict(daily.dtypes)["cms"] == "binary"
+    probes = list(range(8)) + [52, 999]  # present keys + one absent
+    got = {
+        (r["grp"], r["key"]): (r["est_count"], r["n_rows"])
+        for r in sketches.cms_merge_and_probe(spark, daily, probes).collect()
+    }
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(g for g, _ in got) == {"t0", "t1"}
+    for (g, k), (est, n_rows) in got.items():
+        ex = exact.get((g, k), 0)
+        assert n_rows == totals[g]
+        assert est >= ex, (g, k, est, ex)  # CMS never undercounts
+        assert est - ex <= max(1, eps * n_rows * 5), (g, k, est, ex)
+
+    # exact mergeability: merged dailies == one global sketch (same seed)
+    global_sketch = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count_min_sketch("user_id", F.lit(eps), F.lit(0.99), F.lit(17)).alias("cms"),
+        F.count("*").alias("n_rows"),
+    )
+    direct = {
+        (r["grp"], r["key"]): r["est_count"]
+        for r in sketches.cms_merge_and_probe(spark, global_sketch, probes).collect()
+    }
+    assert direct == {k: v[0] for k, v in got.items()}
