@@ -192,3 +192,59 @@ def test_ship_package_zips_sources_and_is_idempotent(spark):
     mtime = os.path.getmtime(zp)
     ship_package(spark)  # cached — must not rebuild the archive
     assert os.path.getmtime(zp) == mtime
+
+
+def test_zordered_layout_prunes_on_every_dimension(spark, tmp_path):
+    """write_zordered: parquet footer min/max must stay tight on BOTH
+    participating columns, so a selective filter on EITHER dimension
+    skips most files — whereas the 1-D range-sorted layout prunes only
+    its lead column. Measured directly from the file footers (the same
+    stats the scan's file pruning reads), plus a lossless round trip."""
+    import pyarrow.parquet as pq
+
+    from football_etl_spark.io import sinks
+
+    n = 40000
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST((id * 2654435761) % 1024 AS LONG) AS x",
+        "CAST((id * 40503) % 1024 AS LONG) AS y",
+    )
+    zdir, ldir = str(tmp_path / "zord"), str(tmp_path / "linear")
+    sinks.write_zordered(df, zdir, cols=("x", "y"), bits=10, n_files=16)
+    sinks.write_range_sorted(df, ldir, range_cols=("x",), n_partitions=16)
+
+    def files_admitting(path, col, lo, hi):
+        import os
+
+        total, admit = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(path, f))
+            schema_idx = md.schema.to_arrow_schema().get_field_index(col)
+            mn = min(md.row_group(i).column(schema_idx).statistics.min for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(schema_idx).statistics.max for i in range(md.num_row_groups))
+            if mx >= lo and mn <= hi:
+                admit += 1
+        return admit, total
+
+    zx, zt = files_admitting(zdir, "x", 0, 63)
+    zy, _ = files_admitting(zdir, "y", 0, 63)
+    lx, lt = files_admitting(ldir, "x", 0, 63)
+    ly, _ = files_admitting(ldir, "y", 0, 63)
+    assert zt >= 8 and lt >= 8
+    # z-layout: a 1/16-of-space slab on EITHER axis prunes most files
+    assert zx <= zt // 2, (zx, zt)
+    assert zy <= zt // 2, (zy, zt)
+    # 1-D layout: great on the lead column, mostly blind on the other
+    assert lx <= 2, (lx, lt)
+    assert ly >= (3 * lt) // 4, (ly, lt)
+    assert zy < ly, (zy, ly)
+    # lossless round trip
+    back = spark.read.parquet(zdir)
+    assert back.count() == n
+    assert back.selectExpr("sum(x)", "sum(y)").collect() == df.selectExpr(
+        "sum(x)", "sum(y)"
+    ).collect()
