@@ -165,3 +165,39 @@ def approx_group_percentiles(
         for i, q in enumerate(quantiles)
     ]
     return out.select(*cols)
+
+
+def approx_top_keys(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 10,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Per-group heavy hitters via the built-in ``approx_top_k``
+    aggregate (JVM-side, partial-combined: each map task tracks up to
+    ``max_items_tracked`` counters, merges combine them — the
+    space-saving sketch pattern), returned LONG-FORM as one row per
+    (group, rank): (grp, rank, key, est_count).
+
+    The estimate is EXACT whenever a group's distinct-key count stays
+    within ``max_items_tracked`` (all counters fit — nothing is ever
+    evicted), which is the planned oracle-certificate condition for
+    registering this as a driver-gated entry next round; beyond that
+    it degrades gracefully like any space-saving summary. At 100 TB
+    the shuffle carries ``max_items_tracked`` counters per group, not
+    raw keys — the frequency twin of the HLL/CMS rollups above."""
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(
+            f"approx_top_k({key_col}, {int(k)}, {int(max_items_tracked)})"
+        ).alias("__tk")
+    )
+    return agg.select(
+        "grp",
+        F.posexplode("__tk").alias("__pos", "__e"),
+    ).select(
+        "grp",
+        (F.col("__pos") + 1).cast("long").alias("rank"),
+        F.col("__e.item").alias("key"),
+        F.col("__e.count").cast("long").alias("est_count"),
+    )

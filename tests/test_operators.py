@@ -938,3 +938,32 @@ def test_cms_rollup_never_undercounts_and_merges_exactly(spark):
         for r in sketches.cms_merge_and_probe(spark, global_sketch, probes).collect()
     }
     assert direct == {k: v[0] for k, v in got.items()}
+
+
+def test_approx_top_keys_exact_within_tracked_budget(spark):
+    """approx_top_k with all distinct keys inside the counter budget
+    evicts nothing, so the long-form heavy-hitters output must equal
+    the exact groupBy-count top-k (ties broken by count desc as the
+    aggregate emits them)."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.operators import sketches
+
+    # Zipf-ish: key k appears (60 - k) times per group
+    rows = [
+        ("g%d" % g, k)
+        for g in range(2)
+        for k in range(50)
+        for _ in range(60 - k)
+    ]
+    df = spark.createDataFrame(rows, "grp_src string, key long")
+    got = sketches.approx_top_keys(df, "key", "grp_src", k=5, max_items_tracked=1000)
+    out = {
+        (r["grp"], r["rank"]): (r["key"], r["est_count"]) for r in got.collect()
+    }
+    assert len(out) == 10
+    for g in ("g0", "g1"):
+        for rank in range(1, 6):
+            key, cnt = out[(g, rank)]
+            assert key == rank - 1  # key 0 is most frequent
+            assert cnt == 60 - key  # exact: nothing evicted
