@@ -207,3 +207,46 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and atomically
+    swap it into place. Returns the new file count.
+
+    Streaming/incremental sinks accrete one-file-per-micro-batch
+    layouts whose per-file open/footer cost eventually dominates
+    scans — the canonical lakehouse maintenance job (OPTIMIZE /
+    rewrite_data_files) this helper plays for plain parquet. Sizing
+    reads file metadata only (no data pass); the rewrite is one
+    round-robin repartition (even output sizes, no skew from the
+    input layout). The swap is rename-based: the new layout lands in
+    a sibling temp dir, the old dir moves aside, the new one moves
+    in, the old is deleted — a crash before the final rename leaves
+    the original intact (object stores replace the renames with a
+    manifest/transaction commit; the job shape is identical)."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / max(1, target_file_bytes)))
+    token = uuid.uuid4().hex[:12]
+    tmp_new = f"{path}.compact.{token}"
+    tmp_old = f"{path}.precompact.{token}"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp_new)
+    os.rename(path, tmp_old)
+    os.rename(tmp_new, path)
+    shutil.rmtree(tmp_old)
+    return n_files

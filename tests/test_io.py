@@ -248,3 +248,28 @@ def test_zordered_layout_prunes_on_every_dimension(spark, tmp_path):
     assert back.selectExpr("sum(x)", "sum(y)").collect() == df.selectExpr(
         "sum(x)", "sum(y)"
     ).collect()
+
+
+def test_compact_parquet_merges_small_files_losslessly(spark, tmp_path):
+    """compact_parquet: a 64-file micro-batch layout collapses to the
+    byte-budgeted file count, content identical, original swapped out
+    atomically (no temp dirs left behind)."""
+    import os
+
+    from football_etl_spark.io import sinks
+
+    d = str(tmp_path / "accreted")
+    df = spark.range(20000).selectExpr("id", "id % 97 AS k")
+    df.repartition(64).write.parquet(d)
+    before = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(before) == 64
+    total = sum(os.path.getsize(os.path.join(d, f)) for f in before)
+    n = sinks.compact_parquet(spark, d, target_file_bytes=total // 2 + 1)
+    after = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert n == 2 and len(after) == 2
+    assert not [p for p in os.listdir(tmp_path) if ".compact." in p or ".precompact." in p]
+    back = spark.read.parquet(d)
+    assert back.count() == 20000
+    assert back.selectExpr("sum(id)", "sum(k)").collect() == df.selectExpr(
+        "sum(id)", "sum(k)"
+    ).collect()
