@@ -213,6 +213,7 @@ def compact_parquet(
     spark,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] = (),
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ``ceil(total_bytes / target_file_bytes)`` files and atomically
@@ -228,7 +229,13 @@ def compact_parquet(
     a sibling temp dir, the old dir moves aside, the new one moves
     in, the old is deleted — a crash before the final rename leaves
     the original intact (object stores replace the renames with a
-    manifest/transaction commit; the job shape is identical)."""
+    manifest/transaction commit; the job shape is identical).
+
+    ``partition_by`` preserves a partitioned layout (e.g. the bronze
+    sink's ``batch_id=N`` dirs): discovered partition columns are
+    re-written as directories instead of silently demoted to data
+    columns; the file budget then applies per partition directory via
+    one shuffle on the partition key."""
     import math
     import os
     import shutil
@@ -243,9 +250,14 @@ def compact_parquet(
     token = uuid.uuid4().hex[:12]
     tmp_new = f"{path}.compact.{token}"
     tmp_old = f"{path}.precompact.{token}"
-    spark.read.parquet(path).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(tmp_new)
+    src = spark.read.parquet(path)
+    if partition_by:
+        w = src.repartition(n_files, *[src[c] for c in partition_by]).write.partitionBy(
+            *partition_by
+        )
+    else:
+        w = src.repartition(n_files).write
+    w.mode("overwrite").parquet(tmp_new)
     os.rename(path, tmp_old)
     os.rename(tmp_new, path)
     shutil.rmtree(tmp_old)

@@ -273,3 +273,24 @@ def test_compact_parquet_merges_small_files_losslessly(spark, tmp_path):
     assert back.selectExpr("sum(id)", "sum(k)").collect() == df.selectExpr(
         "sum(id)", "sum(k)"
     ).collect()
+
+
+def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
+    """Compacting a bronze-style batch_id-partitioned layout with
+    partition_by keeps the directory structure (readers still get
+    partition pruning) while merging the files inside."""
+    import os
+
+    from football_etl_spark.io import sinks
+
+    d = str(tmp_path / "bronze")
+    df = spark.range(6000).selectExpr("id", "CAST(id % 3 AS INT) AS batch_id")
+    df.repartition(30).write.partitionBy("batch_id").parquet(d)
+    sinks.compact_parquet(spark, d, target_file_bytes=1 << 40, partition_by=("batch_id",))
+    dirs = sorted(x for x in os.listdir(d) if x.startswith("batch_id="))
+    assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    back = spark.read.parquet(d)
+    assert back.count() == 6000
+    pruned = back.filter("batch_id = 1")
+    files = {r[0] for r in pruned.selectExpr("input_file_name()").distinct().collect()}
+    assert all("batch_id=1" in f for f in files)
