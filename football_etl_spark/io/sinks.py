@@ -234,8 +234,13 @@ def compact_parquet(
     ``partition_by`` preserves a partitioned layout (e.g. the bronze
     sink's ``batch_id=N`` dirs): discovered partition columns are
     re-written as directories instead of silently demoted to data
-    columns; the file budget then applies per partition directory via
-    one shuffle on the partition key."""
+    columns. The repartition then keys on the partition columns, so
+    each partition value's rows colocate — i.e. ONE file per
+    partition directory, the right shape for the many-small-batches
+    case this maintenance job exists for. A single partition too big
+    for one file would additionally salt the repartition keys (split
+    count per value), which this helper deliberately leaves to the
+    caller — it changes the layout contract."""
     import math
     import os
     import shutil
