@@ -383,3 +383,97 @@ def test_random_topk_query_matches_duckdb(spark, pred, direction, k):
     )
     problems = compare(sdf, sql, SF_SMOKE)
     assert not problems, f"AST={pred!r} {direction} k={k}\n" + "\n".join(problems)
+
+
+# ---- scalar-expression fuzz -------------------------------------------------
+#
+# Random pipelines of string functions whose semantics the two engines
+# share EXACTLY (1-based SUBSTR with non-negative lengths, pad/repeat
+# with small positive counts, non-null inputs — the common subspace;
+# known divergences like CONCAT-with-NULL or negative SUBSTR starts
+# are deliberately outside the draw). Each AST renders once to SQL and
+# once to DataFrame Columns.
+
+_STR_LEAVES = {
+    "lower": ("LOWER({x})", lambda c, p: F.lower(c)),
+    "upper": ("UPPER({x})", lambda c, p: F.upper(c)),
+    "trim": ("TRIM({x})", lambda c, p: F.trim(c)),
+    "reverse": ("REVERSE({x})", lambda c, p: F.reverse(c)),
+    "substr": (
+        "SUBSTR({x}, {a}, {b})",
+        lambda c, p: F.substring(c, p["a"], p["b"]),
+    ),
+    "lpad": ("LPAD({x}, {a}, 'xy')", lambda c, p: F.lpad(c, p["a"], "xy")),
+    "rpad": ("RPAD({x}, {a}, 'q')", lambda c, p: F.rpad(c, p["a"], "q")),
+    "replace": ("REPLACE({x}, 'e', '_')", lambda c, p: F.replace(c, F.lit("e"), F.lit("_"))),
+    "concat_lit": ("CONCAT({x}, '#t')", lambda c, p: F.concat(c, F.lit("#t"))),
+    "left": ("LEFT({x}, {a})", lambda c, p: F.left(c, F.lit(p["a"]))),
+    "right": ("RIGHT({x}, {a})", lambda c, p: F.right(c, F.lit(p["a"]))),
+}
+
+_str_step = st.tuples(
+    st.sampled_from(sorted(_STR_LEAVES)),
+    st.fixed_dictionaries({"a": st.integers(1, 9), "b": st.integers(0, 12)}),
+)
+_str_chain = st.lists(_str_step, min_size=1, max_size=3)
+
+
+@given(chain=_str_chain)
+@settings(**_SETTINGS)
+def test_random_string_pipeline_matches_duckdb(spark, chain):
+    sql_expr = "TRIM(text)"
+    col = F.trim(F.col("text"))
+    for name, params in chain:
+        tpl, fn = _STR_LEAVES[name]
+        sql_expr = tpl.format(x=sql_expr, **params)
+        col = fn(col, params)
+    sql = (
+        f"SELECT doc_id, {sql_expr} AS val, CAST(LENGTH({sql_expr}) AS BIGINT) AS n "
+        "FROM documents"
+    )
+    sdf = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", col.alias("val"), F.length(col).cast("long").alias("n")
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"chain={chain!r}\n" + "\n".join(problems)
+
+
+_DATE_FNS = {
+    "year": ("YEAR({x})", lambda c: F.year(c)),
+    "month": ("MONTH({x})", lambda c: F.month(c)),
+    "day": ("DAY({x})", lambda c: F.dayofmonth(c)),
+    "quarter": ("QUARTER({x})", lambda c: F.quarter(c)),
+    "hour": ("HOUR({x})", lambda c: F.hour(c)),
+    # DuckDB's date_trunc returns DATE at day-or-coarser granularity
+    # while Spark returns TIMESTAMP — cast the oracle side explicitly
+    "trunc_month": (
+        "CAST(DATE_TRUNC('month', {x}) AS TIMESTAMP)",
+        lambda c: F.date_trunc("month", c),
+    ),
+    "trunc_year": (
+        "CAST(DATE_TRUNC('year', {x}) AS TIMESTAMP)",
+        lambda c: F.date_trunc("year", c),
+    ),
+    "trunc_day": (
+        "CAST(DATE_TRUNC('day', {x}) AS TIMESTAMP)",
+        lambda c: F.date_trunc("day", c),
+    ),
+    "last_day": ("LAST_DAY({x})", lambda c: F.last_day(c)),
+}
+
+
+@given(fn=st.sampled_from(sorted(_DATE_FNS)), pred=_predicate)
+@settings(**_SETTINGS)
+def test_random_date_scalar_matches_duckdb(spark, fn, pred):
+    tpl, col_fn = _DATE_FNS[fn]
+    sql = (
+        f"SELECT o_orderkey, {tpl.format(x='o_orderdate')} AS val "
+        f"FROM orders WHERE {_pred_sql(pred)}"
+    )
+    sdf = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(_pred_col(pred))
+        .select("o_orderkey", col_fn(F.col("o_orderdate")).alias("val"))
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"fn={fn} pred={pred!r}\n" + "\n".join(problems)
