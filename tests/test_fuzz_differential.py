@@ -477,3 +477,74 @@ def test_random_date_scalar_matches_duckdb(spark, fn, pred):
     )
     problems = compare(sdf, sql, SF_SMOKE)
     assert not problems, f"fn={fn} pred={pred!r}\n" + "\n".join(problems)
+
+
+# ---- window-frame fuzz -----------------------------------------------------
+
+_FRAME_AGGS = {
+    "fsum": (
+        # outer BIGINT cast: DuckDB sums BIGINT into HUGEINT, which
+        # lands in pandas as float64 — the registry's standing gotcha
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)",
+        lambda w: F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w),
+    ),
+    "fmin": (
+        "MIN(o_totalprice) OVER w",
+        lambda w: F.min("o_totalprice").over(w),
+    ),
+    "fmax": (
+        "MAX(o_totalprice) OVER w",
+        lambda w: F.max("o_totalprice").over(w),
+    ),
+    "fcnt": (
+        "CAST(COUNT(*) OVER w AS BIGINT)",
+        lambda w: F.count(F.lit(1)).over(w).cast("long"),
+    ),
+}
+_frame_kind = st.sampled_from(["trailing", "leading", "cumulative"])
+_frame_n = st.integers(min_value=0, max_value=20)
+
+
+@given(
+    pred=_predicate,
+    aggs=st.lists(st.sampled_from(sorted(_FRAME_AGGS)), min_size=1, max_size=2, unique=True),
+    part=_win_part,
+    kind=_frame_kind,
+    n=_frame_n,
+)
+@settings(**_SETTINGS)
+def test_random_window_frame_matches_duckdb(spark, pred, aggs, part, kind, n):
+    """Explicit ROWS frames (trailing / leading / cumulative) over a
+    total order: both engines must aggregate the identical frame
+    content row-for-row. Frame sums use the scaled-long money
+    discipline so accumulation order inside a frame cannot produce
+    last-bit drift."""
+    from pyspark.sql import Window
+
+    frames = {
+        "trailing": (f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW", (-n, 0)),
+        "leading": (f"ROWS BETWEEN CURRENT ROW AND {n} FOLLOWING", (0, n)),
+        "cumulative": (
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            (Window.unboundedPreceding, Window.currentRow),
+        ),
+    }
+    frame_sql, (lo, hi) = frames[kind]
+    part_sql = f"PARTITION BY {', '.join(part)} " if part else ""
+    over = f"({part_sql}ORDER BY o_totalprice ASC, o_orderkey ASC {frame_sql})"
+    sel = ", ".join(
+        f"{_FRAME_AGGS[a][0].replace('OVER w', 'OVER ' + over)} AS {a}" for a in aggs
+    )
+    sql = f"SELECT o_orderkey, {sel} FROM orders WHERE {_pred_sql(pred)}"
+
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(lo, hi)
+    )
+    df = load_table(spark, SF_SMOKE, "orders").filter(_pred_col(pred))
+    sdf = df.select("o_orderkey", *[_FRAME_AGGS[a][1](w).alias(a) for a in aggs])
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"pred={pred!r} aggs={aggs} part={part} {kind} n={n}\n" + "\n".join(
+        problems
+    )
