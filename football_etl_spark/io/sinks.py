@@ -216,8 +216,10 @@ def compact_parquet(
     partition_by: Sequence[str] = (),
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
-    ``ceil(total_bytes / target_file_bytes)`` files and atomically
-    swap it into place. Returns the new file count.
+    ``ceil(total_bytes / target_file_bytes)`` files and swap it into
+    place. Returns the ACTUAL new parquet file count, counted from
+    the swapped-in directory (with ``partition_by`` the layout is
+    one file per partition value, not the byte budget).
 
     Streaming/incremental sinks accrete one-file-per-micro-batch
     layouts whose per-file open/footer cost eventually dominates
@@ -225,11 +227,15 @@ def compact_parquet(
     rewrite_data_files) this helper plays for plain parquet. Sizing
     reads file metadata only (no data pass); the rewrite is one
     round-robin repartition (even output sizes, no skew from the
-    input layout). The swap is rename-based: the new layout lands in
-    a sibling temp dir, the old dir moves aside, the new one moves
-    in, the old is deleted — a crash before the final rename leaves
-    the original intact (object stores replace the renames with a
-    manifest/transaction commit; the job shape is identical).
+    input layout). The swap is two renames (old aside, new in):
+    POSIX offers no atomic directory exchange, so a reader racing
+    the swap — or a crash between the two renames — can observe
+    ``path`` missing for that instant, with all data intact at the
+    sibling ``.precompact.<token>`` dir (recovery = one rename
+    back). The safety property is that committed data is never lost
+    or half-written; a single-writer maintenance window is assumed,
+    and object-store/table-format deployments replace the renames
+    with a manifest/transaction commit that closes the gap entirely.
 
     ``partition_by`` preserves a partitioned layout (e.g. the bronze
     sink's ``batch_id=N`` dirs): discovered partition columns are
@@ -266,4 +272,7 @@ def compact_parquet(
     os.rename(path, tmp_old)
     os.rename(tmp_new, path)
     shutil.rmtree(tmp_old)
-    return n_files
+    written = 0
+    for root, _, files in os.walk(path):
+        written += sum(1 for f in files if f.endswith(".parquet"))
+    return written

@@ -1002,27 +1002,38 @@ def _pq_codes_col(vec_col: str, books: list[list[list[float]]]) -> Column:
     (self-contained — no module globals, per the worker-pickling
     contract), each batch is packed into one (n, D) float64 matrix and
     each subspace argmin is a single vectorized distance computation.
-    Ties break to the lowest code index (np.argmin), deterministic."""
+    Ties break to the lowest code index (np.argmin), deterministic.
+    NULL vectors code to NULL (no executor-side crash; downstream
+    ADC/posexplode skips them like any null array)."""
+    import numpy as _np
+
     m = len(books)
     dsub = len(books[0][0])
-    flat_books = [[list(map(float, cw)) for cw in b] for b in books]
+    # converted ONCE at closure-build time — ndarrays pickle by value,
+    # staying self-contained, and the per-Arrow-batch list→ndarray
+    # conversion cost disappears
+    books_np = [_np.asarray(b, dtype=_np.float64) for b in books]
 
     @F.pandas_udf("array<int>")
     def _codes(vs):
         import numpy as np
         import pandas as pd
 
-        B = [np.asarray(b, dtype=np.float64) for b in flat_books]
-        out = []
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        if len(X) == 0:
-            return pd.Series(out)
-        codes = np.empty((X.shape[0], m), dtype=np.int32)
-        for s in range(m):
-            Xs = X[:, s * dsub : (s + 1) * dsub]
-            d = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(-1)
-            codes[:, s] = d.argmin(1)
-        return pd.Series([row.tolist() for row in codes])
+        vals = list(vs)
+        live_idx = [i for i, v in enumerate(vals) if v is not None]
+        out: list = [None] * len(vals)
+        if live_idx:
+            X = np.asarray(
+                [np.asarray(vals[i], dtype=np.float64) for i in live_idx]
+            )
+            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d = ((Xs[:, None, :] - books_np[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d.argmin(1)
+            for row_i, i in enumerate(live_idx):
+                out[i] = codes[row_i].tolist()
+        return pd.Series(out)
 
     return _codes(F.col(vec_col))
 
@@ -1135,6 +1146,8 @@ def pq_adc_topk(
     distance equals the true squared distance between the query and
     the code-reconstructed vector. Output: (query_id, rank, vec_id,
     adc_d2), rank windows partitioned per query like cosine_topk."""
+    if not query_rows:
+        raise ValueError("pq_adc_topk needs at least one query vector")
     m = len(books)
     luts = []  # per query: m x k partials
     qids = []

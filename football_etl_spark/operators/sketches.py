@@ -141,8 +141,9 @@ def cms_merge_and_probe(
         for g in sorted(merged)
         for k in probes
     ]
+    by_type = dict(sketches.dtypes)[by]  # honor a non-string group key
     return spark.createDataFrame(
-        out, f"{by} string, key long, est_count long, n_rows long"
+        out, f"{by} {by_type}, key long, est_count long, n_rows long"
     )
 
 

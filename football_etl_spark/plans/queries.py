@@ -5575,21 +5575,13 @@ def conversion_funnel(spark, sf_dir):
     "not the temp files) proves the widened read is lossless",
 )
 def schema_evolution_read(spark, sf_dir):
-    # eager-write + deterministic temp path: see csv_round_trip_orders.
-    # The path additionally carries the applicationId so two sessions
-    # in one process can never overwrite each other's layout mid-read,
-    # and the tree is removed at process exit (atexit) so repeated
-    # runs don't accumulate temp parquet across processes.
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
+    # eager-write via the shared scratch-root helper: keyed by
+    # pid + applicationId + sf_dir (two sessions, or two scale
+    # factors in one session, can never overwrite each other's
+    # landed layout mid-read), wiped at construction, removed at
+    # process exit.
     o = _t(spark, sf_dir, "orders")
-    app = spark.sparkContext.applicationId
-    base = f"{tempfile.gettempdir()}/fes_evo_{os.getpid()}_{app}"
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    root = f"{base}/orders_evo"
+    root = f"{_fresh_tmp_root(spark, 'evo', sf_dir)}/orders_evo"
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"

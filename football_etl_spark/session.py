@@ -52,15 +52,17 @@ def ship_package(spark: SparkSession) -> None:
     pkg_root = os.path.dirname(os.path.abspath(__file__))
     parent = os.path.dirname(pkg_root)
     zp = os.path.join(tempfile.gettempdir(), f"fes_pkg_{os.getpid()}.zip")
-    if not os.path.exists(zp):
-        tmp = f"{zp}.{app}.tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for root, _, files in os.walk(pkg_root):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, parent))
-        os.replace(tmp, zp)
+    # Always (re)build: an archive left by a recycled pid or an older
+    # checkout must never ship stale code to executors. The build is
+    # ~60 small files; os.replace keeps the publish atomic.
+    tmp = f"{zp}.{app}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _, files in os.walk(pkg_root):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, parent))
+    os.replace(tmp, zp)
     spark.sparkContext.addPyFile(zp)
     _SHIPPED.add(app)
 

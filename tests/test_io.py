@@ -286,7 +286,10 @@ def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
     d = str(tmp_path / "bronze")
     df = spark.range(6000).selectExpr("id", "CAST(id % 3 AS INT) AS batch_id")
     df.repartition(30).write.partitionBy("batch_id").parquet(d)
-    sinks.compact_parquet(spark, d, target_file_bytes=1 << 40, partition_by=("batch_id",))
+    n = sinks.compact_parquet(
+        spark, d, target_file_bytes=1 << 40, partition_by=("batch_id",)
+    )
+    assert n == 3  # returns the ACTUAL count: one file per partition value
     dirs = sorted(x for x in os.listdir(d) if x.startswith("batch_id="))
     assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
     back = spark.read.parquet(d)

@@ -1031,3 +1031,19 @@ def test_pq_train_encode_adc_properties(spark):
         hits += len(exact10 & pq10)
         total += 10
     assert hits / total >= 0.3, hits / total
+
+
+def test_pq_encode_null_vector_codes_to_null(spark):
+    """A NULL embedding must code to NULL (clean per-row degradation),
+    not crash the Arrow kernel."""
+    from football_etl_spark.operators import similarity
+
+    books = [[[0.0, 0.0], [1.0, 1.0]] for _ in range(2)]  # m=2, k=2, dsub=2
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.1, 0.9, 0.9]), (1, None), (2, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["codes"] for r in similarity.pq_encode(df, books).collect()}
+    assert rows[0] == [0, 1]
+    assert rows[1] is None
+    assert rows[2] == [1, 0]
