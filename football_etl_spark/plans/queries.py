@@ -67,7 +67,7 @@ REGISTRY: dict[str, QueryDef] = {}
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
+def _registering(target: dict[str, QueryDef], name: str, oracle, doc):
     def deco(fn):
         @functools.wraps(fn)
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,10 +79,29 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
                 df = _PLAN_CACHE[key] = fn(spark, sf_dir)
             return df
 
-        REGISTRY[name] = QueryDef(name, cached, oracle, doc)
+        target[name] = QueryDef(name, cached, oracle, doc)
         return cached
 
     return deco
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    return _registering(REGISTRY, name, oracle, doc)
+
+
+# Entries proven locally (tests/test_oracle.py runs STAGED through the
+# identical Spark-vs-DuckDB compare as REGISTRY) but deliberately kept
+# out of queries() emission for ONE round: the driver samples exactly
+# the first ~50 names per round, never-sampled entries first, so each
+# new registration displaces a stale entry from the re-certification
+# rotation. Staging lets a round finish rotating the backlog while the
+# next round's entries ride the full local gate; promotion is a
+# one-word change (staged_query -> query).
+STAGED: dict[str, QueryDef] = {}
+
+
+def staged_query(name: str, oracle: str | None = None, doc: str = ""):
+    return _registering(STAGED, name, oracle, doc)
 
 
 # Per-(session, sf_dir) DataFrame cache: a registry query re-reading a
@@ -6004,6 +6023,66 @@ def approx_percentile_error_bound(spark, sf_dir):
             ).alias(f"p{tag}_within_bound")
         )
     return j.select(*cols)
+
+
+# ===========================================================================
+# STAGED for next-round registration (full local oracle gate, not yet
+# in queries() emission — see staged_query above for the budget math)
+# ===========================================================================
+
+
+@staged_query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12-shaped priority-by-ship-class count: the last "
+    "unimplemented TPC-H shape — the reference's merge layer "
+    "(data_utils.py:145-186) composed with its conditional result "
+    "mapping (data_utils.py:279-284), as one fact-fact join feeding "
+    "CASE-sum counters. Mapped onto the driver schema (lineitem has "
+    "no l_shipmode/l_commitdate): "
+    "l_returnflag IN ('A','R') plays the shipmode IN-list, 'shipped "
+    ">30 days after order' plays commitdate<receiptdate, a 2-year "
+    "l_shipdate window plays the receipt-year slice. Conditional "
+    "counts stay one CASE-sum pair inside a single aggregate. At "
+    "scale: both IN-list + date filters reach the lineitem scan "
+    "(pushdown) BEFORE the orderkey shuffle join, and the residual "
+    "late-by-30-days theta predicate evaluates post-join without a "
+    "second exchange; the groupBy reuses partial map-side aggregation "
+    "on a 2-value key",
+)
+def q12_priority_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    filtered = li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = filtered.join(o, filtered.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return joined.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"),
+    )
 
 
 def _driver_history() -> dict[str, int]:

@@ -5,12 +5,13 @@ from __future__ import annotations
 
 import pytest
 
-from football_etl_spark.plans.queries import REGISTRY
+from football_etl_spark.plans.queries import REGISTRY, STAGED
 
 from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
 ORACLE_QUERIES = [name for name, q in REGISTRY.items() if q.oracle is not None]
+STAGED_ORACLE_QUERIES = [name for name, q in STAGED.items() if q.oracle is not None]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -19,6 +20,21 @@ def test_query_matches_oracle(spark, name):
     df = q.fn(spark, SF_ORACLE)
     problems = compare(df, q.oracle, SF_ORACLE)
     assert not problems, f"{name}:\n" + "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", STAGED_ORACLE_QUERIES)
+def test_staged_query_matches_oracle(spark, name):
+    """Staged entries ride the identical gate as registered ones, so
+    promotion to the driver registry is a decorator rename, not a
+    re-verification effort."""
+    q = STAGED[name]
+    df = q.fn(spark, SF_ORACLE)
+    problems = compare(df, q.oracle, SF_ORACLE)
+    assert not problems, f"{name}:\n" + "\n".join(problems)
+
+
+def test_staged_names_disjoint_from_registry():
+    assert not set(STAGED) & set(REGISTRY)
 
 
 def test_all_queries_return_rows_or_valid_empty(spark):
