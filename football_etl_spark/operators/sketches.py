@@ -119,11 +119,11 @@ def cms_merge_and_probe(
     Guarantees carried to the output: ``est_count >= exact`` always
     (CMS never undercounts), and ``est_count <= exact + eps·n_rows``
     with probability ``confidence`` per probe. Output: (grp, key,
-    est_count, n_rows). Registration as an oracle-gated bounded-error
-    certificate entry (exact side + within-bound verdict, like
-    approx_distinct_error_bound) is planned for the next round — this
-    round's driver sample is budgeted to re-certify the stale third of
-    the registry, so the operator ships pytest-gated."""
+    est_count, n_rows). The oracle-gated bounded-error certificate
+    entry (exact side + within-bound verdict, like
+    approx_distinct_error_bound) is staged as
+    ``cms_frequency_error_bound`` in plans/queries.py, held for
+    next-round registration by the driver-sample budget."""
     rows = sketches.select(by, "cms", "n_rows").collect()
     jread = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom
     merged: dict = {}
@@ -183,8 +183,9 @@ def approx_top_keys(
 
     The estimate is EXACT whenever a group's distinct-key count stays
     within ``max_items_tracked`` (all counters fit — nothing is ever
-    evicted), which is the planned oracle-certificate condition for
-    registering this as a driver-gated entry next round; beyond that
+    evicted) — the condition the staged
+    ``approx_topk_exactness_certificate`` entry certifies under the
+    oracle gate (tie-invariant facts only); beyond that
     it degrades gracefully like any space-saving summary. At 100 TB
     the shuffle carries ``max_items_tracked`` counters per group, not
     raw keys — the frequency twin of the HLL/CMS rollups above."""

@@ -6085,6 +6085,114 @@ def q12_priority_shipping(spark, sf_dir):
     )
 
 
+@staged_query(
+    "cms_frequency_error_bound",
+    oracle="""
+    WITH g AS (SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM events GROUP BY 1),
+    e AS (SELECT event_type AS grp, user_id AS key,
+                 CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM events WHERE user_id IN (1, 2, 3, 5, 8) GROUP BY 1, 2),
+    p(key) AS (VALUES (CAST(1 AS BIGINT)), (2), (3), (5), (8))
+    SELECT g.grp, p.key, COALESCE(e.exact_count, 0) AS exact_count,
+           g.n_rows, TRUE AS within_bound
+    FROM g CROSS JOIN p LEFT JOIN e ON e.grp = g.grp AND e.key = p.key
+    """,
+    doc="deterministic bounded-error certificate for the Count-Min "
+    "frequency rollup (operators/sketches.py daily_cms_sketches + "
+    "cms_merge_and_probe): per-(type, day) CMS sketches are built "
+    "executor-side (partial-combined count_min_sketch aggregate — the "
+    "shuffle carries counters, never raw keys), union-merged per "
+    "group, and probed for five fixed user keys; the entry joins the "
+    "estimates to the exact counts and emits the CMS contract as a "
+    "verdict the oracle replicates as TRUE: exact <= est <= exact + "
+    "eps*n_rows (eps=0.001 -> thousands of counters vs <=1500 distinct "
+    "keys at sf0.1, so the one-sided overcount bound holds with "
+    "enormous margin and the fixed seed makes the run-to-run value a "
+    "constant of the data). Probes missing from a group certify as "
+    "exact_count=0 via the same cross-join shape the sketch probe "
+    "emits",
+)
+def cms_frequency_error_bound(spark, sf_dir):
+    from ..operators import sketches
+
+    probes = [1, 2, 3, 5, 8]
+    ev = _t(spark, sf_dir, "events")
+    daily = sketches.daily_cms_sketches(
+        ev, "user_id", "event_type", "ts", eps=0.001, confidence=0.99, seed=17
+    )
+    probed = sketches.cms_merge_and_probe(spark, daily, probes, by="grp")
+    exact = (
+        ev.filter(F.col("user_id").isin(probes))
+        .groupBy(F.col("event_type").alias("grp"), F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    slack = F.ceil(F.col("n_rows") * F.lit(0.001)).cast("long")
+    exact_c = F.coalesce(F.col("exact_count"), F.lit(0).cast("long"))
+    return probed.join(exact, ["grp", "key"], "left").select(
+        "grp",
+        "key",
+        exact_c.alias("exact_count"),
+        "n_rows",
+        (
+            (F.col("est_count") >= exact_c)
+            & (F.col("est_count") <= exact_c + slack)
+        ).alias("within_bound"),
+    )
+
+
+@staged_query(
+    "approx_topk_exactness_certificate",
+    oracle="""
+    WITH c AS (SELECT event_type AS grp, user_id AS key, COUNT(*) AS exact_count
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT grp, exact_count,
+                 ROW_NUMBER() OVER (PARTITION BY grp
+                                    ORDER BY exact_count DESC) AS rn
+          FROM c)
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           CAST(SUM(exact_count) AS BIGINT) AS topk_count_sum,
+           TRUE AS all_counts_exact
+    FROM r WHERE rn <= 5 GROUP BY grp
+    """,
+    doc="exact-within-budget certificate for the space-saving heavy-"
+    "hitters rollup (operators/sketches.py approx_top_keys / the "
+    "built-in approx_top_k aggregate): with max_items_tracked=10000 "
+    "counters and <=1500 distinct users per group at sf0.1, nothing "
+    "is ever evicted, so every returned count is EXACT and the "
+    "returned set is a true top-k. Tie-safe by construction: top-5 "
+    "membership is ambiguous under the data's heavy count ties, so "
+    "the certificate emits only tie-invariant facts — n_returned, the "
+    "SUM of the top-5 counts (identical for any tie resolution), and "
+    "the all-counts-exact verdict from joining each returned key back "
+    "to its exact count. The oracle reproduces all three from a plain "
+    "ranked groupBy. At 100 TB the shuffle carries 10k counters per "
+    "group instead of raw keys",
+)
+def approx_topk_exactness_certificate(spark, sf_dir):
+    from ..operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    tk = sketches.approx_top_keys(
+        ev, "user_id", "event_type", k=5, max_items_tracked=10000
+    )
+    exact = ev.groupBy(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("key")
+    ).agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        tk.join(exact, ["grp", "key"], "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum("est_count").alias("topk_count_sum"),
+            F.min(F.col("est_count") == F.col("exact_count")).alias(
+                "all_counts_exact"
+            ),
+        )
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry
