@@ -6193,6 +6193,106 @@ def approx_topk_exactness_certificate(spark, sf_dir):
     )
 
 
+def _sql_pq_assign(btab: str) -> str:
+    """Per-(vector, subspace) nearest-codeword assignment against the
+    codebook CTE ``btab`` (columns s, code, j, c) — the SQL twin of
+    the Arrow argmin kernel in similarity._pq_codes_col (ties to the
+    lowest code, matching np.argmin)."""
+    return f"""
+      SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, b.code,
+               SUM((sv.x - b.c) * (sv.x - b.c)) AS d2
+        FROM sv JOIN {btab} b ON b.s = sv.s AND b.j = sv.j
+        GROUP BY sv.vec_id, sv.s, b.code
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+                                   ORDER BY d2 ASC, code ASC) = 1
+      )"""
+
+
+def _sql_pq_update(atab: str, btab: str) -> str:
+    """Codebook update from assignment ``atab``: per-(s, code, j)
+    rounded mean, COALESCE-backfilled from ``btab`` so a codeword that
+    loses all members keeps its previous value (pq_train's dense-codes
+    contract)."""
+    return f"""
+      SELECT {btab}.s, {btab}.code, {btab}.j, COALESCE(u.c, {btab}.c) AS c
+      FROM {btab} LEFT JOIN (
+        SELECT a.s, a.code, sv.j, ROUND(AVG(sv.x), 6) AS c
+        FROM {atab} a JOIN sv ON sv.vec_id = a.vec_id AND sv.s = a.s
+        GROUP BY a.s, a.code, sv.j
+      ) u ON u.s = {btab}.s AND u.code = {btab}.code AND u.j = {btab}.j"""
+
+
+_SQL_PQ_CTES = f"""sv AS (
+      SELECT vec_id, i // 8 AS s, i % 8 AS j,
+             CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i)
+    ),
+    b0 AS (SELECT s, vec_id AS code, j, x AS c FROM sv WHERE vec_id < 16),
+    a0 AS ({_sql_pq_assign('b0')}),
+    b1 AS ({_sql_pq_update('a0', 'b0')}),
+    a1 AS ({_sql_pq_assign('b1')}),
+    b2 AS ({_sql_pq_update('a1', 'b1')}),
+    codes AS ({_sql_pq_assign('b2')})"""
+
+
+@staged_query(
+    "pq_adc_ann_topk",
+    oracle=f"""
+    WITH {_SQL_PQ_CTES},
+    lut AS (
+      SELECT qsv.vec_id AS query_id, b.s, b.code,
+             SUM((qsv.x - b.c) * (qsv.x - b.c)) AS pd
+      FROM sv qsv JOIN b2 b ON b.s = qsv.s AND b.j = qsv.j
+      WHERE qsv.vec_id < 8
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.query_id, codes.vec_id, ROUND(SUM(l.pd), 6) AS adc_d2
+      FROM codes JOIN lut l ON l.s = codes.s AND l.code = codes.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, vec_id ASC)
+                AS BIGINT) AS rank,
+           vec_id, adc_d2
+    FROM adc
+    QUALIFY rank <= 10
+    """,
+    doc="PRODUCT-QUANTIZATION serving pipeline (Jegou et al. 2011, "
+    "TPAMI — the compression tier of every large-scale ANN index): "
+    "pq_train's deterministic per-subspace Lloyd's (m=8 subspaces, "
+    "k=16 codewords, 2 iterations, first-16-by-id init, codebooks "
+    "rounded to 6dp each update so the trajectory reproduces across "
+    "engines), pq_encode's one-Arrow-pass 64-float -> 8-code "
+    "compression, then pq_adc_topk's asymmetric-distance top-10: per "
+    "query an m x k lookup table of partial squared distances turns "
+    "each corpus distance into 8 table lookups + a sum over the CODES "
+    "alone — the float vectors are never re-read at serve time, the "
+    "~32x footprint drop that keeps a 100 TB corpus's index "
+    "in memory. The oracle replays the ENTIRE trajectory (init, 2 "
+    "assign/update rounds, final encode, LUT, ADC re-rank) in SQL; "
+    "hash-equality certifies train+encode+serve end-to-end. Ranks on "
+    "6dp-rounded distances with vec_id tie-break, deterministic on "
+    "both engines",
+)
+def pq_adc_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "__pq_books")
+    books = _CONTROL_CACHE.get(key)
+    if books is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        books = _CONTROL_CACHE[key] = similarity.pq_train(
+            e, m=8, k=16, n_iter=2
+        )
+    codes = similarity.pq_encode(e, books)
+    return similarity.pq_adc_topk(
+        codes, books, _q8_rows(spark, sf_dir, e), k_top=10
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry
