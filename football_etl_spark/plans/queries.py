@@ -6293,6 +6293,97 @@ def pq_adc_ann_topk(spark, sf_dir):
     )
 
 
+@staged_query(
+    "zorder_sink_pruned_read",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 160
+      AND l_suppkey BETWEEN 10 AND 40
+    """,
+    doc="Z-ORDER clustered sink + multi-dimension selective re-read "
+    "(io/sinks.write_zordered): lineitem rewritten range-clustered on "
+    "the Morton interleave of (l_partkey, l_suppkey) — pure JVM "
+    "bitwise expressions, one shuffle — then read back with a "
+    "rectangle predicate on BOTH dimensions. Hash-equality against "
+    "the plain-table oracle proves the z-layout is lossless and the "
+    "re-read filters exactly; the companion pytest "
+    "(tests/test_io.py) verifies the parquet FOOTER stats actually "
+    "prune most files on either axis, which a 1-D sort cannot do for "
+    "its trailing column. At 100 TB this is the lakehouse ZORDER BY "
+    "layout that serves selective two-axis scans from a fraction of "
+    "the files",
+)
+def zorder_sink_pruned_read(spark, sf_dir):
+    from ..io import sinks
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = f"{_fresh_tmp_root(spark, 'zord', sf_dir)}/lineitem_z"
+    sinks.write_zordered(li, path, cols=("l_partkey", "l_suppkey"), n_files=16)
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("l_partkey").between(100, 160) & F.col("l_suppkey").between(10, 40)
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+
+
+@staged_query(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(COALESCE(SUM(value), 0), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="CUSTOM STATEFUL STREAMING OPERATOR under the exact value "
+    "gate (streaming/incremental.stateful_user_totals, "
+    "applyInPandasWithState with processing-time TTL — the streaming "
+    "twin of the reference's per-team cache with freshness eviction, "
+    "team_scraper.py:89-126): the events feed re-read as a 4-file "
+    "stream at one file per micro-batch, per-user (count, total) "
+    "state accumulated ACROSS batches, update-mode rows landed in a "
+    "memory sink (one row per touched key per batch), reduced to "
+    "latest-per-key by the monotone n_events. Hash-equality against "
+    "the batch groupBy oracle certifies that cross-batch state "
+    "accumulation reproduces the batch aggregate exactly (totals "
+    "rounded to 6dp both sides — state adds doubles in arrival "
+    "order, the oracle in scan order). Runs NoTimeout: registered "
+    "processing-time timers would hold the availableNow query open "
+    "until expiry (the TTL-eviction path is pytest-covered); in "
+    "production the TTL bounds state by live keys at 100 TB, not "
+    "history",
+)
+def streaming_stateful_user_totals(spark, sf_dir):
+    import os
+    import re
+
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    root = _fresh_tmp_root(spark, "sst", sf_dir)
+    feed = f"{root}/feed"
+    # 2 files -> 2 micro-batches: proves cross-batch carry-over without
+    # paying N stateful-Python micro-batch spin-ups per construction
+    ev.repartition(2).write.mode("overwrite").parquet(feed)
+    stream = incremental.read_event_stream(spark, feed, ev.schema)
+    totals = incremental.stateful_user_totals(
+        stream, key_col="user_id", value_col="value", state_ttl_minutes=None
+    )
+    name = "fes_sst_" + re.sub(r"\W+", "_", f"{os.getpid()}_{sf_dir.rstrip('/')}")
+    tbl = incremental.run_available_now(totals, name, f"{root}/ckpt", mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        tbl.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry

@@ -108,16 +108,25 @@ def streaming_dedup(
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    mode: str = "complete",
 ) -> DataFrame:
     """Drive a streaming aggregation to completion over all currently
     available input (availableNow trigger), land it in an in-memory
     sink, return the result table. This is the catch-up/incremental
     execution mode; on a cluster the sink would be a parquet/Delta
-    bronze table with the same checkpoint discipline."""
+    bronze table with the same checkpoint discipline.
+
+    ``mode``: the sink output mode — "complete" for full-result
+    aggregations; "update" for stateful operators that emit changed
+    keys per micro-batch (the memory sink then APPENDS each batch's
+    updates, so the table holds one row per (key, touching batch) and
+    the caller reduces to latest-per-key)."""
     spark = stream_df.sparkSession
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
