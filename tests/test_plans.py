@@ -498,3 +498,46 @@ def test_raw_dump_ingest_is_map_only_single_parse(spark):
     plan = plan_str(REGISTRY["raw_dump_ingest"].fn(spark, SF_SMOKE), "simple")
     assert "Exchange" not in plan, plan
     assert plan.count("from_json") == 1, plan
+
+
+# --- staged (next-round) entries: same scale contracts pre-promotion ---
+
+
+def test_q12_pushdown_partial_agg_no_cartesian(spark):
+    """Staged Q12 shape: the IN-list AND both shipdate bounds must
+    reach the lineitem scan (at 100 TB the 2-year slice prunes row
+    groups before the orderkey join), the 2-value groupBy must partial-
+    aggregate map-side, and the residual late-by-30-days predicate
+    must not degrade the join to a nested loop."""
+    from football_etl_spark.plans.queries import STAGED
+
+    plan = plan_str(STAGED["q12_priority_shipping"].fn(spark, SF_SMOKE))
+    assert "In(l_returnflag, [A,R])" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, plan
+    assert "LessThan(l_shipdate,1998-01-01" in plan, plan
+    simple = plan_str(STAGED["q12_priority_shipping"].fn(spark, SF_SMOKE), "simple")
+    assert simple.count("HashAggregate") >= 2, simple
+    assert "CartesianProduct" not in simple and "NestedLoop" not in simple, simple
+
+
+def test_pq_serving_single_scan_no_joins(spark):
+    """Staged PQ ADC serving: distances come from the per-query lookup
+    tables closed over the Arrow kernel — the plan must scan the
+    corpus ONCE, plan ZERO joins (the LUT is driver-side control
+    plane, never a relation), and rank via a per-query window."""
+    from football_etl_spark.plans.queries import STAGED
+
+    plan = plan_str(STAGED["pq_adc_ann_topk"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_staged_entries_no_cartesian(spark):
+    """No staged entry may plan an unbounded cartesian product (the
+    same blanket rule the registry enforces)."""
+    from football_etl_spark.plans.queries import STAGED
+
+    for name, qd in STAGED.items():
+        plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
