@@ -6384,6 +6384,44 @@ def streaming_stateful_user_totals(spark, sf_dir):
     )
 
 
+@staged_query(
+    "fuzzy_name_matches",
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+    FROM d a JOIN d b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="ENTITY-RESOLUTION fuzzy join under the exact gate "
+    "(operators/dedup.fuzzy_join_edit_distance): all distinct part-"
+    "name pairs within levenshtein distance 2 — the reference's "
+    "manual team-name remap table (data_utils.py:61-95 normalization "
+    "pairs) generalized to an automatic similarity join. The Spark "
+    "plan is PassJoin segment blocking (Li et al., VLDB 2012): "
+    "pigeonhole says an <=2-edit pair shares one of 3 segments "
+    "verbatim within a +-2 shift, so candidates come from an EQUI-"
+    "join on (length, segment-slot, segment-text) keys — one content-"
+    "distributed shuffle, constant ~(2d+1)^2(d+1) fan-out per string "
+    "— and the exact levenshtein filter finishes. The ORACLE is the "
+    "brute-force n-squared theta join; hash-equality certifies the "
+    "blocking lossless on real data (the property test certifies it "
+    "on adversarial random strings). At 100 TB the theta join is "
+    "unrunnable and THIS is the plan that replaces it",
+)
+def fuzzy_name_matches(spark, sf_dir):
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    pairs = dedup.fuzzy_join_edit_distance(
+        a, b, "name_a", "name_a", "name_b", "name_b", max_dist=2
+    )
+    return pairs.filter(F.col("name_a") < F.col("name_b")).select(
+        "name_a", "name_b", "edit_distance"
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry

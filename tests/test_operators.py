@@ -1047,3 +1047,72 @@ def test_pq_encode_null_vector_codes_to_null(spark):
     assert rows[0] == [0, 1]
     assert rows[1] is None
     assert rows[2] == [1, 0]
+
+
+def test_fuzzy_join_edit_distance_lossless_vs_bruteforce(spark):
+    """PassJoin segment blocking must be LOSSLESS: on random short
+    strings (including empties) the blocked join's output equals the
+    brute-force n-squared theta join exactly, for every tested
+    max_dist. This is the pigeonhole guarantee the operator's 100 TB
+    claim rests on — candidates come from an equi-join, results from
+    the exact levenshtein filter."""
+    import itertools
+    import random
+
+    from football_etl_spark.operators import dedup
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    strs = list(
+        {"".join(rng.choice("abc") for _ in range(rng.randint(0, 8))) for _ in range(45)}
+    )
+    strs.append("")  # force the empty-string edge case regardless of draw
+    strs = list(dict.fromkeys(strs))
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    other = df.withColumnRenamed("id", "id2").withColumnRenamed("s", "s2")
+    for d in (1, 2):
+        out = dedup.fuzzy_join_edit_distance(df, other, "id", "s", "id2", "s2", max_dist=d)
+        got = {(r["id"], r["id2"], r["edit_distance"]) for r in out.collect()}
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.product(rows, rows)
+            if lev(a, b) <= d
+        }
+        assert got == want, (d, sorted(want - got)[:5], sorted(got - want)[:5])
+
+
+def test_fuzzy_join_probe_fanout_is_constant(spark):
+    """The probe side's key fan-out per string is bounded by the
+    (2d+1)^2(d+1) constant, independent of corpus size — the property
+    that separates PassJoin from an n-squared candidate generator."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, "abcdefghij"[: 4 + (i % 6)]) for i in range(40)], "id long, s string"
+    )
+    d = 2
+    out = dedup.fuzzy_join_edit_distance(
+        df, df.withColumnRenamed("id", "id2").withColumnRenamed("s", "s2"),
+        "id", "s", "id2", "s2", max_dist=d,
+    )
+    # indirect but structural: the result for identical strings is the
+    # full match set, while the plan stays an equi-join (no cartesian)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
