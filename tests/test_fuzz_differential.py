@@ -548,3 +548,58 @@ def test_random_window_frame_matches_duckdb(spark, pred, aggs, part, kind, n):
     assert not problems, f"pred={pred!r} aggs={aggs} part={part} {kind} n={n}\n" + "\n".join(
         problems
     )
+
+
+# ---- numeric scalar pipelines ---------------------------------------------
+
+# Exactness discipline: every leaf is IEEE-deterministic given the same
+# input bits — abs/neg/sign, floor/ceil (cast to DOUBLE on both sides:
+# Spark types them BIGINT, DuckDB DOUBLE), +-*/ against integer-valued
+# literals, LEAST/GREATEST, and ROUND (both engines round halves away
+# from zero for doubles). No transcendentals (ln/exp/pow): libm
+# implementations may legitimately differ in the last bit.
+_NUM_LEAVES = {
+    "abs": ("ABS({x})", lambda c, p: F.abs(c)),
+    "neg": ("(-({x}))", lambda c, p: -c),
+    "sign": ("CAST(SIGN({x}) AS DOUBLE)", lambda c, p: F.signum(c).cast("double")),
+    "floor": ("CAST(FLOOR({x}) AS DOUBLE)", lambda c, p: F.floor(c).cast("double")),
+    "ceil": ("CAST(CEIL({x}) AS DOUBLE)", lambda c, p: F.ceil(c).cast("double")),
+    "round0": ("ROUND({x})", lambda c, p: F.round(c, 0)),
+    "round2": ("ROUND({x}, 2)", lambda c, p: F.round(c, 2)),
+    "add": ("({x} + {a})", lambda c, p: c + p["a"]),
+    "sub": ("({x} - {a})", lambda c, p: c - p["a"]),
+    "mul": ("({x} * {a})", lambda c, p: c * p["a"]),
+    "div": ("({x} / {a})", lambda c, p: c / p["a"]),
+    "least": ("LEAST({x}, {a})", lambda c, p: F.least(c, F.lit(float(p["a"])))),
+    "greatest": ("GREATEST({x}, {a})", lambda c, p: F.greatest(c, F.lit(float(p["a"])))),
+}
+
+_num_step = st.tuples(
+    st.sampled_from(sorted(_NUM_LEAVES)),
+    st.fixed_dictionaries({"a": st.integers(1, 97)}),
+)
+_num_chain = st.lists(_num_step, min_size=1, max_size=4)
+_NUM_SOURCES = {
+    "l_extendedprice": "CAST(l_extendedprice AS DOUBLE)",
+    "l_quantity": "CAST(l_quantity AS DOUBLE)",
+    "l_discount": "CAST(l_discount AS DOUBLE)",
+}
+
+
+@given(src=st.sampled_from(sorted(_NUM_SOURCES)), chain=_num_chain)
+@settings(**_SETTINGS)
+def test_random_numeric_pipeline_matches_duckdb(spark, src, chain):
+    sql_expr = _NUM_SOURCES[src]
+    col = F.col(src).cast("double")
+    for name, params in chain:
+        tpl, fn = _NUM_LEAVES[name]
+        sql_expr = tpl.format(x=sql_expr, **params)
+        col = fn(col, params)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {sql_expr} AS val FROM lineitem"
+    )
+    sdf = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", col.alias("val")
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"src={src} chain={chain!r}\n" + "\n".join(problems)
