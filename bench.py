@@ -73,7 +73,10 @@ HEADLINE = [
 
 
 def run_query(spark, name: str, sf_dir: str | None = None) -> float:
-    fn = REGISTRY[name].fn
+    # staged (next-round) entries are timeable too — tools/scale_curve
+    from football_etl_spark.plans.queries import STAGED
+
+    fn = (REGISTRY.get(name) or STAGED[name]).fn
     t0 = time.perf_counter()
     fn(spark, sf_dir or SF_DIR).write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0

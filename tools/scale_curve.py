@@ -146,7 +146,9 @@ def time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     out = {}
     for name in names:
-        sql = REGISTRY[name].oracle
+        from football_etl_spark.plans.queries import STAGED
+
+        sql = (REGISTRY.get(name) or STAGED[name]).oracle
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()

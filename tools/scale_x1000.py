@@ -98,7 +98,9 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     for name in args.queries:
         t0 = time.perf_counter()
-        con.execute(REGISTRY[name].oracle).fetchall()
+        from football_etl_spark.plans.queries import STAGED
+
+        con.execute((REGISTRY.get(name) or STAGED[name]).oracle).fetchall()
         out["duckdb"][name] = round(time.perf_counter() - t0, 2)
         print(f"duckdb {name}: {out['duckdb'][name]}", flush=True)
     con.close()
