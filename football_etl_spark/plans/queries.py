@@ -6422,6 +6422,118 @@ def fuzzy_name_matches(spark, sf_dir):
     )
 
 
+@staged_query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH w AS (
+      SELECT UNNEST(ARRAY[CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
+                          CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
+                            - INTERVAL 1 DAY]) AS win_start,
+             event_type, value
+      FROM events
+    )
+    SELECT win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc="SLIDING (hopping) event-time windows driven as a real stream "
+    "(streaming_tumbling_counts' overlapping twin): 2-day windows "
+    "hopping by 1 day, so every event lands in exactly TWO windows — "
+    "the overlap-assignment semantics F.window(slide=...) implements "
+    "in one expression, executed with availableNow catch-up, "
+    "watermark beyond the backfill's disorder horizon, complete-mode "
+    "memory sink. The oracle derives each row's two window starts "
+    "arithmetically and re-aggregates; hash-equality certifies the "
+    "engine's window assignment + overlapping-state accounting "
+    "against first principles. At 100 TB state is (windows per slide "
+    "x live keys), watermark-evicted",
+)
+def streaming_sliding_counts(spark, sf_dir):
+    import os
+    import re
+
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    root = _fresh_tmp_root(spark, "ssc", sf_dir)
+    feed = f"{root}/feed"
+    ev.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = incremental.read_event_stream(spark, feed, ev.schema)
+    agg = incremental.windowed_event_counts(
+        stream, ts_col="ts", window="2 days", slide="1 day", watermark="36500 days"
+    )
+    name = "fes_ssc_" + re.sub(r"\W+", "_", f"{os.getpid()}_{sf_dir.rstrip('/')}")
+    tbl = incremental.run_available_now(agg, name, f"{root}/ckpt")
+    return tbl.select(
+        F.col("win.start").alias("win_start"), "event_type", "n", "total_value"
+    )
+
+
+@staged_query(
+    "streaming_interval_join_counts",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_prior_events
+    FROM p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="STREAM-STREAM interval join under the exact gate — the "
+    "streaming twin of purchase_prior_hour_activity (IDENTICAL "
+    "oracle, so the pair certifies stream==batch for the interval-"
+    "join family): purchases and the full event feed run as two "
+    "file-source streams, inner-joined on user with the trailing-"
+    "hour event-time band (incremental.stream_interval_join — "
+    "watermarks on both sides plus the two-sided time bound are what "
+    "let the engine evict buffered state at the match horizon), "
+    "matched pairs landed append-mode in a memory sink, then counted "
+    "per purchase in batch (self-pair subtracted). Two physical feed "
+    "copies sidestep stream-self-join restrictions. At 100 TB state "
+    "is rate x (window + watermark slack) per side, co-partitioned "
+    "on the join key exactly like the batch bucketized rewrite",
+)
+def streaming_interval_join_counts(spark, sf_dir):
+    import os
+    import re
+
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    root = _fresh_tmp_root(spark, "sij", sf_dir)
+    p_feed, e_feed = f"{root}/purchases", f"{root}/events"
+    ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    ).repartition(2).write.mode("overwrite").parquet(p_feed)
+    ev.select(
+        F.col("event_id").alias("e_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    ).repartition(2).write.mode("overwrite").parquet(e_feed)
+
+    ls = incremental.read_event_stream(
+        spark, p_feed, spark.read.parquet(p_feed).schema
+    )
+    rs = incremental.read_event_stream(
+        spark, e_feed, spark.read.parquet(e_feed).schema
+    )
+    joined = incremental.stream_interval_join(
+        ls, rs,
+        left_key="p_user_id", right_key="e_user_id",
+        left_ts="p_ts", right_ts="e_ts",
+        lower_s=-3600, upper_s=0,
+        watermark="36500 days",
+    ).select("p_event_id", "p_user_id")
+    name = "fes_sij_" + re.sub(r"\W+", "_", f"{os.getpid()}_{sf_dir.rstrip('/')}")
+    pairs = incremental.run_available_now(joined, name, f"{root}/ckpt", mode="append")
+    return pairs.groupBy(
+        F.col("p_event_id").alias("event_id"),
+        F.col("p_user_id").alias("user_id"),
+    ).agg((F.count(F.lit(1)) - 1).cast("long").alias("n_prior_events"))
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry

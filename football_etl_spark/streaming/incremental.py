@@ -107,6 +107,42 @@ def streaming_dedup(
     return events.dropDuplicates(list(keys))
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """STREAM-STREAM interval join: each left event matched to right
+    events of the same key whose timestamp lies in
+    ``[left_ts + lower_s, left_ts + upper_s]`` seconds — the streaming
+    twin of operators/joins.range_join (the batch bucketized interval
+    join). Both sides carry watermarks and the join condition bounds
+    event-time on BOTH streams, which is what lets the engine evict
+    buffered rows once the watermark passes their match horizon —
+    state stays proportional to (rate x window + watermark slack), not
+    stream history. Inner join: each matched pair is emitted exactly
+    once (append semantics downstream).
+
+    Column names must be pre-disambiguated by the caller (the two
+    sides are joined by expression, not by merged key column). At
+    100 TB this is the micro-batch form of the same (key, bucket)
+    co-partitioned state layout the batch rewrite uses."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {int(lower_s)} SECONDS"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {int(upper_s)} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
