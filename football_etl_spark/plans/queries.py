@@ -6534,6 +6534,94 @@ def streaming_interval_join_counts(spark, sf_dir):
     ).agg((F.count(F.lit(1)) - 1).cast("long").alias("n_prior_events"))
 
 
+@staged_query(
+    "silver_time_travel_read",
+    oracle="""
+    WITH l1 AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderdate < DATE '1998-01-01'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderkey DESC) = 1
+    ),
+    l2 AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT 'day1' AS snapshot, o_custkey,
+           o_orderkey AS last_orderkey, o_totalprice AS last_totalprice,
+           o_orderstatus AS last_status
+    FROM l1
+    UNION ALL
+    SELECT 'latest' AS snapshot, o_custkey,
+           o_orderkey AS last_orderkey, o_totalprice AS last_totalprice,
+           o_orderstatus AS last_status
+    FROM l2
+    """,
+    doc="SNAPSHOT TIME TRAVEL over the versioned silver table "
+    "(streaming_silver_upsert's v=N history put to work): the pre-"
+    "1998 orders land first and the sink runs to completion — that "
+    "committed version IS the deterministic 'day 1' state (the final "
+    "version of a completed catch-up is the full upsert of its feed, "
+    "independent of intra-run file order) — then the remaining "
+    "orders are appended to the feed and the SAME CHECKPOINT resumes, "
+    "processing only the new files (incremental catch-up). The entry "
+    "reads BOTH the day-1 version (read_silver(version=...)) and the "
+    "latest, tagged; the oracle recomputes both latest-per-key states "
+    "from the raw table. Certifies version retention, time-travel "
+    "reads, and checkpoint-resumed incremental ingest in one hash — "
+    "the Delta/Iceberg snapshot-read contract on plain parquet",
+)
+def silver_time_travel_read(spark, sf_dir):
+    from ..streaming import incremental
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    )
+    root = _fresh_tmp_root(spark, "stt", sf_dir)
+    feed, silver, ckpt = f"{root}/feed", f"{root}/silver", f"{root}/ckpt"
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cols = ["o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus"]
+    schema = (
+        "o_custkey long, o_orderkey long, o_totalprice double, o_orderstatus string"
+    )
+    o.filter(F.col("o_orderdate") < cutoff).select(*cols).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(feed)
+
+    def catch_up():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(feed)
+        )
+        incremental.incremental_silver_sink(
+            stream, silver, ckpt, keys=("o_custkey",), order_col="o_orderkey"
+        )
+
+    catch_up()
+    v_day1 = incremental.latest_silver_version(silver)
+    o.filter(~(F.col("o_orderdate") < cutoff)).select(*cols).repartition(2).write.mode(
+        "append"
+    ).parquet(feed)
+    catch_up()
+
+    def tagged(df, tag):
+        return df.select(
+            F.lit(tag).alias("snapshot"),
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+            F.col("o_orderstatus").alias("last_status"),
+        )
+
+    day1 = incremental.read_silver(spark, silver, version=v_day1)
+    latest = incremental.read_silver(spark, silver)
+    return tagged(day1, "day1").unionByName(tagged(latest, "latest"))
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry

@@ -14,6 +14,8 @@ pattern. Its Spark-native forms:
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -344,11 +346,19 @@ def upsert_silver_batch(
     snap.write.mode("overwrite").parquet(f"{silver_path}/v={batch_id}")
 
 
-def read_silver(spark: SparkSession, silver_path: str) -> DataFrame:
-    """Read the latest committed silver snapshot."""
-    v = latest_silver_version(silver_path)
+def read_silver(
+    spark: SparkSession, silver_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed silver snapshot — the latest by default, or a
+    specific ``version`` for TIME TRAVEL (the v=N snapshot dirs double
+    as a retained version history, the parquet-native analog of a
+    Delta/Iceberg snapshot read; retention/vacuum policy is the
+    caller's, exactly as in those formats)."""
+    v = latest_silver_version(silver_path) if version is None else int(version)
     if v is None:
         raise FileNotFoundError(f"no committed silver snapshot under {silver_path}")
+    if not _os.path.exists(_os.path.join(silver_path, f"v={v}", "_SUCCESS")):
+        raise FileNotFoundError(f"no committed snapshot v={v} under {silver_path}")
     return spark.read.parquet(f"{silver_path}/v={v}")
 
 
