@@ -6622,6 +6622,59 @@ def silver_time_travel_read(spark, sf_dir):
     return tagged(day1, "day1").unionByName(tagged(latest, "latest"))
 
 
+_Q88_BANDS = [
+    ("b1", 1, 10, 0.00, 0.03),
+    ("b2", 1, 10, 0.03, 0.07),
+    ("b3", 11, 20, 0.00, 0.03),
+    ("b4", 11, 20, 0.03, 0.07),
+    ("b5", 21, 30, 0.00, 0.03),
+    ("b6", 21, 30, 0.03, 0.07),
+    ("b7", 31, 40, 0.00, 0.03),
+    ("b8", 31, 40, 0.03, 0.07),
+]
+
+
+@staged_query(
+    "multi_band_scan_counts",
+    oracle="""
+    SELECT """
+    + ",\n           ".join(
+        f"CAST(SUM(CASE WHEN l_quantity BETWEEN {ql} AND {qh}"
+        f" AND l_discount >= {dl} AND l_discount < {dh}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, ql, qh, dl, dh in _Q88_BANDS
+    )
+    + """
+    FROM lineitem
+    WHERE l_returnflag = 'N'
+    """,
+    doc="TPC-DS Q88-shaped multi-band counting: eight "
+    "(quantity-band x discount-band) segment counts that a naive "
+    "translation runs as EIGHT separate filtered scans (Q88's "
+    "literal form is an 8-way cross join of single-count subqueries) "
+    "— here one conditional-aggregate pass: a single scan, every "
+    "band a CASE-sum, partial-combined map-side into a 1-row result. "
+    "The oracle keeps the same single-pass form (the 8-scan cross "
+    "join is hash-equal by construction, and sole_blame/funnel "
+    "already certify scan-collapse rewrites cross-engine); what this "
+    "entry pins is the band arithmetic and the shared-scan plan the "
+    "plan test asserts. At 100 TB the rewrite is 8x less IO verbatim",
+)
+def multi_band_scan_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    aggs = [
+        F.sum(
+            (
+                F.col("l_quantity").between(ql, qh)
+                & (F.col("l_discount") >= dl)
+                & (F.col("l_discount") < dh)
+            ).cast("long")
+        ).alias(name)
+        for name, ql, qh, dl, dh in _Q88_BANDS
+    ]
+    return li.agg(*aggs)
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry

@@ -541,3 +541,15 @@ def test_staged_entries_no_cartesian(spark):
     for name, qd in STAGED.items():
         plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_multi_band_counts_single_scan(spark):
+    """Staged Q88 shape: eight band counts must come from ONE lineitem
+    scan with map-side partial aggregation — never the literal 8-way
+    cross join of single-count subqueries."""
+    from football_etl_spark.plans.queries import STAGED
+
+    plan = plan_str(STAGED["multi_band_scan_counts"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
