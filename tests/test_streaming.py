@@ -411,3 +411,54 @@ def test_kmeans_assignment_runs_on_a_stream(spark):
         }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_interval_join_matches_batch_on_synthetic_feed(spark):
+    """stream_interval_join over a tiny two-stream feed must emit
+    exactly the pairs the batch theta join produces: same-key rows
+    within the [lower_s, upper_s] event-time band, inner semantics,
+    each pair once. Boundary rows (exactly at the band edges) are
+    inclusive on both ends."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    lrows = [
+        (1, 10, base),
+        (2, 20, base + dt.timedelta(hours=2)),
+        (3, 10, base + dt.timedelta(hours=4)),
+    ]
+    rrows = [
+        (100, 10, base - dt.timedelta(seconds=3600)),   # edge: exactly -1h of l1
+        (101, 10, base - dt.timedelta(seconds=3601)),   # just outside
+        (102, 10, base),                                # edge: exactly at l1
+        (103, 20, base + dt.timedelta(hours=2, seconds=1)),  # just after l2
+        (104, 99, base),                                # key never matches
+        (105, 10, base + dt.timedelta(hours=3, minutes=30)),  # in l3's band
+    ]
+    expected = {
+        (lid, rid)
+        for lid, lk, lts in lrows
+        for rid, rk, rts in rrows
+        if lk == rk and lts - dt.timedelta(seconds=3600) <= rts <= lts
+    }
+    assert (1, 101) not in expected and (1, 100) in expected  # sanity
+
+    with tempfile.TemporaryDirectory() as tmp:
+        lf, rf = f"{tmp}/l", f"{tmp}/r"
+        spark.createDataFrame(lrows, "lid long, lkey long, lts timestamp").coalesce(
+            2
+        ).write.parquet(lf)
+        spark.createDataFrame(rrows, "rid long, rkey long, rts timestamp").coalesce(
+            2
+        ).write.parquet(rf)
+        ls = incremental.read_event_stream(spark, lf, spark.read.parquet(lf).schema)
+        rs = incremental.read_event_stream(spark, rf, spark.read.parquet(rf).schema)
+        joined = incremental.stream_interval_join(
+            ls, rs, "lkey", "rkey", "lts", "rts",
+            lower_s=-3600, upper_s=0, watermark="365 days",
+        ).select("lid", "rid")
+        got_df = incremental.run_available_now(
+            joined, "sij_unit_test", f"{tmp}/ckpt", mode="append"
+        )
+        got = {(r["lid"], r["rid"]) for r in got_df.collect()}
+    assert got == expected, (sorted(got - expected), sorted(expected - got))
