@@ -6675,6 +6675,70 @@ def multi_band_scan_counts(spark, sf_dir):
     return li.agg(*aggs)
 
 
+@staged_query(
+    "point_in_time_state_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+    iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM ch
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           iv.state AS state_at_purchase,
+           iv.valid_from AS state_since
+    FROM p JOIN iv
+      ON iv.user_id = p.user_id
+     AND iv.valid_from <= p.ts
+     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    """,
+    doc="POINT-IN-TIME dimension lookup against the SCD2 history "
+    "(user_state_scd2's intervals put to work — the classic "
+    "warehouse 'fact joined to dimension-as-of-event-time'): each "
+    "purchase matched to the one validity interval containing its "
+    "timestamp via an equi-join on the key with the half-open range "
+    "residual [valid_from, valid_to). Zero-width intervals (two "
+    "state changes at one timestamp) are excluded by the strict "
+    "upper bound, so exactly one interval matches per fact — "
+    "deterministic cross-engine under the (ts, event_id) total "
+    "order. At 100 TB both sides shuffle once on the key and the "
+    "range stays a residual — never a per-fact scan of the history; "
+    "the SCD2 build itself remains the single-exchange two-window "
+    "plan its own entry certifies",
+)
+def point_in_time_state_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    scd = windows.scd2_intervals(
+        ev, ["user_id"], "ts", "event_type", tiebreak=["event_id"]
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("__peid"),
+        F.col("user_id").alias("__puid"),
+        F.col("ts").alias("__pts"),
+    )
+    j = p.join(
+        scd,
+        (p["__puid"] == scd["user_id"])
+        & (scd["valid_from"] <= p["__pts"])
+        & (scd["valid_to"].isNull() | (p["__pts"] < scd["valid_to"])),
+    )
+    return j.select(
+        F.col("__peid").alias("event_id"),
+        F.col("__puid").alias("user_id"),
+        F.col("event_type").alias("state_at_purchase"),
+        F.col("valid_from").alias("state_since"),
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry

@@ -553,3 +553,14 @@ def test_multi_band_counts_single_scan(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_point_in_time_join_equi_key_with_range_residual(spark):
+    """Staged point-in-time lookup: the interval predicate must ride
+    as a residual on a HASH join keyed on user_id — at 100 TB a
+    nested-loop scan of the SCD2 history per fact is unrunnable."""
+    from football_etl_spark.plans.queries import STAGED
+
+    plan = plan_str(STAGED["point_in_time_state_join"].fn(spark, SF_SMOKE), "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan and "user_id" in plan, plan
