@@ -29,7 +29,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from football_etl_spark.plans.queries import REGISTRY  # noqa: E402
+from football_etl_spark.plans.queries import REGISTRY, STAGED  # noqa: E402
 from football_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -50,8 +50,10 @@ def plan_of(df) -> tuple[str, str]:
 def main() -> None:
     spark = get_spark(app_name="plan-audit", shuffle_partitions=8)
     rows = []
-    for name in sorted(REGISTRY):
-        df = REGISTRY[name].fn(spark, SF_DIR)
+    entries = {**{n: q for n, q in REGISTRY.items()},
+               **{f"{n} (staged)": q for n, q in STAGED.items()}}
+    for name in sorted(entries):
+        df = entries[name].fn(spark, SF_DIR)
         simple, formatted = plan_of(df)
         shuffles = simple.count("Exchange hashpartitioning")
         bhj = simple.count("BroadcastHashJoin")
