@@ -30,7 +30,7 @@ from __future__ import annotations
 import pytest
 
 from football_etl_spark.io.loader import load_table
-from football_etl_spark.plans.queries import REGISTRY
+from football_etl_spark.plans.queries import REGISTRY, STAGED
 
 from .conftest import SF_SMOKE
 from .oracle_harness import _norm
@@ -101,3 +101,28 @@ def test_dual_surface_breadth():
             "dual cases ran in this process) — breadth floor needs the full set"
         )
     assert len(_DUAL_OK) >= 80, sorted(_DUAL_OK)
+
+
+_STAGED_ORACLE_NAMES = sorted(n for n, q in STAGED.items() if q.oracle is not None)
+
+
+@pytest.mark.parametrize("name", _STAGED_ORACLE_NAMES)
+def test_staged_oracle_sql_runs_on_spark(spark, name):
+    """The staged tier rides the same dual surface pre-promotion (no
+    breadth-floor accounting — these join the floor when promoted)."""
+    from pyspark.errors import AnalysisException, ParseException
+
+    qd = STAGED[name]
+    try:
+        sdf = spark.sql(qd.oracle)
+        sql_rows = sdf.collect()
+    except (ParseException, AnalysisException) as ex:
+        pytest.skip(f"DuckDB-dialect oracle: {type(ex).__name__}")
+    df = qd.fn(spark, SF_SMOKE)
+    api_rows = df.collect()
+    s_cols, a_cols = sorted(sdf.columns), sorted(df.columns)
+    assert s_cols == a_cols, (s_cols, a_cols)
+    key = lambda rows, cols, order: sorted(  # noqa: E731
+        (tuple(_norm(r[order.index(c)]) for c in cols) for r in rows), key=repr
+    )
+    assert key(sql_rows, s_cols, sdf.columns) == key(api_rows, a_cols, df.columns)
