@@ -6739,6 +6739,49 @@ def point_in_time_state_join(spark, sf_dir):
     )
 
 
+@staged_query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="INCREMENTAL VIEW MAINTENANCE under the exact gate "
+    "(incremental.incremental_agg_sink): the orders feed streams in "
+    "one file per micro-batch and a versioned per-customer aggregate "
+    "table is maintained ADDITIVELY — each batch reduces to its own "
+    "key-sized partial aggregate, then a full-outer coalescing merge "
+    "adds (count, scaled-long sum) into the previous snapshot — the "
+    "new_state = old_state + delta identity behind every streaming "
+    "materialized view, with the silver sink's strictly-below-batch "
+    "version discipline making replays rewrite instead of double-"
+    "count. Count and scaled-long sum are associative+commutative, "
+    "so the final table is EXACTLY the batch groupBy regardless of "
+    "how the feed split into batches — which is precisely what the "
+    "hash against the plain-aggregate oracle certifies. At 100 TB "
+    "deltas stay key-cardinality-sized and history is never "
+    "re-scanned",
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    from ..streaming import incremental
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    root = _fresh_tmp_root(spark, "iam", sf_dir)
+    feed = f"{root}/feed"
+    o.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = incremental.read_event_stream(spark, feed, o.schema)
+    incremental.incremental_agg_sink(
+        stream, f"{root}/agg", f"{root}/ckpt",
+        keys=("o_custkey",), value_col="o_totalprice", scale=2,
+    )
+    tbl = incremental.read_silver(spark, f"{root}/agg")
+    return tbl.select(
+        "o_custkey",
+        F.col("n").alias("n_orders"),
+        (F.col("s") / F.lit(100.0)).alias("total_spend"),
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry

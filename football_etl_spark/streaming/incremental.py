@@ -346,6 +346,86 @@ def upsert_silver_batch(
     snap.write.mode("overwrite").parquet(f"{silver_path}/v={batch_id}")
 
 
+def merge_agg_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    agg_path: str,
+    keys: tuple[str, ...],
+    value_col: str,
+    scale: int = 2,
+) -> None:
+    """ADDITIVE incremental view maintenance: fold one micro-batch into
+    a versioned per-key aggregate table holding (n, scaled-long sum) —
+    the IVM identity ``new_state = old_state + delta`` that every
+    streaming materialized view rests on. The batch reduces to its own
+    partial aggregate FIRST (map-side-combined, delta is key-sized not
+    row-sized), then a full-outer coalescing merge with the previous
+    snapshot adds the counters; both count and the 10^scale-scaled
+    long sum are associative+commutative, so the result is EXACT and
+    independent of how the feed was split into batches.
+
+    Exactly-once under foreachBatch replay: same version discipline as
+    :func:`upsert_silver_batch` — the base is the latest committed
+    version STRICTLY BELOW ``batch_id``, so a replayed batch rewrites
+    v=N from the same inputs instead of double-counting. At 100 TB
+    the snapshot rewrite becomes a table-format MERGE and the delta
+    stays key-cardinality-sized."""
+    f = 10**scale
+    delta = batch_df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col(value_col) * f).cast("long")).alias("s"),
+    )
+    prev = latest_silver_version(agg_path, below=batch_id)
+    if prev is not None:
+        old = spark.read.parquet(f"{agg_path}/v={prev}")
+        on = list(keys)
+        merged = old.alias("o").join(delta.alias("d"), on, "full_outer").select(
+            *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in on],
+            (
+                F.coalesce(F.col("o.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("o.s"), F.lit(0))
+                + F.coalesce(F.col("d.s"), F.lit(0))
+            ).alias("s"),
+        )
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(f"{agg_path}/v={batch_id}")
+
+
+def incremental_agg_sink(
+    stream_df: DataFrame,
+    agg_path: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...],
+    value_col: str,
+    scale: int = 2,
+) -> None:
+    """Stream → additively-maintained aggregate table via foreachBatch
+    + :func:`merge_agg_batch` (the INCREMENTAL VIEW MAINTENANCE stage:
+    where the silver sink keeps the latest ROW per key, this keeps the
+    running AGGREGATE per key, merged by addition — no complete-mode
+    state store, no re-scan of history). ``availableNow`` makes the
+    same job a catch-up batch."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        merge_agg_batch(
+            batch_df.sparkSession, batch_df, batch_id, agg_path, keys,
+            value_col, scale,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_silver(
     spark: SparkSession, silver_path: str, version: int | None = None
 ) -> DataFrame:

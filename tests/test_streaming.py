@@ -462,3 +462,27 @@ def test_stream_interval_join_matches_batch_on_synthetic_feed(spark):
         )
         got = {(r["lid"], r["rid"]) for r in got_df.collect()}
     assert got == expected, (sorted(got - expected), sorted(expected - got))
+
+
+def test_merge_agg_batch_replay_does_not_double_count(spark):
+    """The IVM merge's exactly-once discipline: replaying a batch
+    (crash after its write, before the checkpoint commit) must rewrite
+    its version from the same base instead of compounding — per-key
+    counters stay exact."""
+    import shutil
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/agg"
+        b0 = spark.createDataFrame(
+            [(1, 10.0), (1, 5.0), (2, 7.0)], "k long, v double"
+        )
+        b1 = spark.createDataFrame([(1, 1.0), (3, 2.0)], "k long, v double")
+        incremental.merge_agg_batch(spark, b0, 0, path, ("k",), "v")
+        incremental.merge_agg_batch(spark, b1, 1, path, ("k",), "v")
+        # replay batch 1 (same id, same rows) — must be a no-op rewrite
+        incremental.merge_agg_batch(spark, b1, 1, path, ("k",), "v")
+        got = {
+            r["k"]: (r["n"], r["s"])
+            for r in incremental.read_silver(spark, path).collect()
+        }
+    assert got == {1: (3, 1600), 2: (1, 700), 3: (1, 200)}, got
