@@ -6782,6 +6782,118 @@ def incremental_agg_maintenance(spark, sf_dir):
     )
 
 
+@staged_query(
+    "robust_outlier_flags",
+    oracle="""
+    WITH m AS (
+      SELECT event_type AS grp,
+             ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 6) AS med
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT m.grp, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN m ON e.event_type = m.grp
+    ),
+    md AS (
+      SELECT grp,
+             ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY adev), 6) AS mad
+      FROM d GROUP BY grp
+    )
+    SELECT d.grp, COUNT(*) AS n,
+           MAX(d.med) AS median_value,
+           MAX(md.mad) AS mad,
+           CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN md USING (grp)
+    GROUP BY d.grp
+    """,
+    doc="MAD-based robust outlier detection per group — the median/"
+    "median-absolute-deviation screen a data-quality pipeline runs "
+    "where mean/stddev would be dragged by the very outliers it "
+    "hunts: med and MAD via exact interpolated percentiles (Spark "
+    "percentile == PERCENTILE_CONT), each QUANTIZED to 6dp before "
+    "reuse so every downstream comparison operates on bit-identical "
+    "operands cross-engine (the |x-med| > 3*1.4826*MAD knife edge is "
+    "then deterministic — same doubles, same IEEE ops, same verdict; "
+    "interpolation's last-bit formula freedom is absorbed at the "
+    "round). Two grouped percentile passes chained through broadcast "
+    "joins of ~5-row stats tables; NULL values drop from percentiles "
+    "and never flag. At 100 TB swap the exact percentiles for "
+    "approx_percentile and keep the screen identical",
+)
+def robust_outlier_flags(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    d = ev.join(F.broadcast(med), ev.event_type == med.grp).select(
+        "grp", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = d.groupBy("grp").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    j = d.join(F.broadcast(mad), "grp")
+    is_out = F.abs(F.col("value") - F.col("med")) > (
+        F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    )
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("median_value"),
+        F.max("mad").alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )
+
+
+_PRICE_BANDS = [
+    ("small", 0.0, 50000.0),
+    ("mid", 50000.0, 150000.0),
+    ("large", 150000.0, 320000.0),
+    ("jumbo", 320000.0, 1000000.0),
+]
+
+
+@staged_query(
+    "price_band_lookup",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES """
+    + ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+    + """)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="broadcast INTERVAL-DIMENSION lookup (the IP-to-geo / rate-"
+    "card / IRREGULAR-band pattern — bands too uneven for width_"
+    "bucket arithmetic): a literal half-open band table joins the "
+    "fact side on a pure range condition. The dim is a JVM literal "
+    "relation (no Python worker) and is explicitly broadcast, so the "
+    "plan is the sanctioned bounded BroadcastNestedLoopJoin — each "
+    "fact row tests 4 intervals map-side, the fact table never "
+    "shuffles for the lookup, and the groupBy partial-aggregates "
+    "into 4 rows. Half-open edges make band membership exact on "
+    "both engines (no interpolation, no ties). This is the "
+    "at-scale answer whenever the lookup table is interval-keyed "
+    "rather than equi-keyed",
+)
+def price_band_lookup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bands = similarity._literal_rows_df(
+        spark,
+        [{"band": b, "lo": lo, "hi": hi} for b, lo, hi in _PRICE_BANDS],
+        "band: string, lo: double, hi: double",
+    )
+    j = o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry
