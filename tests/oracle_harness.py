@@ -41,6 +41,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # canonicalize IEEE -0.0: engines legitimately differ on
+            # the sign of a rounded zero (Spark's BigDecimal HALF_UP
+            # vs DuckDB's sign-preserving round); the values compare
+            # equal but repr differs, which would misalign the
+            # repr-keyed row sort
+            return 0.0
         return v
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)

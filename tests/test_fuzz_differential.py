@@ -673,3 +673,81 @@ def test_rollup_empty_input_divergence(spark):
     ).fetchall()
     con.close()
     assert rows == [(None, 0)]
+
+
+# ---- higher-order array pipelines -----------------------------------------
+
+# Both engines support lambda syntax; names and a few semantics differ
+# (slice length vs end index, empty-list sum NULL vs init value) — the
+# per-leaf templates reconcile those so the comparison isolates the
+# HIGHER-ORDER EVALUATION itself. Element arithmetic sticks to the
+# IEEE-deterministic set, like the numeric-pipeline fuzzer.
+_ARR_LEAVES = {
+    "add": (
+        "list_transform({x}, v -> v + {a})",
+        "transform({x}, v -> v + {a})",
+    ),
+    "mul": (
+        "list_transform({x}, v -> v * {a})",
+        "transform({x}, v -> v * {a})",
+    ),
+    "abs": (
+        "list_transform({x}, v -> ABS(v))",
+        "transform({x}, v -> ABS(v))",
+    ),
+    "round2": (
+        "list_transform({x}, v -> ROUND(v, 2))",
+        "transform({x}, v -> ROUND(v, 2))",
+    ),
+    "filter_gt": (
+        "list_filter({x}, v -> v > 0.1)",
+        "filter({x}, v -> v > 0.1)",
+    ),
+    "slice": (
+        "({x})[1:{a}]",
+        "slice({x}, 1, {a})",
+    ),
+    "reverse": (
+        "list_reverse({x})",
+        "reverse({x})",
+    ),
+    "sort": (
+        "list_sort({x})",
+        "array_sort({x})",
+    ),
+}
+
+_arr_step = st.tuples(
+    st.sampled_from(sorted(_ARR_LEAVES)),
+    st.fixed_dictionaries({"a": st.integers(2, 9)}),
+)
+_arr_chain = st.lists(_arr_step, min_size=1, max_size=3)
+
+
+@given(chain=_arr_chain)
+@settings(**_SETTINGS)
+def test_random_array_pipeline_matches_duckdb(spark, chain):
+    duck = "list_transform(embedding, v -> CAST(v AS DOUBLE))"
+    spk = "transform(embedding, v -> CAST(v AS DOUBLE))"
+    for name, params in chain:
+        dtpl, stpl = _ARR_LEAVES[name]
+        duck = dtpl.format(x=duck, **params)
+        spk = stpl.format(x=spk, **params)
+    # scalar reductions only: array columns crash the driver-style
+    # canonicalizer, and empty-after-filter sums need the same identity
+    sql = (
+        f"SELECT vec_id, CAST(LEN({duck}) AS BIGINT) AS n, "
+        f"ROUND(COALESCE(list_aggregate({duck}, 'sum'), 0), 6) AS s, "
+        f"list_aggregate({duck}, 'min') AS mn, "
+        f"list_aggregate({duck}, 'max') AS mx "
+        "FROM embeddings"
+    )
+    sdf = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id",
+        f"CAST(SIZE({spk}) AS BIGINT) AS n",
+        f"ROUND(AGGREGATE({spk}, CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6) AS s",
+        f"ARRAY_MIN({spk}) AS mn",
+        f"ARRAY_MAX({spk}) AS mx",
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"chain={chain!r}\n" + "\n".join(problems)
