@@ -307,6 +307,54 @@ def _passjoin_segments(lb, i, k: int):
     return seg_start, seg_len
 
 
+def _passjoin_index(right: DataFrame, right_id: str, right_col: str, d: int) -> DataFrame:
+    """Index side of PassJoin: each right string emits its d+1
+    (length, seg_id, segment) keys. Output: (__rid, __rs, __lb, __i,
+    __seg)."""
+    k = d + 1
+    idx = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_col).alias("__rs")
+    ).withColumn("__lb", F.length("__rs"))
+    idx = idx.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+    r_start, r_len = _passjoin_segments(F.col("__lb"), F.col("__i"), k)
+    return idx.select(
+        "__rid", "__rs", "__lb", "__i",
+        F.col("__rs").substr(r_start + 1, r_len).alias("__seg"),
+    )
+
+
+def _passjoin_probe(left: DataFrame, left_id: str, left_col: str, d: int) -> DataFrame:
+    """Probe side of PassJoin: for every candidate right length within
+    ±d and every segment slot, the bounded substring windows a no-edit
+    segment could occupy — ≤ (2d+1)(d+1)(2d+1) keys per string, a
+    CONSTANT (the fan-out bound tests/test_operators.py pins by
+    counting these rows). Output: (__lid, __ls, __lb, __i, __seg)."""
+    k = d + 1
+    probe = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_col).alias("__ls")
+    ).withColumn("__la", F.length("__ls"))
+    probe = probe.withColumn(
+        "__lb",
+        F.explode(
+            F.sequence(F.greatest(F.lit(0), F.col("__la") - d), F.col("__la") + d)
+        ),
+    ).withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+    p_start, p_len = _passjoin_segments(F.col("__lb"), F.col("__i"), k)
+    lo = F.greatest(F.lit(0), p_start - d)
+    hi = F.least(F.col("__la") - p_len, p_start + d)
+    return probe.withColumn(
+        "__s",
+        F.explode(
+            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
+    ).select(
+        "__lid", "__ls", "__lb", "__i",
+        F.col("__ls").substr(F.col("__s") + 1, p_len).alias("__seg"),
+    )
+
+
 def fuzzy_join_edit_distance(
     left: DataFrame,
     right: DataFrame,
@@ -340,51 +388,22 @@ def fuzzy_join_edit_distance(
     ``lev(a,b) <= d`` at equi-join cost. All expressions are JVM-side
     (sequence/substring/levenshtein) — zero Python in the hot path.
 
-    Output: (left_id, left_col, right_id, right_col, edit_distance).
-    Self-join callers filter ``left < right`` downstream. Empty
-    segments (length < d+1) still key correctly — a zero-length
-    substring matches its zero-length segment.
+    Output: (left_id, left_col, right_id, right_col, edit_distance),
+    SET semantics over (id, string) pairs — input row multiplicity
+    does not multiply output rows, and duplicate ids with DIFFERENT
+    strings are handled correctly (candidates dedup on the full
+    (id, string) pair, never on ids alone). Self-join callers filter
+    ``left < right`` downstream. Empty segments (length < d+1) still
+    key correctly — a zero-length substring matches its zero-length
+    segment.
     """
     d = int(max_dist)
-    k = d + 1
-    idx = right.select(
-        F.col(right_id).alias("__rid"), F.col(right_col).alias("__rs")
-    ).withColumn("__lb", F.length("__rs"))
-    idx = idx.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(d))))
-    r_start, r_len = _passjoin_segments(F.col("__lb"), F.col("__i"), k)
-    idx = idx.select(
-        "__rid", "__rs", "__lb", "__i",
-        F.col("__rs").substr(r_start + 1, r_len).alias("__seg"),
-    )
-
-    probe = left.select(
-        F.col(left_id).alias("__lid"), F.col(left_col).alias("__ls")
-    ).withColumn("__la", F.length("__ls"))
-    probe = probe.withColumn(
-        "__lb",
-        F.explode(
-            F.sequence(F.greatest(F.lit(0), F.col("__la") - d), F.col("__la") + d)
-        ),
-    ).withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(d))))
-    p_start, p_len = _passjoin_segments(F.col("__lb"), F.col("__i"), k)
-    lo = F.greatest(F.lit(0), p_start - d)
-    hi = F.least(F.col("__la") - p_len, p_start + d)
-    probe = probe.withColumn(
-        "__s",
-        F.explode(
-            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
-                F.array().cast("array<int>")
-            )
-        ),
-    ).select(
-        "__lid", "__ls", "__lb", "__i",
-        F.col("__ls").substr(F.col("__s") + 1, p_len).alias("__seg"),
-    )
-
+    idx = _passjoin_index(right, right_id, right_col, d)
+    probe = _passjoin_probe(left, left_id, left_col, d)
     cand = (
         probe.join(idx, ["__lb", "__i", "__seg"])
         .select("__lid", "__ls", "__rid", "__rs")
-        .dropDuplicates(["__lid", "__rid"])
+        .dropDuplicates(["__lid", "__ls", "__rid", "__rs"])
     )
     dist = F.levenshtein("__ls", "__rs")
     # a string keyed by itself (id_col == value_col) emits one column

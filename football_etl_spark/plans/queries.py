@@ -6340,7 +6340,7 @@ def zorder_sink_pruned_read(spark, sf_dir):
     "gate (streaming/incremental.stateful_user_totals, "
     "applyInPandasWithState with processing-time TTL — the streaming "
     "twin of the reference's per-team cache with freshness eviction, "
-    "team_scraper.py:89-126): the events feed re-read as a 4-file "
+    "team_scraper.py:89-126): the events feed re-read as a 2-file "
     "stream at one file per micro-batch, per-user (count, total) "
     "state accumulated ACROSS batches, update-mode rows landed in a "
     "memory sink (one row per touched key per batch), reduced to "
@@ -6350,8 +6350,9 @@ def zorder_sink_pruned_read(spark, sf_dir):
     "rounded to 6dp both sides — state adds doubles in arrival "
     "order, the oracle in scan order). Runs NoTimeout: registered "
     "processing-time timers would hold the availableNow query open "
-    "until expiry (the TTL-eviction path is pytest-covered); in "
-    "production the TTL bounds state by live keys at 100 TB, not "
+    "until expiry — TTL is a production-configuration path (timer "
+    "firing is engine behavior this finite catch-up cannot observe); "
+    "in production the TTL bounds state by live keys at 100 TB, not "
     "history",
 )
 def streaming_stateful_user_totals(spark, sf_dir):
@@ -6768,17 +6769,18 @@ def incremental_agg_maintenance(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     root = _fresh_tmp_root(spark, "iam", sf_dir)
     feed = f"{root}/feed"
+    scale = 2  # one constant drives the sink's accumulator AND the read-back divisor
     o.repartition(3).write.mode("overwrite").parquet(feed)
     stream = incremental.read_event_stream(spark, feed, o.schema)
     incremental.incremental_agg_sink(
         stream, f"{root}/agg", f"{root}/ckpt",
-        keys=("o_custkey",), value_col="o_totalprice", scale=2,
+        keys=("o_custkey",), value_col="o_totalprice", scale=scale,
     )
     tbl = incremental.read_silver(spark, f"{root}/agg")
     return tbl.select(
         "o_custkey",
         F.col("n").alias("n_orders"),
-        (F.col("s") / F.lit(100.0)).alias("total_spend"),
+        (F.col("s") / F.lit(float(10**scale))).alias("total_spend"),
     )
 
 

@@ -1091,8 +1091,9 @@ def test_fuzzy_join_edit_distance_lossless_vs_bruteforce(spark):
 
 def test_fuzzy_join_probe_fanout_is_constant(spark):
     """The probe side's key fan-out per string is bounded by the
-    (2d+1)^2(d+1) constant, independent of corpus size — the property
-    that separates PassJoin from an n-squared candidate generator."""
+    (2d+1)(d+1)(2d+1) constant, independent of corpus size — the
+    property that separates PassJoin from an n-squared candidate
+    generator. Counted directly on the probe relation, per string."""
     from pyspark.sql import functions as F
 
     from football_etl_spark.operators import dedup
@@ -1100,13 +1101,21 @@ def test_fuzzy_join_probe_fanout_is_constant(spark):
     df = spark.createDataFrame(
         [(i, "abcdefghij"[: 4 + (i % 6)]) for i in range(40)], "id long, s string"
     )
-    d = 2
+    for d in (1, 2):
+        bound = (2 * d + 1) * (d + 1) * (2 * d + 1)
+        per_string = (
+            dedup._passjoin_probe(df, "id", "s", d)
+            .groupBy("__lid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert len(per_string) == 40
+        assert max(r["n"] for r in per_string) <= bound, (d, bound)
+    # and the candidate generation is an equi-join, never a cartesian
     out = dedup.fuzzy_join_edit_distance(
         df, df.withColumnRenamed("id", "id2").withColumnRenamed("s", "s2"),
-        "id", "s", "id2", "s2", max_dist=d,
+        "id", "s", "id2", "s2", max_dist=2,
     )
-    # indirect but structural: the result for identical strings is the
-    # full match set, while the plan stays an equi-join (no cartesian)
     import contextlib
     import io
 
@@ -1116,3 +1125,22 @@ def test_fuzzy_join_probe_fanout_is_constant(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_fuzzy_join_duplicate_ids_keep_all_string_matches(spark):
+    """Candidates dedup on the full (id, string) pair: duplicate ids
+    carrying DIFFERENT strings must each keep their own matches (set
+    semantics over pairs, not over ids)."""
+    from football_etl_spark.operators import dedup
+
+    left = spark.createDataFrame(
+        [(1, "abc"), (1, "xyz")], "id long, s string"
+    )
+    right = spark.createDataFrame(
+        [(7, "abd"), (8, "xyw")], "rid long, rs string"
+    )
+    out = dedup.fuzzy_join_edit_distance(
+        left, right, "id", "s", "rid", "rs", max_dist=1
+    )
+    got = {(r["s"], r["rs"], r["edit_distance"]) for r in out.collect()}
+    assert got == {("abc", "abd", 1), ("xyz", "xyw", 1)}, got

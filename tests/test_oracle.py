@@ -10,24 +10,17 @@ from football_etl_spark.plans.queries import REGISTRY, STAGED
 from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
-ORACLE_QUERIES = [name for name, q in REGISTRY.items() if q.oracle is not None]
-STAGED_ORACLE_QUERIES = [name for name, q in STAGED.items() if q.oracle is not None]
+# one body serves both tiers: staged entries ride the identical gate
+# as registered ones, so promotion is a decorator rename, not a
+# re-verification effort
+ORACLE_CASES = [
+    ("registry", name) for name, q in REGISTRY.items() if q.oracle is not None
+] + [("staged", name) for name, q in STAGED.items() if q.oracle is not None]
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_oracle(spark, name):
-    q = REGISTRY[name]
-    df = q.fn(spark, SF_ORACLE)
-    problems = compare(df, q.oracle, SF_ORACLE)
-    assert not problems, f"{name}:\n" + "\n".join(problems)
-
-
-@pytest.mark.parametrize("name", STAGED_ORACLE_QUERIES)
-def test_staged_query_matches_oracle(spark, name):
-    """Staged entries ride the identical gate as registered ones, so
-    promotion to the driver registry is a decorator rename, not a
-    re-verification effort."""
-    q = STAGED[name]
+@pytest.mark.parametrize(("tier", "name"), ORACLE_CASES)
+def test_query_matches_oracle(spark, tier, name):
+    q = (REGISTRY if tier == "registry" else STAGED)[name]
     df = q.fn(spark, SF_ORACLE)
     problems = compare(df, q.oracle, SF_ORACLE)
     assert not problems, f"{name}:\n" + "\n".join(problems)

@@ -53,6 +53,13 @@ _DUAL_OK: set[str] = set()
 _DUAL_ATTEMPTED: set[str] = set()
 
 _ALL_ORACLE_NAMES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+_STAGED_ORACLE_NAMES = sorted(n for n, q in STAGED.items() if q.oracle is not None)
+
+# one body serves both tiers; only registry cases feed the breadth
+# floor (staged entries join it when promoted)
+_ALL_CASES = [("registry", n) for n in _ALL_ORACLE_NAMES] + [
+    ("staged", n) for n in _STAGED_ORACLE_NAMES
+]
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -61,14 +68,15 @@ def _views(spark):
         load_table(spark, SF_SMOKE, t).createOrReplaceTempView(t)
 
 
-@pytest.mark.parametrize("name", _ALL_ORACLE_NAMES)
-def test_oracle_sql_runs_on_spark(spark, name):
+@pytest.mark.parametrize(("tier", "name"), _ALL_CASES)
+def test_oracle_sql_runs_on_spark(spark, tier, name):
     from pyspark.errors import AnalysisException, ParseException
 
-    _DUAL_ATTEMPTED.add(name)
+    if tier == "registry":
+        _DUAL_ATTEMPTED.add(name)
     if name in EXCLUDED:
         pytest.skip(EXCLUDED[name])
-    qd = REGISTRY[name]
+    qd = (REGISTRY if tier == "registry" else STAGED)[name]
     try:
         sdf = spark.sql(qd.oracle)
         sql_rows = sdf.collect()
@@ -85,7 +93,8 @@ def test_oracle_sql_runs_on_spark(spark, name):
         (tuple(_norm(r[order.index(c)]) for c in cols) for r in rows), key=repr
     )
     assert key(sql_rows, s_cols, sdf.columns) == key(api_rows, a_cols, df.columns)
-    _DUAL_OK.add(name)
+    if tier == "registry":
+        _DUAL_OK.add(name)
 
 
 def test_dual_surface_breadth():
@@ -102,27 +111,3 @@ def test_dual_surface_breadth():
         )
     assert len(_DUAL_OK) >= 80, sorted(_DUAL_OK)
 
-
-_STAGED_ORACLE_NAMES = sorted(n for n, q in STAGED.items() if q.oracle is not None)
-
-
-@pytest.mark.parametrize("name", _STAGED_ORACLE_NAMES)
-def test_staged_oracle_sql_runs_on_spark(spark, name):
-    """The staged tier rides the same dual surface pre-promotion (no
-    breadth-floor accounting — these join the floor when promoted)."""
-    from pyspark.errors import AnalysisException, ParseException
-
-    qd = STAGED[name]
-    try:
-        sdf = spark.sql(qd.oracle)
-        sql_rows = sdf.collect()
-    except (ParseException, AnalysisException) as ex:
-        pytest.skip(f"DuckDB-dialect oracle: {type(ex).__name__}")
-    df = qd.fn(spark, SF_SMOKE)
-    api_rows = df.collect()
-    s_cols, a_cols = sorted(sdf.columns), sorted(df.columns)
-    assert s_cols == a_cols, (s_cols, a_cols)
-    key = lambda rows, cols, order: sorted(  # noqa: E731
-        (tuple(_norm(r[order.index(c)]) for c in cols) for r in rows), key=repr
-    )
-    assert key(sql_rows, s_cols, sdf.columns) == key(api_rows, a_cols, df.columns)

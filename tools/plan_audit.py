@@ -50,8 +50,7 @@ def plan_of(df) -> tuple[str, str]:
 def main() -> None:
     spark = get_spark(app_name="plan-audit", shuffle_partitions=8)
     rows = []
-    entries = {**{n: q for n, q in REGISTRY.items()},
-               **{f"{n} (staged)": q for n, q in STAGED.items()}}
+    entries = {**REGISTRY, **{f"{n} (staged)": q for n, q in STAGED.items()}}
     for name in sorted(entries):
         df = entries[name].fn(spark, SF_DIR)
         simple, formatted = plan_of(df)

@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from football_etl_spark.plans.queries import REGISTRY  # noqa: E402
+from football_etl_spark.plans.queries import REGISTRY, STAGED  # noqa: E402
 from football_etl_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,8 +146,6 @@ def time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     out = {}
     for name in names:
-        from football_etl_spark.plans.queries import STAGED
-
         sql = (REGISTRY.get(name) or STAGED[name]).oracle
         runs = []
         for _ in range(3):

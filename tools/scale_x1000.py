@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from football_etl_spark.plans.queries import REGISTRY  # noqa: E402
+from football_etl_spark.plans.queries import REGISTRY, STAGED  # noqa: E402
 from football_etl_spark.session import get_spark  # noqa: E402
 from tools.scale_curve import ALPHA, DIM_ONLY, KEY_COLS, TABLES, replica_dir  # noqa: E402
 
@@ -98,8 +98,6 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     for name in args.queries:
         t0 = time.perf_counter()
-        from football_etl_spark.plans.queries import STAGED
-
         con.execute((REGISTRY.get(name) or STAGED[name]).oracle).fetchall()
         out["duckdb"][name] = round(time.perf_counter() - t0, 2)
         print(f"duckdb {name}: {out['duckdb'][name]}", flush=True)
