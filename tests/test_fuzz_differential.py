@@ -33,8 +33,12 @@ from .oracle_harness import compare
 
 pytestmark = pytest.mark.usefixtures("spark")
 
+# FUZZ_EXAMPLES env var raises the per-dimension example count for
+# soak runs (CI default stays fast); e.g. FUZZ_EXAMPLES=60 pytest -k fuzz
+import os as _os
+
 _SETTINGS = dict(
-    max_examples=12,
+    max_examples=int(_os.environ.get("FUZZ_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
