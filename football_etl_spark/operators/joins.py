@@ -221,3 +221,37 @@ def theta_contains_join(
         p = F.broadcast(p)
     cond = F.lower(F.col(col)).contains(F.col("__pat"))
     return df.join(p, cond, "left_semi")
+
+
+def apply_cdc_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Batch CDC MERGE: apply a change set carrying per-row operation
+    codes ('D' = delete, anything else = upsert) to a keyed base table
+    — the Delta/Iceberg ``MERGE INTO ... WHEN MATCHED DELETE / WHEN
+    MATCHED UPDATE / WHEN NOT MATCHED INSERT`` contract expressed as
+    two anti-joins and a union on plain DataFrames:
+
+    - delete keys drop their base rows (left_anti);
+    - upsert rows REPLACE same-key base rows (second left_anti on the
+      survivors) and insert otherwise — one code path for both, which
+      is exactly how table formats implement matched-update +
+      not-matched-insert;
+    - change rows win over base rows unconditionally (the caller
+      pre-reduces the change set to one row per key — the usual CDC
+      compaction contract, e.g. via windows latest-per-key).
+
+    At 100 TB all three legs hash-join on the same key columns, so one
+    co-partitioning serves the whole merge; a table format swaps the
+    full-table rewrite for file-level merge-on-read, the join shape is
+    identical. Callers wanting last-writer-wins across base AND
+    changes with timestamps should use the silver upsert
+    (streaming/incremental.upsert_silver_batch) instead."""
+    on = list(keys)
+    dels = changes.filter(F.col(op_col) == "D").select(*on)
+    ups = changes.filter(F.col(op_col) != "D").drop(op_col)
+    kept = base.join(dels, on, "left_anti")
+    return kept.join(ups.select(*on), on, "left_anti").unionByName(ups)

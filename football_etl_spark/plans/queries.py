@@ -6896,6 +6896,46 @@ def price_band_lookup(spark, sf_dir):
     )
 
 
+@staged_query(
+    "cdc_merge_apply",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 10 <> 0
+    """,
+    doc="batch CDC MERGE (operators/joins.apply_cdc_changes — the "
+    "Delta/Iceberg MERGE INTO contract as two anti-joins + a union): "
+    "a deterministic change set derived from orders (keys %10=0 "
+    "delete, %4=1 update with +1000, %4=3 insert the rows the base "
+    "never had; the residue classes are disjoint by construction) is "
+    "applied to the 3/4 base slice. The ORACLE is the first-"
+    "principles end state — every order except the deletes, updates "
+    "repriced — so hash-equality proves the delete/update/insert "
+    "legs compose to exactly the declarative answer. All three legs "
+    "hash-join on the one key, so a single co-partitioning serves "
+    "the whole merge at 100 TB; a table format swaps the rewrite for "
+    "merge-on-read with the identical join shape",
+)
+def cdc_merge_apply(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    key = F.col("o_orderkey")
+    base = o.filter(key % 4 != 3)
+    dels = o.filter(key % 10 == 0).withColumn("op", F.lit("D"))
+    ups = (
+        o.filter(key % 4 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("U"))
+    )
+    ins = o.filter(key % 4 == 3).withColumn("op", F.lit("I"))
+    changes = dels.unionByName(ups).unionByName(ins)
+    return joins.apply_cdc_changes(base, changes, ["o_orderkey"])
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry

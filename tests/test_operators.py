@@ -1144,3 +1144,27 @@ def test_fuzzy_join_duplicate_ids_keep_all_string_matches(spark):
     )
     got = {(r["s"], r["rs"], r["edit_distance"]) for r in out.collect()}
     assert got == {("abc", "abd", 1), ("xyz", "xyw", 1)}, got
+
+
+def test_apply_cdc_changes_edge_semantics(spark):
+    """MERGE legs: delete of an absent key is a no-op, an 'insert' for
+    a key already in base REPLACES it (matched-update and not-matched-
+    insert share one code path), and untouched rows pass through."""
+    from football_etl_spark.operators import joins
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"),     # matched update
+         (4, "d", "I"),     # not-matched insert
+         (3, None, "D"),    # matched delete
+         (99, None, "D"),   # delete of absent key: no-op
+         (1, "A", "I")],    # 'insert' colliding with base: replaces
+        "k long, v string, op string",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in joins.apply_cdc_changes(base, changes, ["k"]).collect()
+    }
+    assert got == {(1, "A"), (2, "B"), (4, "d")}, got
