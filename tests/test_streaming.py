@@ -486,3 +486,38 @@ def test_merge_agg_batch_replay_does_not_double_count(spark):
             for r in incremental.read_silver(spark, path).collect()
         }
     assert got == {1: (3, 1600), 2: (1, 700), 3: (1, 200)}, got
+
+
+def test_merge_agg_batch_split_independence(spark):
+    """The additive-IVM claim: the final aggregate table is EXACTLY
+    the batch groupBy no matter how the feed is split into batches —
+    counts and scaled-long sums are associative+commutative. Checked
+    over random splits (hypothesis)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = [(i % 7, round(0.01 * ((i * 37) % 1000), 2)) for i in range(60)]
+    expected = {}
+    for k, v in rows:
+        n, s = expected.get(k, (0, 0))
+        expected[k] = (n + 1, s + round(v * 100))
+
+    @given(cuts=st.lists(st.integers(1, 59), min_size=0, max_size=4, unique=True))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(cuts):
+        bounds = [0] + sorted(cuts) + [60]
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/agg"
+            for bid, (a, b) in enumerate(zip(bounds, bounds[1:])):
+                if a == b:
+                    continue
+                bdf = spark.createDataFrame(rows[a:b], "k long, v double")
+                incremental.merge_agg_batch(spark, bdf, bid, path, ("k",), "v")
+            got = {
+                r["k"]: (r["n"], r["s"])
+                for r in incremental.read_silver(spark, path).collect()
+            }
+        assert got == expected, (cuts, got)
+
+    check()
