@@ -6936,6 +6936,55 @@ def cdc_merge_apply(spark, sf_dir):
     return joins.apply_cdc_changes(base, changes, ["o_orderkey"])
 
 
+@staged_query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="SORT-MERGE-BUCKET join through the catalog under the exact "
+    "gate (io/sinks.write_bucketed — previously pytest-only): orders "
+    "and customer rewritten as external tables bucketed+sorted on "
+    "the join key, re-read via spark.table, joined and aggregated "
+    "per market segment. Hash-equality against the plain-table "
+    "oracle proves the bucketed physical layout is lossless and the "
+    "catalog round trip exact; the ZERO-EXCHANGE property of "
+    "bucket-aligned joins is plan-asserted in "
+    "tests/test_scale.py (with auto-broadcast disabled — at this SF "
+    "the optimizer rightly broadcasts the small side instead). At "
+    "100 TB write-time co-location is what turns the daily fact-"
+    "fact join on the same key into a shuffle-free map-side merge",
+)
+def bucketed_join_revenue(spark, sf_dir):
+    import re
+
+    from ..io import sinks
+
+    root = _fresh_tmp_root(spark, "bkt", sf_dir)
+    tag = re.sub(r"\W+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    app = re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    t_o, t_c = f"b_orders_{tag}_{app}", f"b_cust_{tag}_{app}"
+    sinks.write_bucketed(o, t_o, ["custkey"], 8, f"{root}/orders_b")
+    sinks.write_bucketed(c, t_c, ["custkey"], 8, f"{root}/cust_b")
+    j = spark.table(t_o).join(spark.table(t_c), "custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("o_totalprice"), "revenue"),
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry
