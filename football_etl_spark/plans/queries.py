@@ -6985,6 +6985,98 @@ def bucketed_join_revenue(spark, sf_dir):
     )
 
 
+@staged_query(
+    "observed_sink_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS null_status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    """,
+    doc="WRITE-AUDIT-PUBLISH under the exact gate (io/sinks."
+    "write_parquet_observed — previously pytest-only): orders land "
+    "through a sink instrumented with Spark's observe() API, which "
+    "collects the audit aggregates DURING the write job itself — "
+    "zero extra passes over the data, vs the count-then-write double "
+    "scan. The returned metrics (row count, null count, scaled-long "
+    "exact sum) become a 1-row relation hash-matched against the "
+    "oracle recomputing them from the table — certifying that the "
+    "observed stream sees every row the sink writes, exactly once. "
+    "At 100 TB this is the quality gate a promotion pipeline asserts "
+    "on before publishing a partition, at the cost of zero scans",
+)
+def observed_sink_audit(spark, sf_dir):
+    from ..io import sinks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    root = _fresh_tmp_root(spark, "obs", sf_dir)
+    got = sinks.write_parquet_observed(
+        o,
+        f"{root}/orders_audited",
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "null_status": F.count(F.lit(1)) - F.count("o_orderstatus"),
+            "sum_price": F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ),
+        },
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["null_status"]),
+                float(got["sum_price"]) / 100.0,
+            )
+        ],
+        "n_rows long, null_status long, sum_price double",
+    )
+
+
+_TEAM_NAME_CASES = [
+    ("  Man United FC ", "Manchester United"),
+    ("Man Utd", "Manchester United"),
+    ("Spurs FC", "Tottenham Hotspur"),
+    ("Wolves", "Wolverhampton Wanderers"),
+    ("Newcastle AFC", "Newcastle United"),
+    ("Arsenal FC", "Arsenal"),
+    ("Real Madrid CF", "Real Madrid"),
+    ("FC Barcelona", "FC Barcelona"),  # leading FC is NOT a suffix
+    ("Ajax", "Ajax"),
+    ("  Chelsea  ", "Chelsea"),
+]
+
+
+@staged_query(
+    "team_name_normalization",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{raw}', '{want}')" for raw, want in _TEAM_NAME_CASES)
+    + ") AS t(raw_name, normalized)",
+    doc="the reference's flagship cleaning scalar under the exact "
+    "gate (functions/scalars.normalize_team_name == "
+    "utils/data_utils.py:14-33 + config.py:40-76 — trim, FC/CF/AFC "
+    "suffix strip, literal-map remap, pass-through otherwise): ten "
+    "representative messy inputs — alias remaps, suffix+alias "
+    "combos, a leading 'FC' that must NOT strip, whitespace-only "
+    "cleanups, untouched pass-throughs — normalized by the Spark "
+    "expression and hash-matched against the expected VALUES "
+    "relation (the raw_dump_ingest pattern: fixed inputs, expected "
+    "relation as the oracle). Complements the byte-for-byte golden "
+    "parity test, which proves the same function over the "
+    "reference's full committed dataset. The expression is a "
+    "constant-folded literal map — zero joins, zero Python at scale",
+)
+def team_name_normalization(spark, sf_dir):
+    rows = similarity._literal_rows_df(
+        spark, [{"raw_name": r} for r, _ in _TEAM_NAME_CASES], "raw_name: string"
+    )
+    return rows.select(
+        "raw_name", scalars.normalize_team_name("raw_name").alias("normalized")
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry
