@@ -755,3 +755,76 @@ def test_random_array_pipeline_matches_duckdb(spark, chain):
     )
     problems = compare(sdf, sql, SF_SMOKE)
     assert not problems, f"chain={chain!r}\n" + "\n".join(problems)
+
+
+# ---- conditional / null-semantics expression trees ------------------------
+
+_cond_leaf = st.one_of(
+    st.just(("col", "o_totalprice")),
+    st.just(("col", "o_custkey")),
+    st.integers(0, 300000).map(lambda v: ("lit", v / 2.0)),
+    st.just(("null",)),
+)
+
+_cond_expr = st.recursive(
+    _cond_leaf,
+    lambda kids: st.one_of(
+        st.tuples(st.just("case"), _predicate, kids, kids),
+        st.tuples(st.just("coalesce"), kids, kids),
+        st.tuples(st.just("nullif"), kids, kids),
+    ),
+    max_leaves=5,
+)
+
+
+def _cexpr_sql(node) -> str:
+    kind = node[0]
+    if kind == "col":
+        return f"CAST({node[1]} AS DOUBLE)"
+    if kind == "lit":
+        return f"CAST({node[1]} AS DOUBLE)"
+    if kind == "null":
+        return "CAST(NULL AS DOUBLE)"
+    if kind == "case":
+        return (
+            f"CASE WHEN {_pred_sql(node[1])} THEN {_cexpr_sql(node[2])} "
+            f"ELSE {_cexpr_sql(node[3])} END"
+        )
+    if kind == "coalesce":
+        return f"COALESCE({_cexpr_sql(node[1])}, {_cexpr_sql(node[2])})"
+    if kind == "nullif":
+        return f"NULLIF({_cexpr_sql(node[1])}, {_cexpr_sql(node[2])})"
+    raise AssertionError(kind)
+
+
+def _cexpr_col(node):
+    kind = node[0]
+    if kind == "col":
+        return F.col(node[1]).cast("double")
+    if kind == "lit":
+        return F.lit(node[1]).cast("double")
+    if kind == "null":
+        return F.lit(None).cast("double")
+    if kind == "case":
+        return F.when(_pred_col(node[1]), _cexpr_col(node[2])).otherwise(
+            _cexpr_col(node[3])
+        )
+    if kind == "coalesce":
+        return F.coalesce(_cexpr_col(node[1]), _cexpr_col(node[2]))
+    if kind == "nullif":
+        return F.nullif(_cexpr_col(node[1]), _cexpr_col(node[2]))
+    raise AssertionError(kind)
+
+
+@given(expr=_cond_expr)
+@settings(**_SETTINGS)
+def test_random_conditional_expression_matches_duckdb(spark, expr):
+    """CASE/COALESCE/NULLIF trees with embedded random predicates —
+    the null-propagation and branch-selection semantics that underlie
+    every cleaning rule, rendered as a Column tree and as ANSI SQL."""
+    sql = f"SELECT o_orderkey, {_cexpr_sql(expr)} AS val FROM orders"
+    sdf = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", _cexpr_col(expr).alias("val")
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"expr={expr!r}\n" + "\n".join(problems)
