@@ -7077,6 +7077,38 @@ def team_name_normalization(spark, sf_dir):
     )
 
 
+@staged_query(
+    "top_orders_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+    doc="per-group top-k WITH TIES (RANK, the SQL-standard FETCH "
+    "FIRST k ROWS WITH TIES semantics) — the tie-keeping sibling of "
+    "the registered row_number top-3 (top3_orders_per_customer): "
+    "equal-priced orders at the boundary ALL survive, so the result "
+    "is a deterministic SET without any tie-break column — which is "
+    "exactly why this variant is the safe default when the ordering "
+    "key is not unique. Same single window exchange on the group "
+    "key; output size is k plus ties rather than exactly k",
+)
+def top_orders_with_ties(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def _driver_history() -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root. An entry
