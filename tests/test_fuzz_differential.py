@@ -828,3 +828,45 @@ def test_random_conditional_expression_matches_duckdb(spark, expr):
     )
     problems = compare(sdf, sql, SF_SMOKE)
     assert not problems, f"expr={expr!r}\n" + "\n".join(problems)
+
+
+# ---- LIKE patterns --------------------------------------------------------
+
+_LIKE_COLS = {
+    "o_orderpriority": ["1-", "URGENT", "HIGH", "NOT", "E", "e"],
+    "o_orderstatus": ["F", "O", "P", "x"],
+}
+
+_like_pattern = st.tuples(
+    st.sampled_from(sorted(_LIKE_COLS)),
+    st.sampled_from(["%{f}%", "{f}%", "%{f}", "{f}", "%{f}_", "_{f}%"]),
+    st.integers(0, 5),
+    st.booleans(),
+)
+
+
+@given(p=_like_pattern, pred=_predicate)
+@settings(**_SETTINGS)
+def test_random_like_pattern_matches_duckdb(spark, p, pred):
+    """LIKE / NOT LIKE with %/_ wildcards around literal fragments —
+    both engines implement ANSI LIKE (case-sensitive, _ matches
+    exactly one char) so any divergence is a real bug."""
+    col, tpl, fi, negate = p
+    frag = _LIKE_COLS[col][fi % len(_LIKE_COLS[col])]
+    pattern = tpl.format(f=frag)
+    op = "NOT LIKE" if negate else "LIKE"
+    where = _pred_sql(pred)
+    sql = (
+        f"SELECT o_orderkey, CAST({col} {op} '{pattern}' AS BOOLEAN) AS hit "
+        f"FROM orders WHERE {where}"
+    )
+    c = F.col(col).like(pattern)
+    if negate:
+        c = ~c
+    sdf = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(_pred_col(pred))
+        .select("o_orderkey", c.alias("hit"))
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"{col} {op} {pattern!r}\n" + "\n".join(problems)
