@@ -35,3 +35,13 @@ def test_all_queries_return_rows_or_valid_empty(spark):
     for name, q in REGISTRY.items():
         df = q.fn(spark, SF_ORACLE)
         assert df.columns, f"{name} produced no columns"
+
+
+def test_norm_canonicalizes_signed_zero():
+    """-0.0 and 0.0 are equal values whose reprs differ — _norm must
+    collapse them so the repr-keyed row sort cannot misalign rows
+    (engines legitimately differ on the sign of a rounded zero)."""
+    from .oracle_harness import _norm
+
+    assert repr(_norm(-0.0)) == repr(_norm(0.0)) == "0.0"
+    assert _norm(-1.5) == -1.5 and _norm(float("nan")) == "NaN"
