@@ -163,3 +163,32 @@ def test_runtime_bloom_filter_fires_on_selective_fact_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+STAGED_PARTITION_SENSITIVE = [
+    # staged entries whose plans involve Arrow kernels, driver-side
+    # training state, or segment-key fan-out — same invariance bar
+    # pre-promotion
+    "pq_adc_ann_topk",
+    "fuzzy_name_matches",
+    "robust_outlier_flags",
+    "multi_band_scan_counts",
+]
+
+
+def test_staged_results_invariant_to_shuffle_partition_count(spark):
+    """The registry's partition-count invariance bar applied to the
+    staged tier before promotion."""
+    from football_etl_spark.plans.queries import STAGED
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in STAGED_PARTITION_SENSITIVE:
+            df = STAGED[name].fn(spark, SF_SMOKE)
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            r_low = sorted(map(repr, (tuple(r) for r in df.collect())))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            r_high = sorted(map(repr, (tuple(r) for r in df.collect())))
+            assert r_low == r_high, f"{name} depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
