@@ -251,7 +251,11 @@ def apply_cdc_changes(
     changes with timestamps should use the silver upsert
     (streaming/incremental.upsert_silver_batch) instead."""
     on = list(keys)
-    dels = changes.filter(F.col(op_col) == "D").select(*on)
-    ups = changes.filter(F.col(op_col) != "D").drop(op_col)
+    # eqNullSafe: a NULL op code must take the upsert leg per the
+    # "anything else = upsert" contract — plain ==/!= would evaluate
+    # NULL on both filters and silently drop the row
+    is_del = F.col(op_col).eqNullSafe("D")
+    dels = changes.filter(is_del).select(*on)
+    ups = changes.filter(~is_del).drop(op_col)
     kept = base.join(dels, on, "left_anti")
     return kept.join(ups.select(*on), on, "left_anti").unionByName(ups)

@@ -6963,7 +6963,9 @@ def bucketed_join_revenue(spark, sf_dir):
     from ..io import sinks
 
     root = _fresh_tmp_root(spark, "bkt", sf_dir)
-    tag = re.sub(r"\W+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # full sf_dir path in the tag (like _fresh_tmp_root): two sf_dirs
+    # sharing a basename must not collide on catalog table names
+    tag = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
     app = re.sub(r"\W+", "_", spark.sparkContext.applicationId)
     o = (
         _t(spark, sf_dir, "orders")

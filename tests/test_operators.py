@@ -1160,6 +1160,7 @@ def test_apply_cdc_changes_edge_semantics(spark):
          (4, "d", "I"),     # not-matched insert
          (3, None, "D"),    # matched delete
          (99, None, "D"),   # delete of absent key: no-op
+         (5, "e", None),    # NULL op code: must take the upsert leg
          (1, "A", "I")],    # 'insert' colliding with base: replaces
         "k long, v string, op string",
     )
@@ -1167,4 +1168,4 @@ def test_apply_cdc_changes_edge_semantics(spark):
         (r["k"], r["v"])
         for r in joins.apply_cdc_changes(base, changes, ["k"]).collect()
     }
-    assert got == {(1, "A"), (2, "B"), (4, "d")}, got
+    assert got == {(1, "A"), (2, "B"), (4, "d"), (5, "e")}, got
