@@ -7111,11 +7111,13 @@ def top_orders_with_ties(spark, sf_dir):
     )
 
 
-def _driver_history() -> dict[str, int]:
+def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
-    committed ``CORRECTNESS_r*.json`` files at the repo root. An entry
-    counts as sampled in round N if it has ANY row there (green or
-    not) — red rows still mean the driver exercised it, and the
+    committed ``CORRECTNESS_r*.json`` files at the repo root (or the
+    explicit ``root`` — tests pass a fixture dir so the live driver
+    artifact, which is rewritten every round, can't break them). An
+    entry counts as sampled in round N if it has ANY row there (green
+    or not) — red rows still mean the driver exercised it, and the
     emission order below will naturally resurface a red entry because
     its round is old. Missing/garbled files are skipped, so a checkout
     without correctness history degrades to plain registry order."""
@@ -7123,7 +7125,10 @@ def _driver_history() -> dict[str, int]:
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    else:
+        root = Path(root)
     latest: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)", p.name)

@@ -33,13 +33,41 @@ def test_emission_order_degrades_to_registry_order_without_history(monkeypatch):
     assert Q._emission_order() == list(Q.REGISTRY)
 
 
-def test_current_history_reads_committed_rounds():
+def test_history_reads_fixture_rounds(tmp_path):
+    """_driver_history parses CORRECTNESS_r*.json round files and keeps
+    the LATEST round per entry. Fixture-pinned: the live repo-root
+    artifact is rewritten by the driver every round, so any positional
+    assertion against it breaks the moment a new round lands (the r5
+    verdict's one red test). Synthetic files only."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": {"hash_match": True}, "b": {"hash_match": False}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"b": {"hash_match": True}, "c": {"err": "no_oracle"}})
+    )
+    # garbled file is skipped, not fatal
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+    # non-matching filename is ignored
+    (tmp_path / "CORRECTNESS_final.json").write_text(json.dumps({"z": {}}))
+    hist = Q._driver_history(tmp_path)
+    # red rows and no_oracle rows still count as "sampled" (driver saw them)
+    assert hist == {"a": 1, "b": 3, "c": 3}
+
+
+def test_live_emission_order_invariants():
+    """The invariants that actually matter on the live tree, phrased so
+    they hold for ANY committed history: every never-sampled name
+    precedes every sampled one, latest-round is non-decreasing along
+    the order, and ties keep registry order."""
     hist = Q._driver_history()
-    # every round file contributes; entries sampled in r1-r4 resolve
     assert hist, "no CORRECTNESS history found at repo root"
-    assert max(hist.values()) >= 4
-    # the three rows-only sketches were sampled in r4 → near the back
     order = Q._emission_order()
-    tail = order[len(order) // 2 :]
-    for n in ("approx_distinct_users", "hll_user_reach", "approx_order_percentiles"):
-        assert n in tail, n
+    assert set(order) == set(Q.REGISTRY)
+    rounds = [hist.get(n, -1) for n in order]
+    assert rounds == sorted(rounds), "latest-round must be non-decreasing"
+    idx = {n: i for i, n in enumerate(Q.REGISTRY)}
+    for a, b in zip(order, order[1:]):
+        if hist.get(a, -1) == hist.get(b, -1):
+            assert idx[a] < idx[b], f"tie ({a},{b}) must keep registry order"
