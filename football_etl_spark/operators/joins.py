@@ -242,9 +242,18 @@ def apply_cdc_changes(
       not-matched-insert;
     - change rows win over base rows unconditionally (the caller
       pre-reduces the change set to one row per key — the usual CDC
-      compaction contract, e.g. via windows latest-per-key).
+      compaction contract, e.g. via windows latest-per-key);
+    - if a change set nonetheless carries BOTH a delete and an upsert
+      for the same key, the delete wins (the upsert is anti-joined
+      away) — destructive intent is explicit and must not be silently
+      resurrected; multiple upsert rows for one key remain the
+      caller's contract (there is no timestamp here to order them);
+    - NULL key values follow SQL join semantics and never match:
+      NULL-key base rows are always kept, NULL-key upsert rows always
+      insert (appending, possibly alongside NULL-key base rows), and a
+      NULL-key delete row deletes nothing.
 
-    At 100 TB all three legs hash-join on the same key columns, so one
+    At 100 TB all four legs hash-join on the same key columns, so one
     co-partitioning serves the whole merge; a table format swaps the
     full-table rewrite for file-level merge-on-read, the join shape is
     identical. Callers wanting last-writer-wins across base AND
@@ -256,6 +265,8 @@ def apply_cdc_changes(
     # NULL on both filters and silently drop the row
     is_del = F.col(op_col).eqNullSafe("D")
     dels = changes.filter(is_del).select(*on)
-    ups = changes.filter(~is_del).drop(op_col)
+    # delete-wins guard: drop upsert rows whose key also has a delete
+    # row, else the final union would re-insert a just-deleted key
+    ups = changes.filter(~is_del).drop(op_col).join(dels, on, "left_anti")
     kept = base.join(dels, on, "left_anti")
     return kept.join(ups.select(*on), on, "left_anti").unionByName(ups)

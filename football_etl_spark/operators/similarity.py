@@ -996,15 +996,22 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _pq_codes_col(vec_col: str, books: list[list[list[float]]]) -> Column:
+def _pq_codes_col(
+    vec_col: str, books: list[list[list[float]]], round_to: int = 6
+) -> Column:
     """Arrow kernel assigning every subspace's nearest codeword in ONE
     pass: the closure holds the m codebooks as plain nested lists
     (self-contained — no module globals, per the worker-pickling
     contract), each batch is packed into one (n, D) float64 matrix and
     each subspace argmin is a single vectorized distance computation.
     Ties break to the lowest code index (np.argmin), deterministic.
-    NULL vectors code to NULL (no executor-side crash; downstream
-    ADC/posexplode skips them like any null array)."""
+    Distances are rounded to ``round_to`` dp BEFORE the argmin so a
+    near-tie between two codewords cannot flip cross-engine on
+    summation order — the SQL twin (_sql_pq_assign) rounds its d2
+    identically, making sub-resolution near-ties exact ties resolved
+    by the same lowest-code rule on both engines. NULL vectors code to
+    NULL (no executor-side crash; downstream ADC/posexplode skips them
+    like any null array — pq_adc_topk filters them out explicitly)."""
     import numpy as _np
 
     m = len(books)
@@ -1030,7 +1037,7 @@ def _pq_codes_col(vec_col: str, books: list[list[list[float]]]) -> Column:
             for s in range(m):
                 Xs = X[:, s * dsub : (s + 1) * dsub]
                 d = ((Xs[:, None, :] - books_np[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d.argmin(1)
+                codes[:, s] = np.round(d, round_to).argmin(1)
             for row_i, i in enumerate(live_idx):
                 out[i] = codes[row_i].tolist()
         return pd.Series(out)
@@ -1169,18 +1176,29 @@ def pq_adc_topk(
         import pandas as pd
 
         L = np.asarray(luts, dtype=np.float64)  # (q, m, k)
-        out = []
-        C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
-        if len(C) == 0:
-            return pd.Series(out)
-        # gather: for each query q, sum_s L[q, s, C[:, s]]
-        n = C.shape[0]
-        d = np.zeros((n, L.shape[0]), dtype=np.float64)
-        for s in range(L.shape[1]):
-            d += L[:, s, :][:, C[:, s]].T  # (n, q)
-        return pd.Series([row.tolist() for row in d])
+        # NULL codes (pq_encode's output for NULL vectors) emit NULL
+        # distance arrays — the kernel must be null-safe itself
+        # because Spark collapses chained pandas UDFs (_codes -> _adc)
+        # into one ArrowEval node, so an isNotNull filter between them
+        # cannot protect this closure
+        vals = list(codes)
+        live = [i for i, c in enumerate(vals) if c is not None]
+        out: list = [None] * len(vals)
+        if live:
+            C = np.asarray([np.asarray(vals[i], dtype=np.int64) for i in live])
+            # gather: for each query q, sum_s L[q, s, C[:, s]]
+            n = C.shape[0]
+            d = np.zeros((n, L.shape[0]), dtype=np.float64)
+            for s in range(L.shape[1]):
+                d += L[:, s, :][:, C[:, s]].T  # (n, q)
+            for row_i, i in enumerate(live):
+                out[i] = d[row_i].tolist()
+        return pd.Series(out)
 
     qid_map = F.array(*[F.lit(int(q)) for q in qids])
+    # NULL codes rows (pq_encode's output for NULL vectors) yield NULL
+    # distance arrays from _adc, which posexplode then skips — they
+    # never reach the ranking window
     exploded = (
         codes_df.select(id_col, _adc(F.col("codes")).alias("__d"))
         .select(id_col, F.posexplode("__d").alias("qpos", "adc_d2"))

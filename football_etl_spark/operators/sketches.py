@@ -189,9 +189,15 @@ def approx_top_keys(
     it degrades gracefully like any space-saving summary. At 100 TB
     the shuffle carries ``max_items_tracked`` counters per group, not
     raw keys — the frequency twin of the HLL/CMS rollups above."""
+    # backtick-quote the identifier (doubling any embedded backtick,
+    # the Spark SQL escape) — a raw f-string interpolation breaks for
+    # column names that need quoting, unlike the F.col path every
+    # other operator here uses; approx_top_k has no Column-based
+    # functions API in this PySpark, so F.expr is required
+    key_q = "`" + key_col.replace("`", "``") + "`"
     agg = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.expr(
-            f"approx_top_k({key_col}, {int(k)}, {int(max_items_tracked)})"
+            f"approx_top_k({key_q}, {int(k)}, {int(max_items_tracked)})"
         ).alias("__tk")
     )
     return agg.select(

@@ -6197,11 +6197,15 @@ def _sql_pq_assign(btab: str) -> str:
     """Per-(vector, subspace) nearest-codeword assignment against the
     codebook CTE ``btab`` (columns s, code, j, c) — the SQL twin of
     the Arrow argmin kernel in similarity._pq_codes_col (ties to the
-    lowest code, matching np.argmin)."""
+    lowest code, matching np.argmin). d2 is rounded to 6dp BEFORE the
+    argmin on both engines so a summation-order last-bit divergence on
+    a near-tie cannot flip the assignment cross-engine — below 6dp
+    resolution both sides see an exact tie and both break it code
+    ASC."""
     return f"""
       SELECT vec_id, s, code FROM (
         SELECT sv.vec_id, sv.s, b.code,
-               SUM((sv.x - b.c) * (sv.x - b.c)) AS d2
+               ROUND(SUM((sv.x - b.c) * (sv.x - b.c)), 6) AS d2
         FROM sv JOIN {btab} b ON b.s = sv.s AND b.j = sv.j
         GROUP BY sv.vec_id, sv.s, b.code
         QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s

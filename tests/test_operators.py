@@ -1169,3 +1169,62 @@ def test_apply_cdc_changes_edge_semantics(spark):
         for r in joins.apply_cdc_changes(base, changes, ["k"]).collect()
     }
     assert got == {(1, "A"), (2, "B"), (4, "d"), (5, "e")}, got
+
+
+def test_apply_cdc_changes_delete_wins_and_null_keys(spark):
+    """Guard rails beyond the one-row-per-key contract: a key carrying
+    BOTH a delete and an upsert row stays deleted (the upsert must not
+    resurrect it), and NULL keys follow SQL join semantics — NULL-key
+    base rows are kept, NULL-key upserts insert alongside them, a
+    NULL-key delete deletes nothing."""
+    from football_etl_spark.operators import joins
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "nb")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(1, None, "D"),      # delete ...
+         (1, "A!", "U"),      # ... must NOT be resurrected by this
+         (None, "nu", "U"),   # NULL-key upsert: inserts, matches nothing
+         (None, None, "D")],  # NULL-key delete: deletes nothing
+        "k long, v string, op string",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in joins.apply_cdc_changes(base, changes, ["k"]).collect()
+    }
+    assert got == {(2, "b"), (None, "nb"), (None, "nu")}, got
+
+
+def test_pq_adc_topk_skips_null_codes(spark):
+    """pq_encode emits NULL codes for NULL vectors; pq_adc_topk must
+    skip those rows instead of crashing the Arrow kernel, and ranks
+    must come only from the live rows."""
+    from football_etl_spark.operators import similarity
+
+    books = [[[0.0, 0.0], [1.0, 1.0]] for _ in range(2)]  # m=2, k=2
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.1, 0.9, 0.9]), (1, None), (2, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    codes = similarity.pq_encode(df, books)
+    top = similarity.pq_adc_topk(
+        codes, books, [(7, [0.0, 0.0, 1.0, 1.0])], k_top=10
+    ).collect()
+    assert [r["vec_id"] for r in top] == [0, 2]
+    assert [r["rank"] for r in top] == [1, 2]
+
+
+def test_approx_top_keys_quoted_column_name(spark):
+    """Column names that need backtick quoting must work — the
+    aggregate is built via F.expr, so the identifier is quoted (and
+    embedded backticks doubled) rather than interpolated raw."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g", 1)] * 3 + [("g", 2)], "grp string, `the key` long"
+    )
+    got = sketches.approx_top_keys(df, "the key", "grp", k=2).collect()
+    assert [(r["key"], r["est_count"]) for r in got] == [(1, 3), (2, 1)]
