@@ -224,9 +224,17 @@ def vocabulary(
     # sort+limit compiles to TakeOrderedAndProject (parallel per-
     # partition top-k + merge) — a global rank window here would pull
     # the whole vocabulary through ONE partition; the rank is attached
-    # afterwards over just the k survivors
+    # afterwards over just the k survivors. The pmod(tf, 1) partition
+    # key is constant 0 at runtime (single partition — correct: the
+    # window input is top_k rows by construction) but non-foldable, so
+    # WindowExec sees a defined partitionSpec and skips its "no
+    # partition defined ... single partition" warning — a false scale
+    # alarm in bench logs (a bare F.lit(0) gets constant-folded away
+    # and the warning fires anyway)
     top = stats.orderBy(F.desc("tf"), F.asc("term")).limit(top_k)
-    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    w = Window.partitionBy(F.pmod(F.col("tf"), F.lit(1))).orderBy(
+        F.desc("tf"), F.asc("term")
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "term", "tf", "df"
     )

@@ -6031,7 +6031,7 @@ def approx_percentile_error_bound(spark, sf_dir):
 # ===========================================================================
 
 
-@staged_query(
+@query(
     "q12_priority_shipping",
     oracle="""
     SELECT l_returnflag AS ship_class,
@@ -6240,7 +6240,7 @@ _SQL_PQ_CTES = f"""sv AS (
     codes AS ({_sql_pq_assign('b2')})"""
 
 
-@staged_query(
+@query(
     "pq_adc_ann_topk",
     oracle=f"""
     WITH {_SQL_PQ_CTES},
@@ -6332,7 +6332,7 @@ def zorder_sink_pruned_read(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
 
 
-@staged_query(
+@query(
     "streaming_stateful_user_totals",
     oracle="""
     SELECT user_id,
@@ -6389,7 +6389,7 @@ def streaming_stateful_user_totals(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "fuzzy_name_matches",
     oracle="""
     WITH d AS (SELECT DISTINCT p_name FROM part)
@@ -6539,7 +6539,7 @@ def streaming_interval_join_counts(spark, sf_dir):
     ).agg((F.count(F.lit(1)) - 1).cast("long").alias("n_prior_events"))
 
 
-@staged_query(
+@query(
     "silver_time_travel_read",
     oracle="""
     WITH l1 AS (
@@ -6639,7 +6639,7 @@ _Q88_BANDS = [
 ]
 
 
-@staged_query(
+@query(
     "multi_band_scan_counts",
     oracle="""
     SELECT """
@@ -6680,7 +6680,7 @@ def multi_band_scan_counts(spark, sf_dir):
     return li.agg(*aggs)
 
 
-@staged_query(
+@query(
     "point_in_time_state_join",
     oracle="""
     WITH c AS (
@@ -6744,7 +6744,7 @@ def point_in_time_state_join(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "incremental_agg_maintenance",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -6900,7 +6900,7 @@ def price_band_lookup(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "cdc_merge_apply",
     oracle="""
     SELECT o_orderkey, o_custkey,
@@ -7083,7 +7083,7 @@ def team_name_normalization(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "top_orders_with_ties",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk

@@ -509,13 +509,13 @@ def test_q12_pushdown_partial_agg_no_cartesian(spark):
     groups before the orderkey join), the 2-value groupBy must partial-
     aggregate map-side, and the residual late-by-30-days predicate
     must not degrade the join to a nested loop."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    plan = plan_str(STAGED["q12_priority_shipping"].fn(spark, SF_SMOKE))
+    plan = plan_str((REGISTRY.get("q12_priority_shipping") or STAGED["q12_priority_shipping"]).fn(spark, SF_SMOKE))
     assert "In(l_returnflag, [A,R])" in plan, plan
     assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, plan
     assert "LessThan(l_shipdate,1998-01-01" in plan, plan
-    simple = plan_str(STAGED["q12_priority_shipping"].fn(spark, SF_SMOKE), "simple")
+    simple = plan_str((REGISTRY.get("q12_priority_shipping") or STAGED["q12_priority_shipping"]).fn(spark, SF_SMOKE), "simple")
     assert simple.count("HashAggregate") >= 2, simple
     assert "CartesianProduct" not in simple and "NestedLoop" not in simple, simple
 
@@ -525,9 +525,9 @@ def test_pq_serving_single_scan_no_joins(spark):
     tables closed over the Arrow kernel — the plan must scan the
     corpus ONCE, plan ZERO joins (the LUT is driver-side control
     plane, never a relation), and rank via a per-query window."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    plan = plan_str(STAGED["pq_adc_ann_topk"].fn(spark, SF_SMOKE), "simple")
+    plan = plan_str((REGISTRY.get("pq_adc_ann_topk") or STAGED["pq_adc_ann_topk"]).fn(spark, SF_SMOKE), "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
@@ -536,7 +536,7 @@ def test_pq_serving_single_scan_no_joins(spark):
 def test_staged_entries_no_cartesian(spark):
     """No staged entry may plan an unbounded cartesian product (the
     same blanket rule the registry enforces)."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY, STAGED
 
     for name, qd in STAGED.items():
         plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
@@ -547,9 +547,9 @@ def test_multi_band_counts_single_scan(spark):
     """Staged Q88 shape: eight band counts must come from ONE lineitem
     scan with map-side partial aggregation — never the literal 8-way
     cross join of single-count subqueries."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    plan = plan_str(STAGED["multi_band_scan_counts"].fn(spark, SF_SMOKE), "simple")
+    plan = plan_str((REGISTRY.get("multi_band_scan_counts") or STAGED["multi_band_scan_counts"]).fn(spark, SF_SMOKE), "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Join" not in plan, plan
@@ -559,8 +559,8 @@ def test_point_in_time_join_equi_key_with_range_residual(spark):
     """Staged point-in-time lookup: the interval predicate must ride
     as a residual on a HASH join keyed on user_id — at 100 TB a
     nested-loop scan of the SCD2 history per fact is unrunnable."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    plan = plan_str(STAGED["point_in_time_state_join"].fn(spark, SF_SMOKE), "simple")
+    plan = plan_str((REGISTRY.get("point_in_time_state_join") or STAGED["point_in_time_state_join"]).fn(spark, SF_SMOKE), "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "Join" in plan and "user_id" in plan, plan
