@@ -2498,20 +2498,31 @@ def quantized_embeddings(spark, sf_dir):
 @query(
     "unpivot_lineitem_measures",
     oracle="""
-    SELECT l_orderkey, l_linenumber, measure,
-           ROUND(value, 6) AS value
-    FROM (
-      UNPIVOT (SELECT l_orderkey, l_linenumber,
-                      l_quantity, l_extendedprice, l_discount, l_tax
-               FROM lineitem WHERE l_orderkey < 100)
-      ON l_quantity, l_extendedprice, l_discount, l_tax
-      INTO NAME measure VALUE value
-    )
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           ROUND(l_quantity, 6) AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+           ROUND(l_extendedprice, 6) AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount' AS measure,
+           ROUND(l_discount, 6) AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax' AS measure,
+           ROUND(l_tax, 6) AS value
+    FROM lineitem WHERE l_orderkey < 100
     """,
     doc="unpivot / melt (wide→long): the inverse of pivot_priority_status, "
     "completing the reshape surface. Spark's native unpivot is a "
     "zero-shuffle row-local expansion — each input row emits one row per "
-    "measure inside the scan stage, so it costs projection, not exchange",
+    "measure inside the scan stage, so it costs projection, not exchange. "
+    "Oracle spelled as the dialect-portable UNION ALL expansion (DuckDB's "
+    "UNPIVOT ... INTO NAME/VALUE and Spark's UNPIVOT ... FOR ... IN have "
+    "incompatible grammars): equivalent because the four measure columns "
+    "are non-nullable in this schema, so UNPIVOT's implicit NULL-drop "
+    "never fires; it also runs unmodified on Spark SQL for the dual gate",
 )
 def unpivot_lineitem_measures(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -6544,15 +6555,21 @@ def streaming_interval_join_counts(spark, sf_dir):
     oracle="""
     WITH l1 AS (
       SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
-      FROM orders WHERE o_orderdate < DATE '1998-01-01'
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderkey DESC) = 1
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < DATE '1998-01-01'
+      ) r1 WHERE rn = 1
     ),
     l2 AS (
       SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
-      FROM orders
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderkey DESC) = 1
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) r2 WHERE rn = 1
     )
     SELECT 'day1' AS snapshot, o_custkey,
            o_orderkey AS last_orderkey, o_totalprice AS last_totalprice,
