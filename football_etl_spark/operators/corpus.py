@@ -238,3 +238,65 @@ def vocabulary(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "term", "tf", "df"
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Perplexity-proxy document scoring with a SELF-TRAINED unigram
+    LM — the classic cheap quality signal (a doc whose words are rare
+    under the corpus distribution is an outlier: boilerplate, noise,
+    wrong language): logp(doc) = Σ_t ln(tf_t / T) over its tokens,
+    where tf comes from the corpus itself and T is the total token
+    count, plus the doc's mean per-token logprob as the length-
+    normalized variant.
+
+    Plan: one explode, one term groupBy for the LM (map-side
+    combined), an equi-join of the exploded tokens back against the
+    term table (Catalyst picks broadcast when the vocabulary fits, SMJ
+    otherwise — both co-keyed on term), one doc groupBy. Per-token
+    logprobs are rounded to ``round_to`` and summed as
+    DECIMAL(28, ``round_to``) so the total is exact and order-
+    independent — cross-engine hash-stable regardless of partition
+    accumulation order. Empty docs score 0 tokens / NULL logprob.
+    At 100 TB: two shuffles (term, doc_id), no state, and the LM side
+    is vocabulary-sized, not corpus-sized."""
+    toks = df.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    # total token count rides the term relation via a windowed sum so
+    # the LM stays one distributed relation (no driver-side scalar) —
+    # pmod partition key per the WindowExec-warning note above; the
+    # window input is vocabulary-sized
+    tot = Window.partitionBy(F.pmod(F.col("tf"), F.lit(1))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lm = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "term",
+            F.round(F.log(F.col("tf") / F.sum("tf").over(tot)), round_to).alias(
+                "__lp"
+            ),
+        )
+    )
+    scored = toks.join(lm, "term").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("__lp").cast(f"decimal(28,{round_to})"))
+        .cast("double")
+        .alias("logprob"),
+    )
+    # left join restores token-less docs (empty text) with NULL score
+    return (
+        df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "logprob",
+            F.round(F.col("logprob") / F.col("n_tokens"), round_to).alias(
+                "mean_logprob"
+            ),
+        )
+    )

@@ -86,6 +86,7 @@ def asof_join(
     value_cols: Sequence[str],
     prefix: str = "asof_",
     right_tiebreak: str | None = None,
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts for the same key (the *intended* semantics of
@@ -100,7 +101,13 @@ def asof_join(
 
     ``right_tiebreak`` names a right-side column that deterministically
     orders right rows sharing the same timestamp (e.g. an event id);
-    the highest value wins."""
+    the highest value wins.
+
+    ``tolerance_sec`` bounds the match age (pandas merge_asof's
+    ``tolerance``): a carried match older than ``tolerance_sec``
+    before the left timestamp is nulled out — same single exchange,
+    the bound is applied to the carried match timestamp after the
+    window, so stale matches cost nothing extra."""
     lcols = left.columns
     l_tagged = left.select(
         F.col(key).alias("__key"),
@@ -128,12 +135,27 @@ def asof_join(
         .orderBy("__ts", "__side", F.col("__tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.withColumns(
-        {f"__c_{c}": F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w) for c in value_cols}
-    )
+    carry = {
+        f"__c_{c}": F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w) for c in value_cols
+    }
+    if tolerance_sec is not None:
+        # carried right-side event time, for the staleness bound below
+        carry["__c__mts"] = F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w)
+    carried = unioned.withColumns(carry)
+    picked = {}
+    for c in value_cols:
+        col = F.col(f"__c_{c}")
+        if tolerance_sec is not None:
+            fresh = F.col("__c__mts") >= F.col("__ts") - F.expr(
+                f"INTERVAL {int(tolerance_sec)} SECONDS"
+            )
+            col = F.when(fresh, col)
+        picked[c] = col
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
-        *[F.col(f"__c_{c}").alias(f"{prefix}{c}") for c in value_cols],
+        *[picked[c].alias(f"{prefix}{c}") for c in value_cols],
     )
     return out
 

@@ -19,7 +19,7 @@ use more chars when finer fractions are needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,3 +117,56 @@ def rate_mixture(
             keep = b < F.lit(thresh)
         pred = F.when(F.col(strata_col) == stratum, keep).otherwise(pred)
     return df.filter(pred)
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key: Column,
+    alpha: float = 0.5,
+    hex_digits: int = 4,
+    round_to: int = 6,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing with DATA-DERIVED rates —
+    the multilingual-corpus resampling rule (sampling share ∝ p^alpha,
+    alpha<1 flattens the language distribution, as in the mBERT/XLM-R
+    exponential-smoothing recipe): the acceptance rate for stratum l
+    with empirical share p_l is
+
+        a_l = p_l^(alpha-1) / max_m p_m^(alpha-1)
+
+    so the rarest stratum keeps everything (a=1) and dominant strata
+    are thinned toward the tempered mix — realizable by pure
+    subsampling, no upsampling needed.
+
+    Plan: one groupBy(strata) count (map-side combined, strata-sized
+    output), rates derived on that TINY relation with an unpartitioned
+    window (bounded by the number of strata — languages, not rows),
+    broadcast-joined back, then the same deterministic md5-vs-weight
+    hex filter as ``weighted_hash_sample``. The corpus pass itself is
+    scan + broadcast probe: resampling 100 TB costs one tiny count
+    job plus a filter. Rates are rounded to ``round_to`` before the
+    hex threshold so the kept set is reproducible cross-engine."""
+    # pmod(__n, 1) is constant 0 but non-foldable: the window runs on
+    # the strata-sized counts relation (bounded by #languages), and a
+    # defined partitionSpec keeps the misleading "no partition defined"
+    # WindowExec warning out of the logs (see operators/corpus.py)
+    n_tot = Window.partitionBy(F.pmod(F.col("__n"), F.lit(1))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counts = df.groupBy(F.col(strata_col).alias("__stratum")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    boost = F.pow(F.col("__n") / F.sum("__n").over(n_tot), alpha - 1.0)
+    rates = counts.select(
+        "__stratum",
+        F.round(boost / F.max(boost).over(n_tot), round_to).alias("__rate"),
+    )
+    joined = df.join(
+        F.broadcast(rates), df[strata_col] == F.col("__stratum"), "inner"
+    ).drop("__stratum")
+    kept = weighted_hash_sample(joined, key, F.col("__rate"), hex_digits)
+    if rate_col is not None:
+        return kept.withColumnRenamed("__rate", rate_col)
+    return kept.drop("__rate")

@@ -7132,6 +7132,431 @@ def top_orders_with_ties(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-6 staged tier: next-wave candidates under the local oracle gate
+# ===========================================================================
+
+
+@staged_query(
+    "temperature_resampled_corpus",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT lang,
+             ROUND(POWER(n / CAST((SELECT SUM(n) FROM c) AS DOUBLE), -0.5)
+                   / MAX(POWER(n / CAST((SELECT SUM(n) FROM c) AS DOUBLE), -0.5))
+                     OVER (), 6) AS rate
+      FROM c
+    )
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE SUBSTR(MD5(CAST(d.doc_id AS STRING)), 1, 4)
+          < LPAD(LOWER(TO_HEX(CAST(LEAST(FLOOR(r.rate * 65536), 65535)
+                                   AS BIGINT))), 4, '0')
+    """,
+    doc="temperature-based multilingual rebalancing with DATA-DERIVED "
+    "rates (operators/sampling.temperature_resample — the p^alpha "
+    "exponential-smoothing recipe of mBERT/XLM-R, alpha=0.5): "
+    "acceptance rate a_l = p_l^(alpha-1)/max_m p_m^(alpha-1), so the "
+    "rarest language keeps everything and the dominant one is thinned "
+    "toward the tempered mix, realized by the same deterministic "
+    "md5-vs-weight hex filter as quality_weighted_sample. Plan: one "
+    "strata-sized count, rates on that tiny relation, broadcast probe "
+    "+ scan-level filter — resampling 100 TB costs one count job and "
+    "zero corpus shuffles. Rates rounded to 6dp pre-threshold for "
+    "cross-engine reproducibility; oracle replays count->rate->filter "
+    "end to end",
+)
+def temperature_resampled_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return sampling.temperature_resample(
+        d, "lang", F.col("doc_id"), alpha=0.5, rate_col="rate"
+    ).select("doc_id", "lang", "rate")
+
+
+@staged_query(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    tok AS (
+      SELECT doc_id, UNNEST(toks) AS term FROM toks_cte
+    ),
+    lm AS (
+      SELECT term,
+             ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)), 6) AS lp
+      FROM tok GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(lm.lp AS DECIMAL(28,6))) AS DOUBLE) AS logprob
+      FROM tok t JOIN lm ON t.term = lm.term
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           s.logprob,
+           ROUND(s.logprob / s.n_tokens, 6) AS mean_logprob
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    doc="perplexity-proxy quality scoring with a SELF-TRAINED unigram "
+    "LM (operators/corpus.unigram_logprob_scores — the cheap LM filter "
+    "of CCNet/Gopher-style pipelines, here with the corpus as its own "
+    "LM): logp(doc) = sum ln(tf_t/T) over its tokens plus the length-"
+    "normalized mean. One explode, one vocabulary-sized term groupBy, "
+    "one term equi-join back, one doc groupBy — two shuffles total, LM "
+    "relation is vocabulary-sized not corpus-sized. Per-token logprobs "
+    "rounded to 6dp then summed as DECIMAL(28,6): the total is exact "
+    "and partition-order-independent, so the hash gate certifies the "
+    "full tokenize->train->score pipeline cross-engine",
+)
+def unigram_logprob_scores(spark, sf_dir):
+    from ..operators import corpus
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return corpus.unigram_logprob_scores(d)
+
+
+@staged_query(
+    "cascade_delete_users",
+    oracle="""
+    WITH del AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0
+    ),
+    del_orders AS (
+      SELECT o.o_orderkey FROM orders o
+      JOIN del ON o.o_custkey = del.c_custkey
+    ),
+    tagged AS (
+      SELECT 'customer' AS entity,
+             CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END AS is_del
+      FROM customer
+      UNION ALL
+      SELECT 'orders' AS entity,
+             CASE WHEN del.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_del
+      FROM orders o LEFT JOIN del ON o.o_custkey = del.c_custkey
+      UNION ALL
+      SELECT 'lineitem' AS entity,
+             CASE WHEN d2.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS is_del
+      FROM lineitem l LEFT JOIN del_orders d2 ON l.l_orderkey = d2.o_orderkey
+    )
+    SELECT entity,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(SUM(is_del) AS BIGINT) AS rows_deleted,
+           CAST(COUNT(*) - SUM(is_del) AS BIGINT) AS rows_after
+    FROM tagged GROUP BY entity
+    """,
+    doc="GDPR-style right-to-be-forgotten cascade: a deletion set of "
+    "customers propagates through the referential chain customer -> "
+    "orders -> lineitem (deleted orders pull their line items), and "
+    "the audit reports rows_before / rows_deleted / rows_after per "
+    "entity — the compliance evidence a purge job must emit. Plan: the "
+    "deletion set and its order closure broadcast (deletion sets are "
+    "tiny vs the fact tables), each fact table takes ONE left join + "
+    "flag, and a single union + groupBy produces the audit — no "
+    "cartesians, no second pass per table; the actual purge is the "
+    "same joins as anti-joins (operators/joins.anti_join). At 100 TB "
+    "table formats turn the anti-join into file-level delete vectors; "
+    "the join shape (and this audit) is identical",
+)
+def cascade_delete_users(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dels = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    del_orders = o.join(
+        F.broadcast(dels), o.o_custkey == dels.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    tagged = (
+        c.select(
+            F.lit("customer").alias("entity"),
+            (F.col("c_custkey") % 13 == 0).cast("int").alias("is_del"),
+        )
+        .unionByName(
+            o.join(F.broadcast(dels), o.o_custkey == dels.c_custkey, "left")
+            .select(
+                F.lit("orders").alias("entity"),
+                F.col("c_custkey").isNotNull().cast("int").alias("is_del"),
+            )
+        )
+        .unionByName(
+            li.join(
+                F.broadcast(del_orders),
+                li.l_orderkey == del_orders.o_orderkey,
+                "left",
+            ).select(
+                F.lit("lineitem").alias("entity"),
+                F.col("o_orderkey").isNotNull().cast("int").alias("is_del"),
+            )
+        )
+    )
+    return tagged.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("rows_before"),
+        F.sum("is_del").cast("long").alias("rows_deleted"),
+        (F.count(F.lit(1)) - F.sum("is_del")).cast("long").alias("rows_after"),
+    )
+
+
+@staged_query(
+    "purchase_asof_tolerance",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT p.event_id, c.event_id AS click_event_id, c.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL 1800 SECONDS
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(m.click_event_id AS DOUBLE) AS click_event_id, m.click_ts
+    FROM p LEFT JOIN (SELECT event_id, click_event_id, click_ts
+                      FROM cand WHERE rn = 1) m
+      ON p.event_id = m.event_id
+    """,
+    doc="as-of join WITH TOLERANCE (pandas merge_asof's tolerance, "
+    "kdb aj within a window): each purchase takes the latest same-"
+    "user click at most 30 minutes old, else NULL — staleness-bounded "
+    "enrichment, the variant that matters when 'latest known state' "
+    "must also be RECENT (feature freshness). Same single-exchange "
+    "union + last_value carry as asof_join (operators/joins.asof_join "
+    "tolerance_sec): the carried match timestamp rides along and "
+    "stale matches are nulled AFTER the window — zero fan-out even "
+    "against dense right sides, unlike the oracle's candidate join "
+    "which pays one row per click in the window. Tie order matches "
+    "the asof contract: latest ts, then highest event_id",
+)
+def purchase_asof_tolerance(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = joins.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "ts"],
+        prefix="click_",
+        right_tiebreak="event_id",
+        tolerance_sec=1800,
+    )
+    # nullable match id as DOUBLE on both engines — see
+    # attribution_first_touch's note on sampled-prefix dtype flips
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_event_id").cast("double").alias("click_event_id"),
+        "click_ts",
+    )
+
+
+@staged_query(
+    "attribution_first_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    cand AS (
+      SELECT p.event_id, c.event_id AS touch_event_id, c.ts AS touch_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts ASC, c.event_id ASC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL 604800 SECONDS
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(m.touch_event_id AS DOUBLE) AS touch_event_id, m.touch_ts
+    FROM p LEFT JOIN (SELECT event_id, touch_event_id, touch_ts
+                      FROM cand WHERE rn = 1) m
+      ON p.event_id = m.event_id
+    """,
+    doc="first-touch attribution: each purchase credited to the "
+    "user's EARLIEST view inside a 7-day lookback — the other end of "
+    "the as-of family (first-in-window instead of last-before). "
+    "Spark plan: the bucketized interval join (operators/joins."
+    "range_join — bounded 2-bucket fan-out per purchase regardless of "
+    "view density) generates the in-window candidates, a per-purchase "
+    "rank window keeps the earliest, and a left join restores "
+    "unattributed purchases. All three steps key on user_id/event_id "
+    "hash partitions; no cartesian, no unbounded state. The oracle "
+    "spells the same semantics as a theta join + QUALIFY-free ranked "
+    "subquery, portable to both engines",
+)
+def attribution_first_touch(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    cand = joins.range_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_s=-604800,
+        upper_s=0,
+        right_prefix="touch_",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.asc("touch_ts"), F.asc("touch_event_id")
+    )
+    first = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "touch_event_id", "touch_ts")
+    )
+    # the nullable match id goes out as DOUBLE on both engines: a
+    # nullable int column canonicalizes to float only when the sampled
+    # prefix happens to contain a NULL, so int-vs-float could diverge
+    # between engines on a 100-row schema probe — a fixed double cannot
+    return purchases.join(first, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("touch_event_id").cast("double").alias("touch_event_id"),
+        "touch_ts",
+    )
+
+
+@staged_query(
+    "equi_depth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT o_orderpriority, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 6) AS lo,
+           ROUND(MAX(o_totalprice), 6) AS hi
+    FROM b GROUP BY o_orderpriority, bin
+    """,
+    doc="equi-depth (equi-height) histogram per group: NTILE(4) over "
+    "(priority, price) assigns equal-population bins, then one groupBy "
+    "emits each bin's population and [lo, hi] value bounds — the "
+    "optimizer-statistics histogram build, per group. The window "
+    "partitions by o_orderpriority so bin assignment parallelizes "
+    "per group (no global sort through one partition); o_orderkey "
+    "tiebreak makes the equal-value bin boundary deterministic "
+    "cross-engine. Portable SQL — runs unmodified on both engines",
+)
+def equi_depth_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("bin"),
+        )
+        .groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
+@staged_query(
+    "small_file_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    """,
+    doc="lakehouse small-file compaction (io/sinks.compact_parquet — "
+    "the OPTIMIZE / rewrite_data_files maintenance job): orders are "
+    "first written as a worst-case 64-file micro-batch layout, "
+    "compacted into the byte-budgeted file count (sizing reads file "
+    "METADATA only, the rewrite is one round-robin repartition, the "
+    "swap is rename-based), and the compacted table is read back. "
+    "Hash-equality against the plain source SELECT certifies the "
+    "maintenance job is lossless; the pytest twin asserts the "
+    "file-count collapse and partitioned-layout preservation. At "
+    "100 TB this is the job that keeps per-file open/footer overhead "
+    "from dominating streaming-ingested tables",
+)
+def small_file_compaction(spark, sf_dir):
+    from ..io import sinks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    root = _fresh_tmp_root(spark, "cmp", sf_dir)
+    d = f"{root}/orders_small"
+    o.repartition(64).write.mode("overwrite").parquet(d)
+    sinks.compact_parquet(spark, d, target_file_bytes=1 << 30)
+    return spark.read.parquet(d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+@staged_query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM events
+    """,
+    doc="streaming ingest dedup under the exact value gate "
+    "(streaming/incremental.streaming_dedup -> "
+    "dropDuplicatesWithinWatermark): the events feed is written TWICE "
+    "(an exactly-duplicated replay, the at-least-once delivery case), "
+    "re-read as a file-source stream, deduplicated on event_id with "
+    "watermark-bounded state (key state evicts once the watermark "
+    "passes it — state is proportional to the dedup horizon, not "
+    "stream history), driven to completion with availableNow into a "
+    "memory sink. Hash-equality against the plain single-copy SELECT "
+    "proves every duplicate died and every original survived the "
+    "checkpointed streaming path. The duplicates are byte-identical "
+    "rows, so first-arrival-wins semantics cannot leak a different "
+    "payload",
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    root = _fresh_tmp_root(spark, "sdw", sf_dir)
+    feed = f"{root}/feed"
+    # the replayed feed: two byte-identical copies of every event
+    ev.repartition(1).write.mode("overwrite").parquet(feed)
+    ev.repartition(1).write.mode("append").parquet(feed)
+    stream = incremental.read_event_stream(spark, feed, ev.schema)
+    deduped = incremental.streaming_dedup(
+        stream, keys=("event_id",), ts_col="ts", watermark="1 day"
+    )
+    name = f"sdw_{spark.sparkContext.applicationId.replace('-', '_')}"
+    out = incremental.run_available_now(
+        deduped, name, f"{root}/ckpt", mode="append"
+    )
+    return out.select("event_id", "user_id", "event_type", "ts", "value")
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

@@ -1228,3 +1228,88 @@ def test_approx_top_keys_quoted_column_name(spark):
     )
     got = sketches.approx_top_keys(df, "the key", "grp", k=2).collect()
     assert [(r["key"], r["est_count"]) for r in got] == [(1, 3), (2, 1)]
+
+
+def test_asof_join_tolerance_bounds_match_age(spark):
+    """tolerance_sec nulls out matches older than the bound: the
+    boundary-age match (exactly tolerance old) is KEPT, one second
+    older is nulled, and a key with no prior right row stays null —
+    same single-exchange plan, the bound applies to the carried match
+    timestamp."""
+    from football_etl_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"),   # fresh match (10 min old)
+         (2, "2024-01-01 10:00:00"),   # boundary match (exactly 1h old)
+         (3, "2024-01-01 10:00:00"),   # stale match (1h 1s old)
+         (4, "2024-01-01 10:00:00")],  # no right row at all
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:50:00", 11),
+         (2, "2024-01-01 09:00:00", 22),
+         (3, "2024-01-01 08:59:59", 33)],
+        "k long, ts string, v long",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        r["k"]: r["asof_v"]
+        for r in joins.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], tolerance_sec=3600,
+        ).collect()
+    }
+    assert out == {1: 11, 2: 22, 3: None, 4: None}, out
+
+
+def test_temperature_resample_rates_and_determinism(spark):
+    """Temperature resampling: the rarest stratum's rate is exactly
+    1.0 (keeps everything), rates decrease with stratum size for
+    alpha<1, and the kept set is identical across reruns."""
+    from football_etl_spark.operators import sampling
+
+    rows = (
+        [("en", i) for i in range(400)]
+        + [("fr", 1000 + i) for i in range(100)]
+        + [("zh", 2000 + i) for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    kept = sampling.temperature_resample(
+        df, "lang", F.col("doc_id"), alpha=0.5, rate_col="rate"
+    )
+    rates = {
+        r["lang"]: r["rate"] for r in kept.select("lang", "rate").distinct().collect()
+    }
+    assert rates["zh"] == 1.0
+    assert rates["zh"] > rates["fr"] > rates["en"]
+    # expected boost ratio: (p_zh/p_fr)^-0.5 = (25/100)^-0.5 = 2 -> fr rate 0.5
+    assert abs(rates["fr"] - 0.5) < 1e-6
+    assert abs(rates["en"] - 0.25) < 1e-6
+    counts = {r["lang"]: r["cnt"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts["zh"] == 25  # rate 1.0 keeps the whole stratum
+    rerun = sampling.temperature_resample(df, "lang", F.col("doc_id"), alpha=0.5)
+    assert sorted(r["doc_id"] for r in rerun.collect()) == sorted(
+        r["doc_id"] for r in kept.collect()
+    )
+
+
+def test_unigram_logprob_scores_values(spark):
+    """Self-trained unigram LM on a 3-token corpus: tf(a)=2, tf(b)=1,
+    T=3 — doc1 scores 2·ln(2/3)+ln(1/3) with 6dp per-token rounding
+    and an exact decimal sum; the empty doc scores 0 tokens and NULL
+    logprob."""
+    import math
+
+    from football_etl_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in corpus.unigram_logprob_scores(df).collect()}
+    lp_a = round(math.log(2 / 3), 6)
+    lp_b = round(math.log(1 / 3), 6)
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["logprob"] - (2 * lp_a + lp_b)) < 1e-9
+    assert abs(out[1]["mean_logprob"] - round((2 * lp_a + lp_b) / 3, 6)) < 1e-9
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["logprob"] is None and out[2]["mean_logprob"] is None

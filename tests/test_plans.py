@@ -81,12 +81,22 @@ def test_asof_join_uses_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+def _both_tiers():
+    from football_etl_spark.plans.queries import STAGED
+
+    return sorted(REGISTRY) + sorted(STAGED)
+
+
+@pytest.mark.parametrize("name", _both_tiers())
 def test_no_cartesian_product_anywhere(spark, name):
-    """No registered query may plan an unbounded cartesian product.
-    (Broadcast nested-loop against an explicitly broadcast, bounded
-    query set — ANN top-k — is the one sanctioned n×m pattern.)"""
-    plan = plan_str(REGISTRY[name].fn(spark, SF_SMOKE), "simple")
+    """No registered OR staged query may plan an unbounded cartesian
+    product — the bar applies before promotion, not after. (Broadcast
+    nested-loop against an explicitly broadcast, bounded query set —
+    ANN top-k — is the one sanctioned n×m pattern.)"""
+    from football_etl_spark.plans.queries import STAGED
+
+    qd = REGISTRY.get(name) or STAGED[name]
+    plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product:\n{plan}"
 
 

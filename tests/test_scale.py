@@ -173,6 +173,12 @@ STAGED_PARTITION_SENSITIVE = [
     "fuzzy_name_matches",
     "robust_outlier_flags",
     "multi_band_scan_counts",
+    # round-6 staged wave: data-derived sampling rates, decimal-summed
+    # LM scores, interval-join fan-out + rank, per-group NTILE bins
+    "temperature_resampled_corpus",
+    "unigram_logprob_scores",
+    "attribution_first_touch",
+    "equi_depth_histogram",
 ]
 
 

@@ -118,7 +118,12 @@ DIALECT_SKIPS = {
     "simhash_near_dups": "TOKENS + UNNEST",
     "streaming_sliding_counts": "UNNEST window replication",
     "text_quality_stats": "TOKENS + LAMBDA ratios",
+    "temperature_resampled_corpus": (
+        "hex-threshold spelling: DuckDB TO_HEX vs Spark HEX (same "
+        "md5-vs-weight compare as quality_weighted_sample)"
+    ),
     "tfidf_top_terms": "TOKENS + QUALIFY",
+    "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
     "user_sessions": "EPOCH (second gap rule)",
     "variant_event_facts": "JSON '->>' extraction + printf",
     "video_frame_scan": "SERIES frame indexing",
