@@ -7459,9 +7459,16 @@ def attribution_first_touch(spark, sf_dir):
     "emits each bin's population and [lo, hi] value bounds — the "
     "optimizer-statistics histogram build, per group. The window "
     "partitions by o_orderpriority so bin assignment parallelizes "
-    "per group (no global sort through one partition); o_orderkey "
-    "tiebreak makes the equal-value bin boundary deterministic "
-    "cross-engine. Portable SQL — runs unmodified on both engines",
+    "per group; o_orderkey tiebreak makes the equal-value bin "
+    "boundary deterministic cross-engine. SCALE CAVEAT (measured, "
+    "BENCH_NOTES x100): parallelism is capped at the GROUP COUNT — "
+    "exact equal-population binning sorts each group through one "
+    "reducer, so 5 priorities = 5 tasks however large the table. The "
+    "100 TB path swaps to approximate bin EDGES via approx_percentile "
+    "(operators/sketches.approx_group_percentiles, mergeable partials) "
+    "+ one exact count per derived bin; the entry keeps the exact "
+    "form because it is what the oracle gate certifies bit-for-bit. "
+    "Portable SQL — runs unmodified on both engines",
 )
 def equi_depth_histogram(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")

@@ -163,3 +163,52 @@ def test_incremental_dedup_verdict_per_incoming_doc(spark, seed):
             assert r["best_jaccard"] >= 0.5
         else:
             assert r["best_match_id"] is None and r["best_jaccard"] is None
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_tolerance_matches_bruteforce(spark, seed):
+    """asof_join with tolerance_sec vs the quadratic definition: for
+    every left row, the right row with the max ts <= left ts (highest
+    tiebreak on equal ts) and age <= tolerance — else NULL. Random
+    keys/timestamps with deliberate collisions and boundary ages."""
+    import random
+
+    from football_etl_spark.operators import joins
+
+    rng = random.Random(seed)
+    tol = 60
+    base = 1_700_000_000
+    lrows = [
+        (i, rng.randint(0, 3), base + rng.randint(0, 300))
+        for i in range(20)
+    ]
+    rrows = [
+        (100 + i, rng.randint(0, 3), base + rng.randint(-30, 300), i * 10)
+        for i in range(25)
+    ]
+    left = spark.createDataFrame(
+        [(i, k, __import__("datetime").datetime.utcfromtimestamp(t))
+         for i, k, t in lrows],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(rid, k, __import__("datetime").datetime.utcfromtimestamp(t), v)
+         for rid, k, t, v in rrows],
+        "rid long, k long, ts timestamp, v long",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in joins.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], right_tiebreak="rid", tolerance_sec=tol,
+        ).collect()
+    }
+    for lid, k, lt in lrows:
+        cands = [
+            (t, rid, v) for rid, rk, t, v in rrows
+            if rk == k and t <= lt and t >= lt - tol
+        ]
+        want = max(cands)[2] if cands else None
+        assert got[lid] == want, (lid, k, lt, cands, got[lid])
