@@ -255,6 +255,18 @@ _WINDOWS = {
         "CAST(COUNT(*) OVER w AS BIGINT)",
         lambda w: F.count(F.lit(1)).over(w).cast("long"),
     ),
+    "nt4": (
+        "CAST(NTILE(4) OVER w AS INT)",
+        lambda w: F.ntile(4).over(w).cast("int"),
+    ),
+    "prnk": (
+        "ROUND(PERCENT_RANK() OVER w, 6)",
+        lambda w: F.round(F.percent_rank().over(w), 6),
+    ),
+    "cume": (
+        "ROUND(CUME_DIST() OVER w, 6)",
+        lambda w: F.round(F.cume_dist().over(w), 6),
+    ),
 }
 _win_fns = st.lists(
     st.sampled_from(sorted(_WINDOWS)), min_size=1, max_size=3, unique=True
@@ -870,3 +882,49 @@ def test_random_like_pattern_matches_duckdb(spark, p, pred):
     )
     problems = compare(sdf, sql, SF_SMOKE)
     assert not problems, f"{col} {op} {pattern!r}\n" + "\n".join(problems)
+
+
+# ---- interval-join-shaped fuzz --------------------------------------------
+
+_ij_windows = st.sampled_from(
+    [(-3600, 0), (-1800, 1800), (0, 7200), (-86400, -3600), (-600, 600)]
+)
+_ij_types = st.sampled_from(
+    [("purchase", "click"), ("view", "signup"), ("click", "error")]
+)
+
+
+@given(win=_ij_windows, types=_ij_types, pred=_predicate)
+@settings(**_SETTINGS)
+def test_random_interval_join_matches_duckdb(spark, win, types, pred):
+    """Bucketized interval join (operators/joins.range_join) vs the
+    literal theta join, over random windows (past-only, straddling,
+    future-only) and event-type pairs — the rewrite the as-of /
+    attribution family rides must be pair-for-pair lossless, including
+    inclusive bounds and negative windows. The unused orders predicate
+    keeps hypothesis shrinking structured."""
+    from football_etl_spark.operators import joins
+
+    lo, hi = win
+    lt, rt = types
+    ev = load_table(spark, SF_SMOKE, "events")
+    left = ev.filter(F.col("event_type") == lt).select(
+        F.col("event_id").alias("lid"), F.col("user_id"), F.col("ts")
+    )
+    right = ev.filter(F.col("event_type") == rt).select(
+        F.col("event_id").alias("rid"), F.col("user_id"), F.col("ts")
+    )
+    got = joins.range_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        lower_s=lo, upper_s=hi, right_prefix="r_",
+    ).select("lid", F.col("r_rid").alias("rid"))
+    sql = f"""
+    SELECT l.event_id AS lid, r.event_id AS rid
+    FROM (SELECT * FROM events WHERE event_type = '{lt}') l
+    JOIN (SELECT * FROM events WHERE event_type = '{rt}') r
+      ON r.user_id = l.user_id
+     AND r.ts >= l.ts + ({lo}) * INTERVAL 1 SECOND
+     AND r.ts <= l.ts + ({hi}) * INTERVAL 1 SECOND
+    """
+    problems = compare(got, sql, SF_SMOKE)
+    assert not problems, f"win={win} types={types}\n" + "\n".join(problems)
