@@ -7464,11 +7464,13 @@ def attribution_first_touch(spark, sf_dir):
     "BENCH_NOTES x100): parallelism is capped at the GROUP COUNT — "
     "exact equal-population binning sorts each group through one "
     "reducer, so 5 priorities = 5 tasks however large the table. The "
-    "100 TB path swaps to approximate bin EDGES via approx_percentile "
-    "(operators/sketches.approx_group_percentiles, mergeable partials) "
-    "+ one exact count per derived bin; the entry keeps the exact "
-    "form because it is what the oracle gate certifies bit-for-bit. "
-    "Portable SQL — runs unmodified on both engines",
+    "100 TB path is implemented: operators/sketches."
+    "equi_depth_bins_approx — approx_percentile bin EDGES (mergeable "
+    "GK partials) + an exact map-side bucket count, both passes "
+    "parallelizing with the data, pytest-certified within 10% of "
+    "perfect depth; the entry keeps the exact form because it is what "
+    "the oracle gate certifies bit-for-bit. Portable SQL — runs "
+    "unmodified on both engines",
 )
 def equi_depth_histogram(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")

@@ -1313,3 +1313,37 @@ def test_unigram_logprob_scores_values(spark):
     assert abs(out[1]["mean_logprob"] - round((2 * lp_a + lp_b) / 3, 6)) < 1e-9
     assert out[2]["n_tokens"] == 0
     assert out[2]["logprob"] is None and out[2]["mean_logprob"] is None
+
+
+def test_equi_depth_bins_approx_properties(spark):
+    """The scale-path histogram (approx edges + exact bucket counts)
+    must: count every row exactly once, keep bins ordered and
+    non-overlapping per group, and land within 10% relative population
+    error of perfect equi-depth on the real orders table."""
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.operators import sketches
+
+    from .conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    total = o.count()
+    out = sketches.equi_depth_bins_approx(
+        o, "o_totalprice", "o_orderpriority", n_bins=4
+    ).collect()
+    assert sum(r["n"] for r in out) == total  # every row exactly once
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    group_sizes = {
+        r["o_orderpriority"]: r["cnt"]
+        for r in o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for g, rows in by_grp.items():
+        rows.sort(key=lambda r: r["bin"])
+        assert [r["bin"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi"] <= b["lo"]  # ordered, non-overlapping
+        ideal = group_sizes[g] / 4
+        for r in rows:
+            assert abs(r["n"] - ideal) <= max(2.0, 0.1 * ideal), (g, r)
