@@ -6486,6 +6486,71 @@ def streaming_sliding_counts(spark, sf_dir):
 
 
 @staged_query(
+    "streaming_session_counts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS longest_session,
+           CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM per_session GROUP BY user_id
+    """,
+    doc="native session windows driven as a REAL STREAM — the missing "
+    "member of the streaming-windows family (tumbling and sliding are "
+    "driver-green, stateful/interval/dedup staged): the events feed "
+    "re-read as a file-source stream, F.session_window(gap=30min) "
+    "with watermark through streaming/incremental."
+    "session_window_totals, availableNow catch-up into a complete-"
+    "mode memory sink, then the same per-user rollup as the batch "
+    "twin. The oracle is IDENTICAL to session_window_stats' (the "
+    "driver-green batch entry), so hash-equality certifies "
+    "stream == batch for session semantics — merge-on-touch "
+    "boundaries, strict-gap splits, overlapping-session coalescing — "
+    "through the real checkpointed engine. At 100 TB state is one "
+    "open session per active key, watermark-evicted",
+)
+def streaming_session_counts(spark, sf_dir):
+    import os
+    import re
+
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    root = _fresh_tmp_root(spark, "ssw", sf_dir)
+    feed = f"{root}/feed"
+    ev.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = incremental.read_event_stream(spark, feed, ev.schema)
+    per_session = incremental.session_window_totals(
+        stream, gap="30 minutes", watermark="36500 days"
+    )
+    name = "fes_ssw_" + re.sub(r"\W+", "_", f"{os.getpid()}_{sf_dir.rstrip('/')}")
+    tbl = incremental.run_available_now(per_session, name, f"{root}/ckpt")
+    return tbl.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("longest_session"),
+        (F.sum(F.round(F.col("total_value") * 100).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )
+
+
+@staged_query(
     "streaming_interval_join_counts",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')

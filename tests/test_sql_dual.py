@@ -116,6 +116,7 @@ DIALECT_SKIPS = {
     "semantic_dedup_docs": "LAMBDA + SERIES + QUALIFY",
     "session_window_stats": "EPOCH (epoch_us gap rule)",
     "simhash_near_dups": "TOKENS + UNNEST",
+    "streaming_session_counts": "EPOCH (epoch_us gap rule, same as session_window_stats)",
     "streaming_sliding_counts": "UNNEST window replication",
     "text_quality_stats": "TOKENS + LAMBDA ratios",
     "temperature_resampled_corpus": (
