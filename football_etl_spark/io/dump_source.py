@@ -74,3 +74,88 @@ class RawDumpDataSource(DataSource):
 
     def reader(self, schema) -> RawDumpReader:
         return RawDumpReader(self.options)
+    # NOTE: no simpleStreamReader here on purpose — the streaming
+    # source runner process cannot resolve by-reference-pickled
+    # module classes (it does not see addPyFile), so the streaming
+    # variant lives behind make_streaming_dump_source() below.
+
+
+def make_streaming_dump_source():
+    """Build a BY-VALUE-picklable streaming variant of the source.
+
+    The batch path ships the package zip via addPyFile and pickles
+    classes by reference — executors resolve the module. The Spark 4
+    STREAMING source runner is a separate driver-side Python process
+    that does NOT see addPyFile paths, so a module-level class raises
+    ModuleNotFoundError there under the driver's foreign-cwd plain
+    session. Defining the classes inside this factory makes
+    cloudpickle serialize them by value (closure classes), with only
+    pyspark/stdlib imports inside method bodies — the same
+    self-containment rule the repo's pandas-UDF closures follow.
+
+    Registered under a DISTINCT name ("raw_api_dumps_stream") so the
+    by-reference batch source keeps its catalog slot."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self._dir = options.get("path")
+            if not self._dir:
+                raise ValueError("raw_api_dumps_stream requires .option('path', <dir>)")
+            self._pattern = options.get("pattern", "api_response_")
+
+        def _files(self):
+            import os as _os
+
+            return sorted(
+                _os.path.join(self._dir, f)
+                for f in _os.listdir(self._dir)
+                if f.startswith(self._pattern) and f.endswith(".txt")
+            )
+
+        def _rows(self, paths):
+            # MATERIALIZED list, not a generator: pyspark's simple-
+            # stream wrapper caches each read's iterator and
+            # copy.copy()s it when planning partitions — generators
+            # are not copyable and crash planPartitions; list
+            # iterators are. A micro-batch here is a handful of
+            # daily dumps, so materializing is the contract-correct
+            # prefetch, not a scale hazard.
+            import os as _os
+            import re as _re
+
+            out = []
+            for p in paths:
+                m = _re.search(r"(\d{4}-\d{2}-\d{2})", _os.path.basename(p))
+                date = m.group(1) if m else None
+                with open(p, encoding="utf-8", errors="replace") as fh:
+                    out.append((date, fh.read()))
+            return out
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            files = self._files()
+            lo = int(start.get("i", 0))
+            return self._rows(files[lo:]), {"i": len(files)}
+
+        def readBetweenOffsets(self, start, end):
+            files = self._files()
+            return self._rows(files[int(start.get("i", 0)) : int(end.get("i", 0))])
+
+        def commit(self, end):
+            pass
+
+    class _StreamingDumpSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "raw_api_dumps_stream"
+
+        def schema(self):
+            return "capture_date string, raw string"
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader(self.options)
+
+    return _StreamingDumpSource

@@ -5890,6 +5890,72 @@ def raw_dump_ingest(spark, sf_dir):
     return ingest.flatten_api_events(events, utc=True)
 
 
+@staged_query(
+    "raw_dump_stream_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('9001', 'Arsenal', 'Chelsea', 'Premier League', 'England',
+       CAST(1748010600 AS BIGINT), '14:30', 'Not started',
+       'Emirates Stadium', '37', 'api'),
+      ('9002', 'Valencia', 'Sevilla', 'Spain', 'Spain',
+       CAST(NULL AS BIGINT), 'Unknown', 'Ended',
+       'Camp Nou', CAST(NULL AS STRING), 'api'),
+      ('9003', 'Inter Miami', 'LA Galaxy', 'MLS', 'International',
+       CAST(1748077500 AS BIGINT), '09:05', 'Scheduled',
+       CAST(NULL AS STRING), '12', 'api')
+    ) AS t(id, home_team, away_team, league, country, start_timestamp,
+           start_time, status, venue, round, source)
+    """,
+    doc="the custom Python DataSource driven as a STREAM (Spark 4 "
+    "SimpleDataSourceStreamReader — io/dump_source."
+    "RawDumpStreamReader): the offset is the count of capture files "
+    "consumed in sorted order, read() picks up newly-appended daily "
+    "dumps, readBetweenOffsets() replays a committed range "
+    "deterministically (the exactly-once checkpoint-replay "
+    "contract). The same parse chain as the batch raw_dump_ingest "
+    "runs ON the stream (extract wrapper -> VARIANT envelope "
+    "explode -> candidate-path flatten), driven with availableNow "
+    "into a memory sink, and must hash-match the identical expected "
+    "VALUES relation — certifying batch == stream for the whole "
+    "Python-source ingest path. At scale the offset points at an "
+    "object-store listing or log position; the contract proved here "
+    "(monotone offsets, deterministic range replay) is unchanged",
+)
+def raw_dump_stream_ingest(spark, sf_dir):
+    import os
+    import re
+
+    from ..io.dump_source import make_streaming_dump_source
+    from ..operators import ingest
+    from ..session import ship_package
+
+    ship_package(spark)
+    root = _fresh_tmp_root(spark, "rds", sf_dir)
+    dumps = f"{root}/dumps"
+    os.makedirs(dumps, exist_ok=True)
+    for date, content in _RAW_DUMPS.items():
+        with open(f"{dumps}/api_response_{date}.txt", "w", encoding="utf-8") as fh:
+            fh.write(content)
+    # by-value-picklable class: the streaming source runner process
+    # does not see addPyFile, so the by-reference batch class cannot
+    # be used here (see make_streaming_dump_source)
+    spark.dataSource.register(make_streaming_dump_source())
+    raw = (
+        spark.readStream.format("raw_api_dumps_stream")
+        .option("path", dumps)
+        .load()
+    )
+    content = raw.select(ingest.extract_dump_content("raw").alias("content"))
+    events = ingest.explode_api_envelope(content, "content")
+    flat = ingest.flatten_api_events(events, utc=True)
+    from ..streaming import incremental
+
+    name = "fes_rds_" + re.sub(r"\W+", "_", f"{os.getpid()}_{sf_dir.rstrip('/')}")
+    return incremental.run_available_now(
+        flat, name, f"{root}/ckpt", mode="append"
+    )
+
+
 @query(
     "approx_distinct_error_bound",
     oracle="""

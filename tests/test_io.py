@@ -297,3 +297,33 @@ def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
     pruned = back.filter("batch_id = 1")
     files = {r[0] for r in pruned.selectExpr("input_file_name()").distinct().collect()}
     assert all("batch_id=1" in f for f in files)
+
+
+def test_streaming_dump_source_offset_contract(tmp_path):
+    """The streaming reader's offset algebra, no Spark needed: read()
+    consumes from the start offset to the directory end and returns
+    the next start; readBetweenOffsets() replays a committed range
+    deterministically (the exactly-once restart contract); a file
+    appended after a read is picked up by the next one."""
+    from football_etl_spark.io.dump_source import make_streaming_dump_source
+
+    cls = make_streaming_dump_source()
+    d = tmp_path / "dumps"
+    d.mkdir()
+    for day in ("2025-05-21", "2025-05-22"):
+        (d / f"api_response_{day}.txt").write_text(f"payload {day}")
+    r = cls(options={"path": str(d)}).simpleStreamReader("")
+    assert r.initialOffset() == {"i": 0}
+    rows, nxt = r.read({"i": 0})
+    rows = list(rows)
+    assert [x[0] for x in rows] == ["2025-05-21", "2025-05-22"]
+    assert nxt == {"i": 2}
+    # append a new daily dump -> next read picks up only the tail
+    (d / "api_response_2025-05-23.txt").write_text("payload 3")
+    rows2, nxt2 = r.read(nxt)
+    assert [x[0] for x in list(rows2)] == ["2025-05-23"]
+    assert nxt2 == {"i": 3}
+    # committed-range replay is deterministic and range-exact
+    replay = list(r.readBetweenOffsets({"i": 1}, {"i": 2}))
+    assert replay == [("2025-05-22", "payload 2025-05-22")]
+    r.commit(nxt2)  # no-op, must not raise
