@@ -87,10 +87,15 @@ def asof_join(
     prefix: str = "asof_",
     right_tiebreak: str | None = None,
     tolerance_sec: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts for the same key (the *intended* semantics of
     the reference's fixtures↔metrics join — SURVEY.md §2.3 caveat).
+    ``direction="forward"`` flips it to pandas merge_asof's other
+    mode: the EARLIEST right row with right_ts >= left_ts (lowest
+    tiebreak wins at equal timestamps, mirroring backward's highest)
+    — same single exchange, only the scan order reverses.
 
     Scalable composition: union the two sides tagged by origin, sort
     per key by (ts, right-before-left at ties), carry the right-side
@@ -129,10 +134,25 @@ def asof_join(
         ).alias("__l"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     unioned = l_tagged.unionByName(r_tagged)
+    # both directions scan rights before the left at equal ts (the
+    # match bound is inclusive); backward scans time ascending and the
+    # carried last right is the latest <= left, forward scans time
+    # descending so the carried last right is the earliest >= left
+    order = (
+        [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first()]
+        if direction == "backward"
+        else [
+            F.col("__ts").desc(),
+            F.col("__side").asc(),
+            F.col("__tie").desc_nulls_last(),
+        ]
+    )
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__side", F.col("__tie").asc_nulls_first())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carry = {
@@ -148,8 +168,11 @@ def asof_join(
     for c in value_cols:
         col = F.col(f"__c_{c}")
         if tolerance_sec is not None:
-            fresh = F.col("__c__mts") >= F.col("__ts") - F.expr(
-                f"INTERVAL {int(tolerance_sec)} SECONDS"
+            tol = F.expr(f"INTERVAL {int(tolerance_sec)} SECONDS")
+            fresh = (
+                F.col("__c__mts") >= F.col("__ts") - tol
+                if direction == "backward"
+                else F.col("__c__mts") <= F.col("__ts") + tol
             )
             col = F.when(fresh, col)
         picked[c] = col

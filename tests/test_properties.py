@@ -212,3 +212,47 @@ def test_asof_tolerance_matches_bruteforce(spark, seed):
         ]
         want = max(cands)[2] if cands else None
         assert got[lid] == want, (lid, k, lt, cands, got[lid])
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_forward_direction_matches_bruteforce(spark, seed):
+    """direction='forward' vs the quadratic definition: earliest right
+    with ts >= left ts within tolerance, LOWEST tiebreak at equal ts
+    (the mirror of backward's highest)."""
+    import random
+
+    from football_etl_spark.operators import joins
+
+    rng = random.Random(seed)
+    tol = 60
+    base = 1_700_000_000
+    lrows = [(i, rng.randint(0, 3), base + rng.randint(0, 300)) for i in range(20)]
+    rrows = [
+        (100 + i, rng.randint(0, 3), base + rng.randint(0, 330), i * 10)
+        for i in range(25)
+    ]
+    mk = __import__("datetime").datetime.utcfromtimestamp
+    left = spark.createDataFrame(
+        [(i, k, mk(t)) for i, k, t in lrows], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(rid, k, mk(t), v) for rid, k, t, v in rrows],
+        "rid long, k long, ts timestamp, v long",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in joins.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], right_tiebreak="rid", tolerance_sec=tol,
+            direction="forward",
+        ).collect()
+    }
+    for lid, k, lt in lrows:
+        cands = [
+            (t, rid, v) for rid, rk, t, v in rrows
+            if rk == k and t >= lt and t <= lt + tol
+        ]
+        want = min(cands)[2] if cands else None
+        assert got[lid] == want, (lid, k, lt, sorted(cands), got[lid])
