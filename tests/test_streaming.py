@@ -521,3 +521,41 @@ def test_merge_agg_batch_split_independence(spark):
         assert got == expected, (cuts, got)
 
     check()
+
+
+def test_streaming_dedup_state_survives_restart(spark):
+    """Dedup state must live in the CHECKPOINT, not the process: run
+    the dedup stream to completion, stop it, append a replayed copy of
+    the same events to the feed, and run a SECOND availableNow query
+    against the same checkpoint — the late duplicates must be dropped
+    by the restored state/watermark, and nothing is lost or
+    double-emitted across the restart boundary."""
+    batch = load_table(spark, SF, "events").limit(200).coalesce(1)
+    n_distinct = batch.select("event_id").distinct().count()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/feed"
+        batch.write.parquet(feed)
+
+        def run_once():
+            stream = incremental.read_event_stream(
+                spark, feed, spark.read.parquet(feed).schema
+            )
+            deduped = incremental.streaming_dedup(stream, keys=("event_id",))
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()  # first life of the query
+        # the process "crashes"; upstream replays every event
+        batch.write.mode("append").parquet(feed)
+        run_once()  # second life, same checkpoint
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == n_distinct
+        assert out.select("event_id").distinct().count() == n_distinct
