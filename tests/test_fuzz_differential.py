@@ -571,9 +571,15 @@ def test_random_window_frame_matches_duckdb(spark, pred, aggs, part, kind, n):
 # Exactness discipline: every leaf is IEEE-deterministic given the same
 # input bits — abs/neg/sign, floor/ceil (cast to DOUBLE on both sides:
 # Spark types them BIGINT, DuckDB DOUBLE), +-*/ against integer-valued
-# literals, LEAST/GREATEST, and ROUND (both engines round halves away
-# from zero for doubles). No transcendentals (ln/exp/pow): libm
-# implementations may legitimately differ in the last bit.
+# literals, LEAST/GREATEST, and ROUND — but ROUND is only comparable
+# AWAY from exact decimal boundaries: Spark rounds a double's shortest
+# decimal rendering HALF_UP while DuckDB rounds the binary value, so
+# on a value that is mathematically exactly .xx5 (binary 1 ulp off)
+# the engines legitimately differ (test_round_boundary_divergence).
+# The chain strategy therefore never rounds after a division — the
+# one leaf that mints new decimal digits. No transcendentals
+# (ln/exp/pow): libm implementations may legitimately differ in the
+# last bit.
 _NUM_LEAVES = {
     "abs": ("ABS({x})", lambda c, p: F.abs(c)),
     "neg": ("(-({x}))", lambda c, p: -c),
@@ -605,6 +611,22 @@ _NUM_SOURCES = {
 @given(src=st.sampled_from(sorted(_NUM_SOURCES)), chain=_num_chain)
 @settings(**_SETTINGS)
 def test_random_numeric_pipeline_matches_duckdb(spark, src, chain):
+    # KNOWN cross-engine divergence, pinned by
+    # test_round_boundary_divergence below: ROUND AFTER A DIVISION is
+    # excluded. The sources carry <=2 decimal places and every other
+    # leaf preserves that (integer literals, abs/neg/floor/...), but
+    # division mints new decimal digits, so e.g. 80493.65/2 ==
+    # 40246.825 sits EXACTLY on the 2dp rounding boundary — where the
+    # engines legitimately disagree on doubles (Spark rounds the
+    # shortest-decimal rendering HALF_UP -> .83, DuckDB rounds the
+    # binary value, which is 1 ulp below the boundary -> .82). Found
+    # by the 100-example round-6 soak; the non-boundary space stays
+    # fully fuzzed.
+    div_seen = False
+    for name, _ in chain:
+        if name == "div":
+            div_seen = True
+        assume(not (div_seen and name in ("round0", "round2")))
     sql_expr = _NUM_SOURCES[src]
     col = F.col(src).cast("double")
     for name, params in chain:
@@ -928,3 +950,27 @@ def test_random_interval_join_matches_duckdb(spark, win, types, pred):
     """
     problems = compare(got, sql, SF_SMOKE)
     assert not problems, f"win={win} types={types}\n" + "\n".join(problems)
+
+
+def test_round_boundary_divergence(spark):
+    """PINNED engine divergence (like the empty-rollup and signed-zero
+    pins): ROUND of a double that is mathematically exactly on a
+    rounding boundary. 40246.825 has no exact binary representation —
+    the stored double is 1 ulp BELOW the boundary — and the engines
+    disagree by design: Spark's ROUND re-renders the double as its
+    shortest decimal string and rounds that HALF_UP (-> 40246.83),
+    DuckDB rounds the binary value it actually holds (-> 40246.82).
+    Neither is wrong; cross-engine comparisons must simply not sit on
+    the boundary, which is why the numeric-pipeline fuzzer never
+    rounds after a division and the registry rounds at 6dp on values
+    whose construction cannot mint exact .5e-6 boundaries."""
+    import duckdb
+
+    got_s = spark.sql(
+        "SELECT ROUND(CAST(80493.65 AS DOUBLE) / 2, 2) AS v"
+    ).collect()[0]["v"]
+    got_d = duckdb.connect().execute(
+        "SELECT ROUND(CAST(80493.65 AS DOUBLE) / 2, 2)"
+    ).fetchone()[0]
+    assert got_s == 40246.83  # shortest-decimal HALF_UP
+    assert got_d == 40246.82  # binary value is below the boundary
