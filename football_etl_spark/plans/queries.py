@@ -2718,7 +2718,8 @@ def session_window_stats(spark, sf_dir):
     SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
            LAG(o_totalprice) OVER w AS prev_price,
            o_totalprice - LAG(o_totalprice) OVER w AS price_delta,
-           DATE_DIFF('day', CAST(LAG(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE))
+           CAST((CAST(o_orderdate AS DATE)
+                 - CAST(LAG(o_orderdate) OVER w AS DATE)) AS BIGINT)
              AS days_since_prev
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

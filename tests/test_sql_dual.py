@@ -75,11 +75,6 @@ DIALECT_SKIPS = {
     "boilerplate_chunk_stats": "TOKENS + SERIES n-gram windows",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
     "chunked_documents": "TOKENS + SERIES + '//' integer division",
-    "customer_order_deltas": (
-        "DATE_DIFF: DuckDB needs the quoted unit DATE_DIFF('day',..), "
-        "Spark needs the bare-identifier DATEDIFF(day,..) — no common "
-        "spelling"
-    ),
     "daily_event_spine": "SERIES date spine",
     "derived_match_scalars": "STRFTIME (%Y%m%d, %H:%M)",
     "doc_fingerprints": "TOKENS + LAMBDA rolling hash (list_reduce)",
