@@ -5891,7 +5891,7 @@ def raw_dump_ingest(spark, sf_dir):
     return ingest.flatten_api_events(events, utc=True)
 
 
-@staged_query(
+@query(
     "raw_dump_stream_ingest",
     oracle="""
     SELECT * FROM (VALUES
@@ -6163,7 +6163,7 @@ def q12_priority_shipping(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "cms_frequency_error_bound",
     oracle="""
     WITH g AS (SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -6219,7 +6219,7 @@ def cms_frequency_error_bound(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "approx_topk_exactness_certificate",
     oracle="""
     WITH c AS (SELECT event_type AS grp, user_id AS key, COUNT(*) AS exact_count
@@ -6375,7 +6375,7 @@ def pq_adc_ann_topk(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "zorder_sink_pruned_read",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
@@ -6505,7 +6505,7 @@ def fuzzy_name_matches(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "streaming_sliding_counts",
     oracle="""
     WITH w AS (
@@ -6552,7 +6552,7 @@ def streaming_sliding_counts(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "streaming_session_counts",
     oracle="""
     WITH flagged AS (
@@ -6617,7 +6617,7 @@ def streaming_session_counts(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "streaming_interval_join_counts",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
@@ -6937,7 +6937,7 @@ def incremental_agg_maintenance(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "robust_outlier_flags",
     oracle="""
     WITH m AS (
@@ -7007,7 +7007,7 @@ _PRICE_BANDS = [
 ]
 
 
-@staged_query(
+@query(
     "price_band_lookup",
     oracle="""
     WITH bands(band, lo, hi) AS (VALUES """
@@ -7089,7 +7089,7 @@ def cdc_merge_apply(spark, sf_dir):
     return joins.apply_cdc_changes(base, changes, ["o_orderkey"])
 
 
-@staged_query(
+@query(
     "bucketed_join_revenue",
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
@@ -7140,7 +7140,7 @@ def bucketed_join_revenue(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "observed_sink_audit",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -7204,7 +7204,7 @@ _TEAM_NAME_CASES = [
 ]
 
 
-@staged_query(
+@query(
     "team_name_normalization",
     oracle="SELECT * FROM (VALUES "
     + ", ".join(f"('{raw}', '{want}')" for raw, want in _TEAM_NAME_CASES)
@@ -7269,7 +7269,7 @@ def top_orders_with_ties(spark, sf_dir):
 # ===========================================================================
 
 
-@staged_query(
+@query(
     "temperature_resampled_corpus",
     oracle="""
     WITH c AS (
@@ -7308,7 +7308,7 @@ def temperature_resampled_corpus(spark, sf_dir):
     ).select("doc_id", "lang", "rate")
 
 
-@staged_query(
+@query(
     "unigram_logprob_scores",
     oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
@@ -7352,7 +7352,7 @@ def unigram_logprob_scores(spark, sf_dir):
     return corpus.unigram_logprob_scores(d)
 
 
-@staged_query(
+@query(
     "cascade_delete_users",
     oracle="""
     WITH del AS (
@@ -7432,7 +7432,7 @@ def cascade_delete_users(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "purchase_asof_tolerance",
     oracle="""
     WITH p AS (
@@ -7497,7 +7497,7 @@ def purchase_asof_tolerance(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "attribution_first_touch",
     oracle="""
     WITH p AS (
@@ -7571,7 +7571,7 @@ def attribution_first_touch(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "equi_depth_histogram",
     oracle="""
     WITH b AS (
@@ -7624,7 +7624,7 @@ def equi_depth_histogram(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "small_file_compaction",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
@@ -7657,7 +7657,7 @@ def small_file_compaction(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "streaming_dedup_within_watermark",
     oracle="""
     SELECT event_id, user_id, event_type, ts, value FROM events
@@ -7696,6 +7696,826 @@ def streaming_dedup_within_watermark(spark, sf_dir):
         deduped, name, f"{root}/ckpt", mode="append"
     )
     return out.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+# ===========================================================================
+# Round-7 staged tier: next-wave candidates under the local oracle gate
+# ===========================================================================
+
+
+@staged_query(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(YEAR(ts) * 12 + MONTH(ts)) AS cohort_m
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_m,
+             (YEAR(e.ts) * 12 + MONTH(e.ts)) - f.cohort_m AS period
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_m AS INTEGER) AS cohort_m,
+           CAST(period AS INTEGER) AS period,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a WHERE period <= 6
+    GROUP BY cohort_m, period
+    """,
+    doc="cohort retention matrix — the canonical product-analytics "
+    "query: each user is assigned to the calendar month of their "
+    "FIRST event (the cohort), every later active month becomes a "
+    "(cohort, months-since-cohort) cell, and the matrix counts "
+    "distinct users per cell for periods 0-6. Month arithmetic is "
+    "pure integer (year*12+month) on both engines, so no "
+    "months_between float semantics can diverge. Plan: one groupBy "
+    "for first-months, one self-join back on user_id (both sides "
+    "hash-partition on the same key — a single co-located shuffle "
+    "pair), DISTINCT folds into the final aggregate. At 100 TB the "
+    "first-event relation is users-sized (millions, not events-"
+    "sized billions) and the join key is the natural partition key "
+    "of both sides; no window, no skew hotspot beyond power users, "
+    "which the DISTINCT pre-projection bounds at 7 rows per user "
+    "per cohort cell",
+)
+def cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", (F.year("ts") * 12 + F.month("ts")).alias("m")
+    )
+    first = ev.groupBy("user_id").agg(F.min("m").alias("cohort_m"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.col("cohort_m").cast("int").alias("cohort_m"),
+            (F.col("m") - F.col("cohort_m")).cast("int").alias("period"),
+            "user_id",
+        )
+        .filter(F.col("period") <= 6)
+        .distinct()
+        .groupBy("cohort_m", "period")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@staged_query(
+    "rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, c_mktsegment,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_custkey, c_mktsegment
+    ),
+    s AS (
+      SELECT c_mktsegment, monetary,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY last_order, o_custkey) AS r,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY freq, o_custkey) AS f,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY monetary, o_custkey) AS mq
+      FROM m
+    )
+    SELECT c_mktsegment,
+           CAST(r * 100 + f * 10 + mq AS INTEGER) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM s GROUP BY c_mktsegment, segment
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quartile coding, the classic CRM scoring scheme): one pass "
+    "builds per-customer last-order date, order count, and exact "
+    "DECIMAL spend; three NTILE(4) windows — all PARTITIONed BY "
+    "market segment so quartile assignment parallelizes per segment "
+    "instead of funneling the table through one sorter — assign the "
+    "R/F/M quartiles with o_custkey tie-breaks making equal-value "
+    "boundaries deterministic cross-engine; the digit-coded segment "
+    "(e.g. 431) is then rolled up to (segment, population, average "
+    "spend). avg_monetary is an exact decimal sum divided once — "
+    "bit-identical on both engines without rounding. At 100 TB the "
+    "base aggregate is customer-sized and each window sorts only its "
+    "segment's slice; the true full-scale variant swaps NTILE for "
+    "approx_percentile edges (the equi_depth_histogram scale path)",
+)
+def rfm_segments(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    s = m.select(
+        "c_mktsegment",
+        "monetary",
+        F.ntile(4).over(seg.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(seg.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(seg.orderBy("monetary", "o_custkey")).alias("mq"),
+    )
+    return (
+        s.withColumn(
+            "segment",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("mq")).cast("int"),
+        )
+        .groupBy("c_mktsegment", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("monetary").cast("double") / F.count(F.lit(1))).alias(
+                "avg_monetary"
+            ),
+        )
+    )
+
+
+@staged_query(
+    "basket_item_pairs_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM op),
+    pc AS (SELECT l_partkey, COUNT(*) AS part_orders FROM op
+           GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS co_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b,
+           CAST(co_orders AS BIGINT) AS co_orders,
+           ROUND(co_orders / n.n_orders, 6) AS support,
+           ROUND(co_orders / CAST(pa.part_orders AS DOUBLE), 6)
+             AS confidence,
+           ROUND(co_orders * n.n_orders
+                 / (pa.part_orders * CAST(pb.part_orders AS DOUBLE)), 6)
+             AS lift
+    FROM pairs
+    JOIN pc pa ON part_a = pa.l_partkey
+    JOIN pc pb ON part_b = pb.l_partkey
+    CROSS JOIN n
+    WHERE co_orders >= 2
+    """,
+    doc="market-basket association mining — pairwise co-occurrence "
+    "with support / confidence / lift, the Apriori first round: "
+    "distinct (order, part) pairs self-join WITHIN each order "
+    "(a.part < b.part halves the pair space and kills self-pairs), "
+    "co-occurrence counts filter at min-support 2, and lift "
+    "normalizes by both parts' independent order frequencies. The "
+    "self-join is an equi-join on l_orderkey, so pair generation is "
+    "co-partitioned — the blowup is sum(k_i^2)/2 bounded by basket "
+    "size k (TPC-H baskets are <=7 lines), NEVER all-pairs across "
+    "orders; part frequencies broadcast to the lift join. All three "
+    "ratios are single IEEE divisions of identical integer-valued "
+    "operands, rounded 6dp. At 100 TB: per-basket quadratic cost is "
+    "the algorithm's intrinsic floor, the shuffle keys (orderkey, "
+    "then the pair) are high-cardinality and unskewed, and min-"
+    "support pre-filtering at the pair aggregate keeps the output "
+    "a tail-cut of the pair space",
+)
+def basket_item_pairs_lift(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .filter(F.col("co_orders") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(pc.withColumnRenamed("part_orders", "pa_orders")),
+            pairs.part_a == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .join(
+            F.broadcast(pc.withColumnRenamed("part_orders", "pb_orders")),
+            F.col("part_b") == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co_orders").cast("long").alias("co_orders"),
+            F.round(F.col("co_orders") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("co_orders") / F.col("pa_orders").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("co_orders")
+                * F.col("n_orders")
+                / (F.col("pa_orders") * F.col("pb_orders").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@staged_query(
+    "ewma_daily_revenue",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT a.day,
+           (CAST(SUM(b.rev_cents
+                     * CAST(POWER(2, 20 - DATE_DIFF('day', b.day, a.day))
+                            AS BIGINT)) AS DOUBLE)
+            / CAST(SUM(CAST(POWER(2, 20 - DATE_DIFF('day', b.day, a.day))
+                            AS BIGINT)) AS DOUBLE)) / 100.0 AS ewma_rev
+    FROM d a JOIN d b
+      ON b.day BETWEEN a.day - INTERVAL 20 DAY AND a.day
+    GROUP BY a.day
+    """,
+    doc="exponentially weighted moving average of daily revenue "
+    "(alpha=0.5, normalized pandas ewm(adjust=True) semantics, "
+    "horizon truncated at 21 days where the weight has decayed to "
+    "2^-20 ~ 1e-6): the EWMA is computed in EXACT integer "
+    "arithmetic — revenue in cents times the power-of-two weight "
+    "2^(20-lag) sums as BIGINT with zero float rounding, and the "
+    "single num/den double division at the end is bit-identical "
+    "cross-engine, so the result ships UNROUNDED where a naive "
+    "float POWER(0.7,k) formulation would be at the mercy of libm "
+    "pow and summation order. The 21-day banded self-join over the "
+    "days relation (dates-sized, not orders-sized) is the standard "
+    "bounded-interval join; Spark executes it as a broadcast range "
+    "join on the tiny spine. At 100 TB the daily rollup is the only "
+    "full scan; headroom is explicit — max daily cents * 2^20 * 21 "
+    "must fit BIGINT, true through ~400x the sf1 revenue density",
+)
+def ewma_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    lag = F.datediff(F.col("a.day"), F.col("b.day"))
+    w = F.pow(F.lit(2.0), F.lit(20) - lag).cast("long")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), 20))
+            & (F.col("b.day") <= F.col("a.day")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            (
+                (
+                    F.sum(F.col("b.rev_cents") * w).cast("double")
+                    / F.sum(w).cast("double")
+                )
+                / F.lit(100.0)
+            ).alias("ewma_rev")
+        )
+    )
+
+
+@staged_query(
+    "running_balance_resets",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM events
+    )
+    SELECT user_id,
+           CAST(seg_id AS INTEGER) AS seg_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(COALESCE(SUM(CASE WHEN event_type <> 'purchase'
+                                   THEN value END), 0), 6) AS balance
+    FROM seg GROUP BY user_id, seg_id
+    """,
+    doc="conditional cumulative sum with resets — the running-"
+    "balance / counter-reset pattern (inventory drawdowns, session "
+    "budgets, billing cycles): a cumulative count of 'purchase' "
+    "marker rows over (user, ts, event_id) order assigns each event "
+    "to a reset segment (the classic gaps-and-islands segment-id "
+    "trick, same machinery as sessionization but keyed on a "
+    "PREDICATE rather than a time gap — the marker row closes its "
+    "own segment), then one groupBy emits each segment's event "
+    "count and accumulated non-marker balance. One window exchange "
+    "on user_id, one aggregate on (user, seg) — both hash-partition "
+    "on user_id so AQE coalesces them into one effective shuffle. "
+    "At 100 TB the window partitions by user (millions of "
+    "independent sorts) and state per user is a single counter; "
+    "output is markers-sized, not events-sized",
+)
+def running_balance_resets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = ev.withColumn(
+        "seg_id",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w),
+    )
+    return (
+        seg.groupBy("user_id", F.col("seg_id").cast("int").alias("seg_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("event_type") != "purchase", F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("balance"),
+        )
+    )
+
+
+@staged_query(
+    "sliding_distinct_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    ue AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT a.day, CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS users_7d
+    FROM d a JOIN ue b
+      ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+    GROUP BY a.day
+    """,
+    doc="exact sliding-window distinct count — trailing-7-day active "
+    "users per day, the metric sliding windows can't fold because "
+    "COUNT(DISTINCT) is not subtractable. The oracle states it as a "
+    "range self-join; the Spark plan re-expresses it as an EQUI "
+    "join: each distinct (day, user) contribution explodes into the "
+    "<=7 future report days it feeds (sequence + explode), a single "
+    "hash aggregate counts distincts per report day, and a semi-"
+    "join against the observed-days spine drops synthetic days "
+    "beyond the data. Fan-out is a fixed x7 on the users-per-day "
+    "relation (already deduped, so bounded by DAU x 7, not events "
+    "x 7) and every operator is an equi-shuffle — no broadcast "
+    "nested loop anywhere in the plan, which is what makes this "
+    "form survive a 1000-executor scale-up where the naive range "
+    "join degenerates. The HLL-sketch variant (hll_user_reach) is "
+    "the approximate cousin; this one is the exact bar",
+)
+def sliding_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    ue = ev.distinct()
+    days = ev.select("day").distinct()
+    fanned = ue.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        fanned.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+    )
+
+
+@staged_query(
+    "segment_spend_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment, c_acctbal
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CORR(c_acctbal, spend), 6) AS corr_bal_spend,
+           ROUND(COVAR_SAMP(c_acctbal, spend) / 1000000.0, 6)
+             AS covar_bal_spend_m,
+           ROUND(COVAR_POP(c_acctbal, spend) / VAR_POP(c_acctbal), 6)
+             AS slope_spend_per_bal
+    FROM s GROUP BY c_mktsegment
+    """,
+    doc="grouped bivariate statistics — Pearson correlation, sample "
+    "covariance, and the OLS regression slope (stated as "
+    "covar_pop/var_pop, the portable regr_slope) of customer spend "
+    "against account balance per market segment. Spark's CORR / "
+    "COVAR_SAMP / VAR_POP are single-pass mergeable co-moment "
+    "aggregates (Welford-style partials combined associatively), so "
+    "the whole statistic is one partial-aggregate shuffle of 5 "
+    "groups x 6 moments — the textbook map-side-combine shape that "
+    "is flat in executor count at 100 TB. Cross-engine the co-"
+    "moment accumulation order differs, so all three statistics "
+    "round 6dp per the float policy — the covariance additionally "
+    "reports in MILLIONS because its raw ~1e9 magnitude leaves "
+    "fewer absolute digits than double noise under a fixed-decimal "
+    "round (measured: last-microdigit flips at 6dp unscaled); the "
+    "per-customer spend input is an exact DECIMAL sum cast once to "
+    "double",
+)
+def segment_spend_correlation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    s = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    return s.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.corr("c_acctbal", "spend"), 6).alias("corr_bal_spend"),
+        F.round(F.covar_samp("c_acctbal", "spend") / 1e6, 6).alias(
+            "covar_bal_spend_m"
+        ),
+        F.round(
+            F.covar_pop("c_acctbal", "spend") / F.var_pop("c_acctbal"), 6
+        ).alias("slope_spend_per_bal"),
+    )
+
+
+@staged_query(
+    "ratio_to_parent_revenue",
+    oracle="""
+    WITH nr AS (
+      SELECT r_name, n_name,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+             AS share_of_region,
+           CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+             / CAST(SUM(rev) OVER () AS DOUBLE)
+             AS region_share_of_total
+    FROM nr
+    """,
+    doc="ratio-to-parent reporting — each nation's revenue share of "
+    "its region and each region's share of the grand total, the "
+    "drill-down normalization every BI rollup renders: one star-"
+    "join aggregate to nation grain (dims broadcast), then two "
+    "window sums over the ALREADY-AGGREGATED 25-row relation supply "
+    "the parent denominators — the unpartitioned total window is "
+    "bounded by the dimension cardinality, never the fact table, "
+    "which is what makes ratio-to-parent safe at 100 TB (the "
+    "anti-pattern is windowing the fact rows). All sums are exact "
+    "DECIMAL; each share is one double division of identical "
+    "operands — bit-identical cross-engine, shipped unrounded",
+)
+def ratio_to_parent_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return nr.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_region).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.sum("rev").over(w_region).cast("double")
+            / F.sum("rev").over(w_all).cast("double")
+        ).alias("region_share_of_total"),
+    )
+
+
+@staged_query(
+    "chi_square_priority_status",
+    oracle="""
+    WITH ct AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS big_n,
+                   COUNT(DISTINCT p) AS nr, COUNT(DISTINCT s) AS nc
+            FROM ct),
+    r AS (SELECT p, SUM(n) AS rn FROM ct GROUP BY p),
+    c AS (SELECT s, SUM(n) AS cn FROM ct GROUP BY s)
+    SELECT ROUND(SUM((ct.n - r.rn * c.cn / tot.big_n)
+                     * (ct.n - r.rn * c.cn / tot.big_n)
+                     / (r.rn * c.cn / tot.big_n)), 6) AS chi2,
+           CAST(MAX((tot.nr - 1) * (tot.nc - 1)) AS BIGINT) AS dof
+    FROM ct JOIN r ON ct.p = r.p JOIN c ON ct.s = c.s CROSS JOIN tot
+    """,
+    doc="chi-square test of independence over the priority x status "
+    "contingency table — the categorical-association statistic a "
+    "data-profiling pass computes for every column pair: observed "
+    "cell counts vs the independence expectation rn*cn/N, summed as "
+    "(O-E)^2/E, plus the (r-1)(c-1) degrees of freedom for the "
+    "caller's p-value lookup. The contingency table is ONE "
+    "aggregate over the fact table; everything after operates on "
+    "the <=15-cell relation (margins re-aggregate it, the final "
+    "sum crosses with a 1-row totals relation — all broadcast-"
+    "bounded). Cell counts and margins are exact integers; the "
+    "statistic rounds 6dp to absorb the <=15-term double summation "
+    "order. The 100 TB cost is exactly one groupBy of the scan",
+)
+def chi_square_priority_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ct = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = ct.agg(
+        F.sum("n").cast("double").alias("big_n"),
+        F.countDistinct("p").alias("nr"),
+        F.countDistinct("s").alias("nc"),
+    )
+    r = ct.groupBy("p").agg(F.sum("n").alias("rn"))
+    c = ct.groupBy("s").agg(F.sum("n").alias("cn"))
+    e = F.col("rn") * F.col("cn") / F.col("big_n")
+    return (
+        ct.join(F.broadcast(r), "p")
+        .join(F.broadcast(c), "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 6).alias(
+                "chi2"
+            ),
+            F.max((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("long")
+            .alias("dof"),
+        )
+    )
+
+
+@staged_query(
+    "pagerank_trade_graph",
+    oracle="""
+    WITH e AS (
+      SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    ew AS (
+      SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p
+      FROM e
+    ),
+    nodes AS (SELECT n_nationkey AS id FROM nation),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    p0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    p1 AS (
+      SELECT nodes.id,
+             0.15 / nn.n + 0.85 * COALESCE(SUM(p0.pr * ew.p), 0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN ew ON ew.dst = nodes.id
+      LEFT JOIN p0 ON p0.id = ew.src
+      GROUP BY nodes.id, nn.n
+    ),
+    p2 AS (
+      SELECT nodes.id,
+             0.15 / nn.n + 0.85 * COALESCE(SUM(p1.pr * ew.p), 0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN ew ON ew.dst = nodes.id
+      LEFT JOIN p1 ON p1.id = ew.src
+      GROUP BY nodes.id, nn.n
+    ),
+    p3 AS (
+      SELECT nodes.id,
+             0.15 / nn.n + 0.85 * COALESCE(SUM(p2.pr * ew.p), 0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN ew ON ew.dst = nodes.id
+      LEFT JOIN p2 ON p2.id = ew.src
+      GROUP BY nodes.id, nn.n
+    )
+    SELECT CAST(id AS INTEGER) AS id, ROUND(pr, 6) AS pagerank
+    FROM p3
+    """,
+    doc="weighted PageRank over the nation-level trade graph "
+    "(supplier nation -> customer nation, edge weight = shipped "
+    "line count), damping 0.85, THREE fixed power iterations from "
+    "the uniform vector — the iterative-graph-algorithm pattern "
+    "(label propagation, HITS, SimRank run the same loop): the "
+    "Spark side builds the edge relation once (star joins, dims "
+    "broadcast), row-normalizes out-weights with one window, then a "
+    "driver-side Python loop UNROLLS the iterations into a single "
+    "lazy plan of join+aggregate rounds — no action inside the "
+    "loop, so Catalyst sees the whole 3-step dataflow (the oracle "
+    "unrolls identically as chained CTEs). Rank mass arriving at a "
+    "node sums <=25 doubles, so 6dp rounding only on the final "
+    "emit. At 100 TB the edge build dominates (one fact-table "
+    "aggregate); each iteration shuffles the EDGE relation by src "
+    "then dst — graph-sized, not fact-sized — and the pattern "
+    "extends to billion-edge graphs where pregel-style frameworks "
+    "run this exact join-agg loop per superstep; dangling-node "
+    "mass is not redistributed (none exist in this graph, every "
+    "nation ships)",
+)
+def pagerank_trade_graph(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    e = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ew = e.select(
+        "src",
+        "dst",
+        (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p"),
+    )
+    nodes = na.select(F.col("n_nationkey").alias("id"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = ew.join(
+            pr.withColumnRenamed("id", "src_id"),
+            F.col("src") == F.col("src_id"),
+        ).select("dst", (F.col("pr") * F.col("p")).alias("c"))
+        pr = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .groupBy("id")
+            .agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("mass"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "id",
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("mass")).alias(
+                    "pr"
+                ),
+            )
+        )
+    return pr.select(
+        F.col("id").cast("int").alias("id"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+@staged_query(
+    "dq_expectations_report",
+    oracle="""
+    SELECT 'orders.o_custkey.not_null' AS check_name,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice.positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderstatus.in_set',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_discount.in_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_orderkey.ref_orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    """,
+    doc="declarative data-quality expectation suite — the "
+    "Deequ/Great-Expectations contract check that gates every "
+    "production table publish: six named expectations (non-null "
+    "key, positive amount, primary-key uniqueness, enum membership, "
+    "numeric range, referential integrity lineitem->orders) each "
+    "emit (check_name, violations, checked). The Spark plan "
+    "computes ALL per-table checks in ONE aggregate pass per table "
+    "— four orders checks share a single scan (count, conditional "
+    "sums, count-distinct in one agg), two lineitem checks share "
+    "another plus one broadcast anti-join for the foreign key — "
+    "then unpivots the 1-row check vectors into the report rows "
+    "with stack(). That one-scan-per-table shape is the whole "
+    "game at 100 TB: a naive per-check loop re-reads the table "
+    "N_checks times; this reads it once. The oracle states each "
+    "check independently (DuckDB folds the six scans itself)",
+)
+def dq_expectations_report(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    o_checks = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("v_null"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v_pos"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("v_enum"),
+    )
+    orders_report = o_checks.selectExpr(
+        "stack(4, "
+        "'orders.o_custkey.not_null', v_null, "
+        "'orders.o_totalprice.positive', v_pos, "
+        "'orders.o_orderkey.unique', v_uniq, "
+        "'orders.o_orderstatus.in_set', v_enum"
+        ") AS (check_name, violations)",
+        "n AS checked",
+    )
+
+    li_checks = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        ).alias("v_range"),
+    )
+    orphans = (
+        li.join(
+            F.broadcast(o.select("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_ref"))
+    )
+    li_report = li_checks.crossJoin(F.broadcast(orphans)).selectExpr(
+        "stack(2, "
+        "'lineitem.l_discount.in_range', v_range, "
+        "'lineitem.l_orderkey.ref_orders', v_ref"
+        ") AS (check_name, violations)",
+        "n AS checked",
+    )
+
+    return orders_report.unionByName(li_report).select(
+        "check_name",
+        F.col("violations").cast("long").alias("violations"),
+        F.col("checked").cast("long").alias("checked"),
+    )
 
 
 def _driver_history(root=None) -> dict[str, int]:

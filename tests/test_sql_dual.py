@@ -69,6 +69,11 @@ EXCLUDED = {
 # on Spark SQL or document exactly which dialect feature blocks them.
 DIALECT_SKIPS = {
     "ann_cosine_topk": "LAMBDA dot product + SERIES + QUALIFY",
+    "ewma_daily_revenue": (
+        "DATE_DIFF unit spelling: DuckDB requires the quoted string "
+        "'day', Spark 4 requires the bare keyword DAY — no common "
+        "3-arg form, and the 2-arg datediff exists only in Spark"
+    ),
     "audio_decode_wav": "SERIES sample indexing",
     "benchmark_decontamination": "TOKENS + LAMBDA shingle set",
     "bm25_topk_docs": "TOKENS + QUALIFY",
