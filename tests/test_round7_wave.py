@@ -1,0 +1,183 @@
+"""Semantic invariants for the round-7 staged wave — properties the
+oracle hash-gate can't state (it proves cross-engine equality, not
+that BOTH engines compute the right thing)."""
+
+from __future__ import annotations
+
+from football_etl_spark.plans.queries import REGISTRY, STAGED
+
+from .conftest import SF_SMOKE
+
+
+def _q(name):
+    return (REGISTRY.get(name) or STAGED[name]).fn
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """With no dangling nodes, each power iteration preserves total
+    rank mass: sum(pr) == 1 up to the 6dp emission rounding. Every
+    node keeps at least the teleport floor 0.15/N."""
+    rows = _q("pagerank_trade_graph")(spark, SF_SMOKE).collect()
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < n * 1e-6, total
+    assert all(r.pagerank >= 0.15 / n - 1e-6 for r in rows)
+
+
+def test_ewma_first_day_equals_its_revenue(spark):
+    """A day with no prior days in the 21-day horizon gets weight only
+    from itself, so its EWMA is exactly its own daily revenue (the
+    integer num/den cancels to rev_cents/1/100)."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.io.loader import load_table
+
+    got = {r.day: r.ewma_rev for r in _q("ewma_daily_revenue")(spark, SF_SMOKE).collect()}
+    d = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev"))
+        .orderBy("day")
+        .limit(1)
+        .collect()[0]
+    )
+    assert abs(got[d.day] - d.rev) < 1e-9
+    # smoothing keeps every EWMA inside the global daily-revenue range
+    revs = [
+        r.rev
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev"))
+        .collect()
+    ]
+    lo, hi = min(revs), max(revs)
+    assert all(lo - 1e-9 <= v <= hi + 1e-9 for v in got.values())
+
+
+def test_basket_pairs_bounds(spark):
+    rows = _q("basket_item_pairs_lift")(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.co_orders >= 2
+        assert 0.0 < r.support <= 1.0
+        # confidence = P(b|a) conditioned on the LESS specific event
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+
+
+def test_cohort_period0_is_cohort_size_ceiling(spark):
+    """Every cohort member is active in their first month by
+    construction, so the period-0 cell is the cohort's size and no
+    later period can exceed it."""
+    rows = _q("cohort_retention")(spark, SF_SMOKE).collect()
+    base = {r.cohort_m: r.n_users for r in rows if r.period == 0}
+    for r in rows:
+        assert r.cohort_m in base, f"cohort {r.cohort_m} missing period 0"
+        assert r.n_users <= base[r.cohort_m], (r, base[r.cohort_m])
+
+
+def test_running_balance_partitions_all_events(spark):
+    """Reset segmentation is a partition of each user's event stream:
+    segment row counts sum back to the user's event count, and every
+    balance is the sum of non-marker values (never negative here
+    because events.value >= 0 in the synthetic feed)."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.io.loader import load_table
+
+    got = _q("running_balance_resets")(spark, SF_SMOKE)
+    per_user = {
+        r.user_id: r.total
+        for r in got.groupBy("user_id").agg(F.sum("n_events").alias("total")).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_user == want
+
+
+def test_sliding_distinct_dominates_daily_distinct(spark):
+    """The trailing-7-day distinct count can never be below the same
+    day's 1-day distinct count (superset window)."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.io.loader import load_table
+
+    got = {r.day: r.users_7d for r in _q("sliding_distinct_users")(spark, SF_SMOKE).collect()}
+    daily = {
+        r.day: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(daily)
+    assert all(got[d] >= daily[d] for d in daily)
+
+
+def test_rfm_codes_well_formed_and_complete(spark):
+    """Every emitted segment decodes to three quartile digits in 1..4
+    and segment populations sum to the ordering-customer count."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.io.loader import load_table
+
+    rows = _q("rfm_segments")(spark, SF_SMOKE).collect()
+    for r in rows:
+        digits = (r.segment // 100, (r.segment // 10) % 10, r.segment % 10)
+        assert all(1 <= d <= 4 for d in digits), r
+        assert r.avg_monetary > 0
+    n = sum(r.n_customers for r in rows)
+    want = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n == want
+
+
+def test_chi_square_nonnegative_with_exact_dof(spark):
+    from football_etl_spark.io.loader import load_table
+
+    row = _q("chi_square_priority_status")(spark, SF_SMOKE).collect()[0]
+    o = load_table(spark, SF_SMOKE, "orders")
+    nr = o.select("o_orderpriority").distinct().count()
+    nc = o.select("o_orderstatus").distinct().count()
+    assert row.chi2 >= 0.0
+    assert row.dof == (nr - 1) * (nc - 1)
+
+
+def test_dq_report_shape_and_clean_feed(spark):
+    """Six named checks, each violations <= checked; the synthetic
+    tables are referentially clean so every expectation passes."""
+    rows = _q("dq_expectations_report")(spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    assert len({r.check_name for r in rows}) == 6
+    for r in rows:
+        assert 0 <= r.violations <= r.checked, r
+        assert r.violations == 0, f"synthetic feed unexpectedly dirty: {r}"
+
+
+def test_correlation_bounded(spark):
+    for r in _q("segment_spend_correlation")(spark, SF_SMOKE).collect():
+        assert -1.0 <= r.corr_bal_spend <= 1.0
+
+
+def test_ratio_to_parent_shares_sum_to_one(spark):
+    from collections import defaultdict
+
+    rows = _q("ratio_to_parent_revenue")(spark, SF_SMOKE).collect()
+    by_region = defaultdict(float)
+    region_share = {}
+    for r in rows:
+        by_region[r.r_name] += r.share_of_region
+        region_share[r.r_name] = r.region_share_of_total
+    for v in by_region.values():
+        assert abs(v - 1.0) < 1e-9
+    assert abs(sum(region_share.values()) - 1.0) < 1e-9

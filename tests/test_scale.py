@@ -179,6 +179,13 @@ STAGED_PARTITION_SENSITIVE = [
     "unigram_logprob_scores",
     "attribution_first_touch",
     "equi_depth_histogram",
+    # round-7 staged wave: per-segment NTILE codes, windowed segment
+    # ids, iterative join-agg rounds, co-moment aggregates
+    "rfm_segments",
+    "running_balance_resets",
+    "pagerank_trade_graph",
+    "segment_spend_correlation",
+    "ewma_daily_revenue",
 ]
 
 
