@@ -452,8 +452,9 @@ def top3_orders_per_customer(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-                          - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                       OR DATE_TRUNC('second', ts)
+                          - DATE_TRUNC('second', LAG(ts) OVER w)
+                          > INTERVAL 1800 SECOND
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2673,7 +2674,7 @@ def tumbling_event_windows(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, value, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+                       OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3703,7 +3704,9 @@ def lang_rate_mixture(spark, sf_dir):
     "mn_fanout_enrichment",
     oracle="""
     WITH m AS (
-      SELECT o_custkey AS custkey, STRFTIME(o_orderdate, '%Y-%m') AS month,
+      SELECT o_custkey AS custkey,
+             CAST(YEAR(o_orderdate) AS STRING) || '-'
+               || LPAD(CAST(MONTH(o_orderdate) AS STRING), 2, '0') AS month,
              COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
       FROM orders GROUP BY 1, 2
@@ -6558,7 +6561,7 @@ def streaming_sliding_counts(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, value, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+                       OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -101,7 +101,6 @@ DIALECT_SKIPS = {
     "messy_ingest_cleaning": "STRFTIME (four messy formats)",
     "minhash_clusters": "TOKENS + LAMBDA + RECURSIVE CTE",
     "minhash_near_dups": "TOKENS + LAMBDA minhash",
-    "mn_fanout_enrichment": "STRFTIME (%Y-%m month key)",
     "near_dup_clusters": "TOKENS + LAMBDA + RECURSIVE CTE",
     "nested_event_flatten": "EPOCH + '//' + printf",
     "ngram_jaccard_pairs": "TOKENS + LAMBDA + SERIES",
@@ -114,9 +113,7 @@ DIALECT_SKIPS = {
     "quantized_embeddings": "LAMBDA (list_sum over list comprehension)",
     "retrieval_topk_docs": "LAMBDA + SERIES + QUALIFY",
     "semantic_dedup_docs": "LAMBDA + SERIES + QUALIFY",
-    "session_window_stats": "EPOCH (epoch_us gap rule)",
     "simhash_near_dups": "TOKENS + UNNEST",
-    "streaming_session_counts": "EPOCH (epoch_us gap rule, same as session_window_stats)",
     "streaming_sliding_counts": "UNNEST window replication",
     "text_quality_stats": "TOKENS + LAMBDA ratios",
     "temperature_resampled_corpus": (
@@ -125,7 +122,6 @@ DIALECT_SKIPS = {
     ),
     "tfidf_top_terms": "TOKENS + QUALIFY",
     "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
-    "user_sessions": "EPOCH (second gap rule)",
     "variant_event_facts": "JSON '->>' extraction + printf",
     "video_frame_scan": "SERIES frame indexing",
     "vocab_top_terms": "TOKENS + QUALIFY",
