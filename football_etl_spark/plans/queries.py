@@ -8219,7 +8219,11 @@ def ratio_to_parent_revenue(spark, sf_dir):
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
     w_region = Window.partitionBy("r_name")
-    w_all = Window.partitionBy()
+    # constant partition key instead of an empty spec: identical
+    # single-partition execution over this 25-row aggregate, but it
+    # doesn't trip WindowExec's "no partition defined" warning — which
+    # pattern-matches a real scale-killer and would pollute bench logs
+    w_all = Window.partitionBy(F.lit(1))
     return nr.select(
         "r_name",
         "n_name",
@@ -8395,6 +8399,16 @@ def pagerank_trade_graph(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
+    # materialize the edge relation ONCE before iterating — the
+    # pregel-superstep discipline: without this, every unrolled
+    # iteration re-derives the edges from the fact table (the audited
+    # plan re-ran the 4-table star join 3x); with it, the fact scan
+    # happens exactly once and each superstep shuffles only the
+    # graph-sized edge list. At 100 TB this materialization is the
+    # difference between 1 and N_iter fact scans.
+    root = _fresh_tmp_root(spark, "pgr", sf_dir)
+    e.write.mode("overwrite").parquet(f"{root}/edges")
+    e = spark.read.parquet(f"{root}/edges")
     ew = e.select(
         "src",
         "dst",
