@@ -8557,6 +8557,124 @@ def dq_expectations_report(spark, sf_dir):
     )
 
 
+@staged_query(
+    "order_status_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderstatus AS from_status,
+             LEAD(o_orderstatus) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS to_status
+      FROM orders
+    ),
+    t AS (
+      SELECT from_status, to_status, COUNT(*) AS n
+      FROM seq WHERE to_status IS NOT NULL
+      GROUP BY from_status, to_status
+    )
+    SELECT from_status, to_status,
+           CAST(n AS BIGINT) AS n,
+           n / CAST(SUM(n) OVER (PARTITION BY from_status) AS DOUBLE) AS p
+    FROM t
+    """,
+    doc="first-order Markov transition matrix over per-customer order "
+    "status sequences — the sequence-mining primitive behind "
+    "funnel-drop and state-machine analyses: LEAD pairs each order "
+    "with the same customer's next order (deterministic "
+    "(o_orderdate, o_orderkey) order), pair counts aggregate to the "
+    "|S|x|S| matrix, and row-normalization to transition "
+    "probabilities happens with a window over the <=9-row matrix "
+    "itself — never the fact rows. One window exchange on "
+    "o_custkey, one aggregate; p is an integer-ratio single "
+    "division, bit-identical cross-engine, shipped unrounded. At "
+    "100 TB the lead window partitions by customer (millions of "
+    "tiny independent sorts — the scalable window shape) and the "
+    "matrix is dimension-sized regardless of fact volume. Portable "
+    "SQL — runs unmodified on both engines",
+)
+def order_status_transition_matrix(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderstatus").alias("from_status"),
+        F.lead("o_orderstatus").over(w).alias("to_status"),
+    ).filter(F.col("to_status").isNotNull())
+    t = seq.groupBy("from_status", "to_status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return t.select(
+        "from_status",
+        "to_status",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("from_status")).cast("double")
+        ).alias("p"),
+    )
+
+
+@staged_query(
+    "weekday_seasonality_profile",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    wd AS (
+      SELECT CAST(ISODOW(day) AS INTEGER) AS iso_dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(rev) AS tot
+      FROM d GROUP BY 1
+    ),
+    o AS (SELECT SUM(tot) AS g_tot, SUM(n_days) AS g_days FROM wd)
+    SELECT iso_dow, n_days,
+           CAST(wd.tot AS DOUBLE) / n_days AS avg_daily_rev,
+           (CAST(wd.tot AS DOUBLE) / n_days)
+             / (CAST(o.g_tot AS DOUBLE) / o.g_days) AS seasonality_idx
+    FROM wd CROSS JOIN o
+    """,
+    doc="weekday seasonality profile — average daily revenue per ISO "
+    "weekday (1=Monday..7=Sunday) and each weekday's index against "
+    "the all-days average, the demand-shape diagnostic behind "
+    "staffing and forecast-degrouping: one daily rollup (the only "
+    "fact scan), a 7-row weekday aggregate, and a 1-row grand-total "
+    "cross. All sums exact DECIMAL; each average and the index are "
+    "single/chained IEEE divisions of identical operands — "
+    "bit-identical cross-engine, unrounded. Spark spells the ISO "
+    "weekday as weekday()+1 (0=Monday + 1), the oracle as ISODOW — "
+    "same integer by definition; the raw DOW/DAYOFWEEK families "
+    "were probed and their origin conventions genuinely differ "
+    "cross-engine (Spark Sunday=1, DuckDB Sunday=0), which is why "
+    "this entry is a justified dual-SQL dialect skip. At 100 TB "
+    "cost is one groupBy of the scan; everything after is "
+    "7-row-bounded",
+)
+def weekday_seasonality_profile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wd = d.groupBy(
+        (F.weekday("day") + 1).cast("int").alias("iso_dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rev").alias("tot"),
+    )
+    g = wd.agg(
+        F.sum("tot").alias("g_tot"), F.sum("n_days").alias("g_days")
+    )
+    return wd.crossJoin(F.broadcast(g)).select(
+        "iso_dow",
+        "n_days",
+        (F.col("tot").cast("double") / F.col("n_days")).alias("avg_daily_rev"),
+        (
+            (F.col("tot").cast("double") / F.col("n_days"))
+            / (F.col("g_tot").cast("double") / F.col("g_days"))
+        ).alias("seasonality_idx"),
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

@@ -169,6 +169,48 @@ def test_correlation_bounded(spark):
         assert -1.0 <= r.corr_bal_spend <= 1.0
 
 
+def test_transition_matrix_rows_normalize_and_count(spark):
+    """Each from-status row of the Markov matrix is a probability
+    distribution, and total transitions = n_orders - n_customers
+    (every customer contributes len(sequence)-1 pairs)."""
+    from collections import defaultdict
+
+    from football_etl_spark.io.loader import load_table
+
+    rows = _q("order_status_transition_matrix")(spark, SF_SMOKE).collect()
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_from[r.from_status] += r.p
+    for v in by_from.values():
+        assert abs(v - 1.0) < 1e-9
+    o = load_table(spark, SF_SMOKE, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r.n for r in rows) == n_orders - n_cust
+
+
+def test_weekday_profile_complete_and_centered(spark):
+    """All seven ISO weekdays appear, day counts reconcile with the
+    distinct-day total, and the day-weighted mean of the seasonality
+    index is exactly 1 (it is normalized by the grand daily mean)."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.io.loader import load_table
+
+    rows = _q("weekday_seasonality_profile")(spark, SF_SMOKE).collect()
+    assert sorted(r.iso_dow for r in rows) == [1, 2, 3, 4, 5, 6, 7]
+    n_days = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(F.col("o_orderdate").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_days for r in rows) == n_days
+    weighted = sum(r.seasonality_idx * r.n_days for r in rows) / n_days
+    assert abs(weighted - 1.0) < 1e-9
+
+
 def test_ratio_to_parent_shares_sum_to_one(spark):
     from collections import defaultdict
 

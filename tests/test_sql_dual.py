@@ -124,6 +124,12 @@ DIALECT_SKIPS = {
     "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
     "variant_event_facts": "JSON '->>' extraction + printf",
     "video_frame_scan": "SERIES frame indexing",
+    "weekday_seasonality_profile": (
+        "weekday numbering origins genuinely differ (probed): Spark "
+        "DOW/DAYOFWEEK is Sunday=1, DuckDB DOW is Sunday=0, and only "
+        "DuckDB spells ISODOW — the oracle uses ISODOW, the DataFrame "
+        "side weekday()+1"
+    ),
     "vocab_top_terms": "TOKENS + QUALIFY",
 }
 
