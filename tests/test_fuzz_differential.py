@@ -952,6 +952,57 @@ def test_random_interval_join_matches_duckdb(spark, win, types, pred):
     assert not problems, f"win={win} types={types}\n" + "\n".join(problems)
 
 
+@given(pred=_predicate)
+@settings(**_SETTINGS)
+def test_random_gaps_and_islands_matches_duckdb(spark, pred):
+    """Gaps-and-islands segmentation under a RANDOM reset predicate —
+    the running_balance_resets machinery fuzzed: a cumulative count of
+    marker rows over (o_custkey, o_orderdate, o_orderkey) order
+    assigns every order to a reset segment, then per-(customer,
+    segment) counts and exact cent sums must match DuckDB. This
+    exercises the window-cumsum/groupBy interplay across arbitrary
+    marker densities (always-true predicates give singleton segments,
+    always-false one segment per customer) — the two degenerate edges
+    a curated entry never sweeps."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        o.withColumn(
+            "seg",
+            F.sum(F.when(_pred_col(pred), 1).otherwise(0)).over(w).cast("long"),
+        )
+        .groupBy("o_custkey", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    sql = f"""
+    WITH seg AS (
+      SELECT o_custkey, o_totalprice,
+             CAST(SUM(CASE WHEN {_pred_sql(pred)} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+      FROM orders
+    )
+    SELECT o_custkey, seg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM seg GROUP BY o_custkey, seg
+    """
+    problems = compare(got, sql, SF_SMOKE)
+    assert not problems, f"pred={pred}\n" + "\n".join(problems)
+
+
 def test_round_boundary_divergence(spark):
     """PINNED engine divergence (like the empty-rollup and signed-zero
     pins): ROUND of a double that is mathematically exactly on a
