@@ -7843,27 +7843,28 @@ def rfm_segments(spark, sf_dir):
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
           FROM op),
-    pc AS (SELECT l_partkey, COUNT(*) AS part_orders FROM op
-           GROUP BY l_partkey),
+    op2 AS (
+      SELECT l_orderkey, l_partkey,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS part_orders
+      FROM op
+    ),
     pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             a.part_orders AS pa_orders, b.part_orders AS pb_orders,
              COUNT(*) AS co_orders
-      FROM op a JOIN op b
+      FROM op2 a JOIN op2 b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
+      GROUP BY 1, 2, 3, 4
     )
     SELECT part_a, part_b,
            CAST(co_orders AS BIGINT) AS co_orders,
            ROUND(co_orders / n.n_orders, 6) AS support,
-           ROUND(co_orders / CAST(pa.part_orders AS DOUBLE), 6)
+           ROUND(co_orders / CAST(pa_orders AS DOUBLE), 6)
              AS confidence,
            ROUND(co_orders * n.n_orders
-                 / (pa.part_orders * CAST(pb.part_orders AS DOUBLE)), 6)
+                 / (pa_orders * CAST(pb_orders AS DOUBLE)), 6)
              AS lift
-    FROM pairs
-    JOIN pc pa ON part_a = pa.l_partkey
-    JOIN pc pb ON part_b = pb.l_partkey
-    CROSS JOIN n
+    FROM pairs CROSS JOIN n
     WHERE co_orders >= 2
     """,
     doc="market-basket association mining — pairwise co-occurrence "
@@ -7881,7 +7882,15 @@ def rfm_segments(spark, sf_dir):
     "the algorithm's intrinsic floor, the shuffle keys (orderkey, "
     "then the pair) are high-cardinality and unskewed, and min-"
     "support pre-filtering at the pair aggregate keeps the output "
-    "a tail-cut of the pair space",
+    "a tail-cut of the pair space. The ORACLE carries each part's "
+    "order frequency on the op rows via a window (rather than "
+    "joining a frequency relation twice): measured at x10, DuckDB's "
+    "join-order optimizer cross-producted the two frequency "
+    "relations (20k x 20k rows) behind a misestimated pair "
+    "cardinality — 25+ minutes single-threaded; the window form "
+    "pins a linear plan on both engines. The Spark implementation "
+    "keeps the broadcast frequency joins — explicit broadcast hints "
+    "make the join order non-negotiable there",
 )
 def basket_item_pairs_lift(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
