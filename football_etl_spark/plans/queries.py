@@ -7805,8 +7805,11 @@ def cohort_retention(spark, sf_dir):
 def rfm_segments(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # customer scales WITH the data (not a bounded dimension):
+    # no broadcast hint — AQE broadcasts it at bench SF and
+    # shuffle-joins it at 100 TB, both correctly
     m = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_custkey", "c_mktsegment")
         .agg(
             F.max("o_orderdate").alias("last_order"),
@@ -7915,13 +7918,17 @@ def basket_item_pairs_lift(spark, sf_dir):
         .filter(F.col("co_orders") >= 2)
     )
     return (
+        # part frequencies scale with the catalog — measured at
+        # x1000, force-broadcasting the 2M-row pc relation stalled
+        # executor GC; hint-free, AQE broadcasts while it fits and
+        # shuffle-joins beyond
         pairs.join(
-            F.broadcast(pc.withColumnRenamed("part_orders", "pa_orders")),
+            pc.withColumnRenamed("part_orders", "pa_orders"),
             pairs.part_a == F.col("l_partkey"),
         )
         .drop("l_partkey")
         .join(
-            F.broadcast(pc.withColumnRenamed("part_orders", "pb_orders")),
+            pc.withColumnRenamed("part_orders", "pb_orders"),
             F.col("part_b") == F.col("l_partkey"),
         )
         .drop("l_partkey")
@@ -8160,8 +8167,9 @@ def segment_spend_correlation(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+    # customer is data-scaled — hint-free join, AQE decides
     s = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -8398,10 +8406,13 @@ def pagerank_trade_graph(spark, sf_dir):
     cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     na = _t(spark, sf_dir, "nation").select("n_nationkey")
 
+    # supplier/customer scale with the data — hint-free star
+    # joins (AQE broadcasts them while small); only the 1-row
+    # count/dangling relations keep explicit hints below
     e = (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
         .groupBy(
             F.col("s_nationkey").alias("src"),
             F.col("c_nationkey").alias("dst"),
@@ -8517,15 +8528,27 @@ def dq_expectations_report(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
 
+    # the uniqueness check runs as its own keyed two-stage aggregate
+    # (groupBy key, then sum(n)-count(keys)) instead of a
+    # countDistinct inside the shared agg: a multi-aggregate with a
+    # DISTINCT member plans an Expand that replicates every scan row
+    # per grouping (measured at x100: 9.4s -> the dominant cost);
+    # keyed pre-aggregation is one parallel shuffle on the
+    # high-cardinality key and the other checks keep their single
+    # scan-level agg
+    o_uniq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg((F.sum("c") - F.count(F.lit(1))).alias("v_uniq"))
+    )
     o_checks = o.agg(
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) - F.count("o_custkey")).alias("v_null"),
         F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v_pos"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
         F.sum(
             F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
         ).alias("v_enum"),
-    )
+    ).crossJoin(F.broadcast(o_uniq))
     orders_report = o_checks.selectExpr(
         "stack(4, "
         "'orders.o_custkey.not_null', v_null, "
@@ -8543,9 +8566,12 @@ def dq_expectations_report(spark, sf_dir):
             .otherwise(0)
         ).alias("v_range"),
     )
+    # the orders key set is fact-scaled — a forced broadcast dies
+    # at 100 TB; the shuffled left-anti is the honest plan (AQE
+    # still broadcasts it at bench SF)
     orphans = (
         li.join(
-            F.broadcast(o.select("o_orderkey")),
+            o.select("o_orderkey"),
             li.l_orderkey == F.col("o_orderkey"),
             "left_anti",
         )
