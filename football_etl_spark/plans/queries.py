@@ -8094,18 +8094,19 @@ def running_balance_resets(spark, sf_dir):
     doc="exact sliding-window distinct count — trailing-7-day active "
     "users per day, the metric sliding windows can't fold because "
     "COUNT(DISTINCT) is not subtractable. The oracle states it as a "
-    "range self-join; the Spark plan re-expresses it as an EQUI "
-    "join: each distinct (day, user) contribution explodes into the "
-    "<=7 future report days it feeds (sequence + explode), a single "
-    "hash aggregate counts distincts per report day, and a semi-"
-    "join against the observed-days spine drops synthetic days "
-    "beyond the data. Fan-out is a fixed x7 on the users-per-day "
-    "relation (already deduped, so bounded by DAU x 7, not events "
-    "x 7) and every operator is an equi-shuffle — no broadcast "
-    "nested loop anywhere in the plan, which is what makes this "
-    "form survive a 1000-executor scale-up where the naive range "
-    "join degenerates. The HLL-sketch variant (hll_user_reach) is "
-    "the approximate cousin; this one is the exact bar",
+    "range self-join; the Spark plan is a SWEEP LINE: each user's "
+    "active days merge into islands (gaps <=6 days — whose 7-day "
+    "coverages are provably contiguous, and islands >6 apart cover "
+    "disjoint ranges, so per-user coverage needs zero dedup), every "
+    "island emits +1/-1 boundary deltas, and one prefix sum over "
+    "the CALENDAR-bounded day spine reads off the answer. Three "
+    "data-sized equi-shuffles + a thousands-of-rows ordered window; "
+    "no fan-out, no countDistinct. Measured (BENCH_NOTES x1000): "
+    "the first-cut explode-x7 + countDistinct form shuffled 700M "
+    "fanned rows (113s); the sweep line runs 12s — ahead of "
+    "DuckDB's IEJoin (14.6s) at the deepest decade. The HLL-sketch "
+    "variant (hll_user_reach) is the approximate cousin; this one "
+    "is the exact bar",
 )
 def sliding_distinct_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
@@ -8113,17 +8114,68 @@ def sliding_distinct_users(spark, sf_dir):
     )
     ue = ev.distinct()
     days = ev.select("day").distinct()
-    fanned = ue.select(
+    # sweep-line plan (measured x1000: the naive explode-x7 +
+    # countDistinct form shuffled 700M fanned rows, 113s vs DuckDB's
+    # 15s IEJoin; this form is 3 data-sized shuffles + one
+    # calendar-bounded prefix sum):
+    # 1. merge each user's active days into islands — consecutive
+    #    days <=6 apart — because a user active on days a..b with all
+    #    gaps <=6 covers report days [a, b+6] CONTIGUOUSLY, and
+    #    islands >6 apart cover disjoint ranges, so per-user coverage
+    #    needs no dedup at all;
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        ue.withColumn(
+            "new_island",
+            F.when(
+                F.datediff(F.col("day"), F.lag("day").over(w)) > 6, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "island")
+        .agg(F.min("day").alias("a"), F.max("day").alias("b"))
+    )
+    # 2. each island becomes two sweep deltas: +1 when its coverage
+    #    starts, -1 the day after it ends;
+    deltas = islands.select(
         F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
-        ).alias("day"),
-        "user_id",
-    )
-    return (
-        fanned.join(days, "day", "left_semi")
+            F.array(
+                F.struct(F.col("a").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add(F.col("b"), 7).alias("day"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
+    # 3. prefix-sum the per-day delta totals over the day spine
+    #    (calendar-bounded — thousands of rows at ANY data scale, so
+    #    the single-partition ordered window is safe), carrying the
+    #    observed days along at delta 0 so the running count is
+    #    evaluated at every report day.
+    daily = (
+        deltas.unionByName(
+            days.select("day", F.lit(0).alias("d"))
+        )
         .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+        .agg(F.sum("d").alias("d"))
     )
+    cum = daily.withColumn(
+        "users_7d",
+        F.sum("d")
+        .over(
+            Window.partitionBy(F.lit(1))
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    return cum.join(days, "day", "left_semi").select("day", "users_7d")
 
 
 @staged_query(
