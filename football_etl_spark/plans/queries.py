@@ -8762,6 +8762,129 @@ def weekday_seasonality_profile(spark, sf_dir):
     )
 
 
+@staged_query(
+    "seasonal_outlier_days",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(ISODOW(day) AS INTEGER) AS iso_dow,
+             AVG(rev) AS mu, STDDEV_SAMP(rev) AS sigma
+      FROM d GROUP BY 1
+    )
+    SELECT d.day, ROUND(d.rev, 2) AS rev,
+           ROUND((d.rev - s.mu) / s.sigma, 6) AS z
+    FROM d JOIN s ON CAST(ISODOW(d.day) AS INTEGER) = s.iso_dow
+    WHERE ABS((d.rev - s.mu) / s.sigma) > 2
+    """,
+    doc="seasonality-adjusted anomaly screen — daily revenue scored "
+    "against ITS WEEKDAY's mean and standard deviation (a Monday is "
+    "only anomalous relative to Mondays), flagging |z| > 2 days: "
+    "the de-seasonalized outlier detector that naive global z-"
+    "scores get wrong whenever the metric has a weekly shape. One "
+    "daily rollup (exact cent arithmetic so both engines score the "
+    "identical revenue), a 7-row weekday-moments aggregate joined "
+    "back broadcast, and a filter. The z-scores round 6dp (their "
+    "~1-unit magnitude absorbs co-moment summation-order noise); "
+    "the |z|>2 cut operates on continuous-valued data far from any "
+    "representability boundary. At 100 TB: one groupBy of the scan, "
+    "then day-spine-sized everything; the weekday moments relation "
+    "is 7 rows forever",
+)
+def seasonal_outlier_days(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("rev")
+    )
+    d = d.withColumn("iso_dow", (F.weekday("day") + 1).cast("int"))
+    s = d.groupBy("iso_dow").agg(
+        F.avg("rev").alias("mu"), F.stddev_samp("rev").alias("sigma")
+    )
+    z = (F.col("rev") - F.col("mu")) / F.col("sigma")
+    return (
+        d.join(F.broadcast(s), "iso_dow")
+        .filter(F.abs(z) > 2)
+        .select("day", F.round("rev", 2).alias("rev"), F.round(z, 6).alias("z"))
+    )
+
+
+@staged_query(
+    "time_to_convert_stats",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'login' THEN ts END) AS first_login,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(EPOCH_US(first_purchase) - EPOCH_US(first_login)
+                  AS BIGINT) AS gap_us
+      FROM firsts
+      WHERE first_login IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_login
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           ROUND(MEDIAN(gap_us), 6) AS median_gap_us,
+           ROUND(QUANTILE_CONT(gap_us, 0.9), 6) AS p90_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps
+    """,
+    doc="time-to-convert latency distribution — per user, the gap "
+    "between FIRST login and FIRST purchase (conversions only, "
+    "purchase-after-login), summarized as exact order statistics "
+    "(min / interpolated median / p90 / max over microsecond-"
+    "integer gaps): the activation-latency metric growth teams "
+    "track beside the conversion_funnel entry's stage counts. One "
+    "conditional-min aggregate per user (single groupBy of the "
+    "scan — no join between the stage streams), then one global "
+    "aggregate over the users-sized gap relation. Spark's "
+    "percentile() and DuckDB's MEDIAN/QUANTILE_CONT both linearly "
+    "interpolate over integer inputs, rounded 6dp. At 100 TB the "
+    "exact global percentile is the one sort-bound stage — "
+    "approx_percentile (approx_order_percentiles entry) is the "
+    "documented scale path when the gap relation outgrows a sort",
+)
+def time_to_convert_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "login", F.col("ts"))).alias(
+            "first_login"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    gaps = firsts.filter(
+        F.col("first_login").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_login"))
+    ).select(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_login")
+        ).alias("gap_us")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("median_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

@@ -211,6 +211,30 @@ def test_weekday_profile_complete_and_centered(spark):
     assert abs(weighted - 1.0) < 1e-9
 
 
+def test_seasonal_outliers_exceed_threshold(spark):
+    rows = _q("seasonal_outlier_days")(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert abs(r.z) > 2.0 - 1e-9, r
+
+
+def test_time_to_convert_order_statistics_ordered(spark):
+    """sf0.001 has zero login->purchase converters (both engines
+    agree on the all-NULL aggregate — that case is oracle-gated);
+    the ordering property needs the driver SF where conversions
+    exist."""
+    row = _q("time_to_convert_stats")(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row.n_converted > 0
+    assert (
+        0
+        <= row.min_gap_us
+        <= row.median_gap_us
+        <= row.p90_gap_us
+        <= row.max_gap_us
+    )
+
+
 def test_ratio_to_parent_shares_sum_to_one(spark):
     from collections import defaultdict
 

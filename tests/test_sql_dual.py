@@ -124,6 +124,13 @@ DIALECT_SKIPS = {
     "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
     "variant_event_facts": "JSON '->>' extraction + printf",
     "video_frame_scan": "SERIES frame indexing",
+    "seasonal_outlier_days": (
+        "ISODOW (same weekday-origin gap as weekday_seasonality_profile)"
+    ),
+    "time_to_convert_stats": (
+        "EPOCH_US gap extraction + QUANTILE_CONT vs percentile() — "
+        "no common exact-percentile or epoch spelling"
+    ),
     "weekday_seasonality_profile": (
         "weekday numbering origins genuinely differ (probed): Spark "
         "DOW/DAYOFWEEK is Sunday=1, DuckDB DOW is Sunday=0, and only "
