@@ -8822,18 +8822,18 @@ def seasonal_outlier_days(spark, sf_dir):
     oracle="""
     WITH firsts AS (
       SELECT user_id,
-             MIN(CASE WHEN event_type = 'login' THEN ts END) AS first_login,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
              MIN(CASE WHEN event_type = 'purchase' THEN ts END)
                AS first_purchase
       FROM events GROUP BY user_id
     ),
     gaps AS (
       SELECT user_id,
-             CAST(EPOCH_US(first_purchase) - EPOCH_US(first_login)
+             CAST(EPOCH_US(first_purchase) - EPOCH_US(first_signup)
                   AS BIGINT) AS gap_us
       FROM firsts
-      WHERE first_login IS NOT NULL AND first_purchase IS NOT NULL
-        AND first_purchase >= first_login
+      WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
            CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
@@ -8843,8 +8843,8 @@ def seasonal_outlier_days(spark, sf_dir):
     FROM gaps
     """,
     doc="time-to-convert latency distribution — per user, the gap "
-    "between FIRST login and FIRST purchase (conversions only, "
-    "purchase-after-login), summarized as exact order statistics "
+    "between FIRST signup and FIRST purchase (conversions only, "
+    "purchase-after-signup), summarized as exact order statistics "
     "(min / interpolated median / p90 / max over microsecond-"
     "integer gaps): the activation-latency metric growth teams "
     "track beside the conversion_funnel entry's stage counts. One "
@@ -8860,20 +8860,20 @@ def seasonal_outlier_days(spark, sf_dir):
 def time_to_convert_stats(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     firsts = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "login", F.col("ts"))).alias(
-            "first_login"
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
         ),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
             "first_purchase"
         ),
     )
     gaps = firsts.filter(
-        F.col("first_login").isNotNull()
+        F.col("first_signup").isNotNull()
         & F.col("first_purchase").isNotNull()
-        & (F.col("first_purchase") >= F.col("first_login"))
+        & (F.col("first_purchase") >= F.col("first_signup"))
     ).select(
         (
-            F.unix_micros("first_purchase") - F.unix_micros("first_login")
+            F.unix_micros("first_purchase") - F.unix_micros("first_signup")
         ).alias("gap_us")
     )
     return gaps.agg(

@@ -218,13 +218,7 @@ def test_seasonal_outliers_exceed_threshold(spark):
 
 
 def test_time_to_convert_order_statistics_ordered(spark):
-    """sf0.001 has zero login->purchase converters (both engines
-    agree on the all-NULL aggregate — that case is oracle-gated);
-    the ordering property needs the driver SF where conversions
-    exist."""
-    row = _q("time_to_convert_stats")(
-        spark, "/root/testdata/sf0.01"
-    ).collect()[0]
+    row = _q("time_to_convert_stats")(spark, SF_SMOKE).collect()[0]
     assert row.n_converted > 0
     assert (
         0
