@@ -508,7 +508,7 @@ def daily_event_spine(spark, sf_dir):
     WITH tagged AS (
       SELECT event_id, user_id, ts,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
-      FROM events WHERE event_type IN ('purchase', 'login')
+      FROM events WHERE event_type IN ('purchase', 'view')
     ), carried AS (
       SELECT event_id, user_id, ts, side,
              LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS login_event_id,
@@ -522,14 +522,19 @@ def daily_event_spine(spark, sf_dir):
     FROM carried WHERE side = 1
     """,
     doc="as-of join via union + last_value(ignore nulls) carry-forward — one "
-    "shuffle, zero fan-out (SURVEY §2.3 caveat; the 100 TB-safe as-of shape)",
+    "shuffle, zero fan-out (SURVEY §2.3 caveat; the 100 TB-safe as-of "
+    "shape). The right side is 'view' events — the synthetic feed has "
+    "no 'login' type, and the original filter made every match NULL "
+    "(vacuously green); with views, every purchase carries a real "
+    "most-recent-prior match where one exists. Entry name kept for "
+    "driver-history continuity",
 )
 def purchase_asof_login(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    logins = ev.filter(F.col("event_type") == "login").select(
+    logins = ev.filter(F.col("event_type") == "view").select(
         F.col("event_id"), F.col("user_id"), F.col("ts")
     )
     joined = joins.asof_join(
