@@ -594,15 +594,37 @@ def purchase_prior_hour_activity(spark, sf_dir):
 @query(
     "users_without_purchase",
     oracle="""
+    WITH b AS (SELECT MAX(ts) - INTERVAL 3 DAY AS cutoff FROM events)
     SELECT DISTINCT user_id FROM events
-    WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    WHERE user_id NOT IN (
+      SELECT user_id FROM events, b
+      WHERE event_type = 'purchase' AND ts >= b.cutoff
+    )
     """,
-    doc="anti-join retry-set shape (scrapers/team_scraper.py:963-1002)",
+    doc="anti-join retry-set shape (scrapers/team_scraper.py:963-1002), "
+    "time-scoped: users with NO purchase in the feed's final 3 days. "
+    "The original unscoped form was vacuous — the synthetic feed is "
+    "dense (every user has every event type), so 'users without any "
+    "purchase' was structurally empty at every SF and the anti-join "
+    "only ever proved emptiness; the 3-day recency cut yields "
+    "4/40/388 retry candidates at the three SFs, exercising real "
+    "set-difference semantics. The cutoff is a 1-row aggregate "
+    "crossed broadcast; the anti-join stays one equi-shuffle",
 )
 def users_without_purchase(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
-    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 DAY")).alias("cutoff")
+    )
+    purchasers = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("cutoff"))
+        )
+        .select("user_id")
+    )
     return joins.anti_join(users, purchasers, ["user_id"])
 
 
