@@ -476,14 +476,28 @@ def user_sessions(spark, sf_dir):
 @query(
     "daily_event_spine",
     oracle="""
-    WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
-    spine AS (SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-    daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+    WITH RECURSIVE
+    b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+          FROM events),
+    spine(day) AS (
+      SELECT d0 FROM b
+      UNION ALL
+      SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM spine
+      WHERE day < (SELECT d1 FROM b)
+    ),
+    daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1)
     SELECT spine.day AS day, COALESCE(daily.n, 0) AS n_events
     FROM spine LEFT JOIN daily ON spine.day = daily.day
     """,
     doc="date-spine densification: sequence+explode date range "
-    "(daily_match_scraper.py:574-579) + zero-fill left join",
+    "(daily_match_scraper.py:574-579) + zero-fill left join. The "
+    "oracle spells the spine as a RECURSIVE CTE — the one "
+    "integer/date-range idiom BOTH engines parse (DuckDB "
+    "GENERATE_SERIES vs Spark sequence() share no spelling), making "
+    "this entry dual-green; depth = the feed's day span (30), far "
+    "under Spark's default 100-level recursion cap, and the Spark "
+    "IMPLEMENTATION keeps the scale-right sequence+explode form",
 )
 def daily_event_spine(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")

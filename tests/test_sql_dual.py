@@ -9,7 +9,9 @@ computes the same answers as its DataFrame plans, with zero
 per-query porting.
 
 Entries whose oracle uses DuckDB-only surface (QUALIFY, LEN,
-STRING_SPLIT_REGEX, UNNEST-over-list, printf, recursive CTEs, ->>)
+STRING_SPLIT_REGEX, UNNEST-over-list, ->>; note recursive CTEs and
+bare-keyword INTERVAL comparisons parse on BOTH engines as of Spark
+4 — several former skips were ported through them)
 skip — but ONLY with an individual justification in DIALECT_SKIPS
 below; an unlisted skip fails the suite, and a listed entry that
 starts parsing fails too (stale justification). Two entries are
@@ -80,7 +82,6 @@ DIALECT_SKIPS = {
     "boilerplate_chunk_stats": "TOKENS + SERIES n-gram windows",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
     "chunked_documents": "TOKENS + SERIES + '//' integer division",
-    "daily_event_spine": "SERIES date spine",
     "derived_match_scalars": "STRFTIME (%Y%m%d, %H:%M)",
     "doc_fingerprints": "TOKENS + LAMBDA rolling hash (list_reduce)",
     "doc_repetition_stats": "TOKENS + LAMBDA + SERIES",
