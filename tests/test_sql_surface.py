@@ -33,8 +33,12 @@ SQL_TWINS = {
           FROM orders) WHERE rnk <= 3
     """,
     "users_without_purchase": """
+        WITH b AS (SELECT MAX(ts) - INTERVAL 3 DAY AS cutoff FROM events)
         SELECT DISTINCT user_id FROM events
-        WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+        WHERE user_id NOT IN (
+          SELECT user_id FROM events, b
+          WHERE event_type = 'purchase' AND ts >= b.cutoff
+        )
     """,
 }
 
@@ -48,7 +52,6 @@ def test_sql_surface_agrees_with_dataframe(spark, name):
     sql_cols = spark.sql(SQL_TWINS[name]).columns
     want = {tuple(r) for r in want_df.select(*sql_cols).collect()}
     assert got == want
-    # users_without_purchase is legitimately empty at this SF (every
-    # user has a purchase event) — emptiness agreement is the check
-    if name != "users_without_purchase":
-        assert len(got) > 0
+    # non-vacuous by construction (the retry-set entry is time-scoped
+    # precisely so the dense feed yields real candidates)
+    assert len(got) > 0
