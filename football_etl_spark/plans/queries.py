@@ -8926,6 +8926,81 @@ def time_to_convert_stats(spark, sf_dir):
     )
 
 
+@staged_query(
+    "clean_conversion_pattern",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS s,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id) AS p
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MIN(s) AS DATE) AS signup_day,
+           CAST(MIN(p) AS DATE) AS purchase_day
+    FROM w
+    WHERE s IS NOT NULL AND p IS NOT NULL
+      AND p >= s AND p <= s + INTERVAL 7 DAY
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'error' AND ts > s AND ts < p
+               THEN 1 ELSE 0 END) = 0
+    """,
+    doc="complex-event pattern detection — 'A then B within T with "
+    "no C between': users whose FIRST purchase follows their FIRST "
+    "signup within 7 days with zero error events strictly between "
+    "the two timestamps (the MATCH_RECOGNIZE-lite shape behind "
+    "clean-activation funnels, fraud sequences, SLA breaches). The "
+    "plan is deliberately JOIN-FREE: two per-user MIN windows pin "
+    "the anchor timestamps onto every event row, a row-level filter "
+    "keeps only pattern-window users, and the guard condition "
+    "folds into a HAVING over a conditional sum — one window "
+    "exchange on user_id plus a same-key aggregate that AQE "
+    "coalesces into the same shuffle, versus the naive 3-way self-"
+    "join of the A/B/C streams. At 100 TB the state per user is two "
+    "timestamps and a counter; no pairwise blowup exists anywhere. "
+    "Portable SQL — runs unmodified on both engines",
+)
+def clean_conversion_pattern(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = Window.partitionBy("user_id")
+    w = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .over(per_user)
+        .alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(per_user)
+        .alias("p"),
+    )
+    matched = w.filter(
+        F.col("s").isNotNull()
+        & F.col("p").isNotNull()
+        & (F.col("p") >= F.col("s"))
+        & (F.col("p") <= F.col("s") + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.min("s").cast("date").alias("signup_day"),
+            F.min("p").cast("date").alias("purchase_day"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("ts") > F.col("s"))
+                    & (F.col("ts") < F.col("p")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_err"),
+        )
+        .filter(F.col("n_err") == 0)
+        .select("user_id", "signup_day", "purchase_day")
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

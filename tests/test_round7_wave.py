@@ -229,6 +229,32 @@ def test_time_to_convert_order_statistics_ordered(spark):
     )
 
 
+def test_clean_conversion_pattern_independent_recheck(spark):
+    """Re-derive the pattern per user with plain Python over the raw
+    events and require the exact same matched set."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from football_etl_spark.io.loader import load_table
+
+    got = {r.user_id for r in _q("clean_conversion_pattern")(spark, SF_SMOKE).collect()}
+    by_user = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect():
+        by_user[r.user_id].append((r.event_type, r.ts))
+    want = set()
+    for uid, evs in by_user.items():
+        s = min((t for k, t in evs if k == "signup"), default=None)
+        p = min((t for k, t in evs if k == "purchase"), default=None)
+        if s is None or p is None or not (s <= p <= s + timedelta(days=7)):
+            continue
+        if any(k == "error" and s < t < p for k, t in evs):
+            continue
+        want.add(uid)
+    assert got == want
+
+
 def test_ratio_to_parent_shares_sum_to_one(spark):
     from collections import defaultdict
 
