@@ -262,7 +262,17 @@ def unigram_logprob_scores(
     independent — cross-engine hash-stable regardless of partition
     accumulation order. Empty docs score 0 tokens / NULL logprob.
     At 100 TB: two shuffles (term, doc_id), no state, and the LM side
-    is vocabulary-sized, not corpus-sized."""
+    is vocabulary-sized, not corpus-sized.
+
+    Measured alternative, REJECTED (r8, x1000 = 1M docs): pre-
+    aggregating to (doc_id, term, cnt) before the vocabulary join —
+    the textbook shrink-the-join-input move — regressed 39.5s →
+    65.4s against DuckDB's 21.1s. On this corpus the within-doc
+    repetition factor is ~1 (docs are short and lexically diverse),
+    so the doc-term relation is token-stream-sized and the extra
+    (doc_id, term) exchange + second hash agg are pure added cost.
+    The pre-agg form only wins when cnt > ~2 on average; keep the
+    token-grain join unless the corpus is long-doc/repetitive."""
     toks = df.select("doc_id", F.explode(tokens(text_col)).alias("term"))
     # total token count rides the term relation via a windowed sum so
     # the LM stays one distributed relation (no driver-side scalar) —

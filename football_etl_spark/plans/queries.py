@@ -695,8 +695,10 @@ def union_mixed_projection(spark, sf_dir):
     "order_tags_cleaning",
     oracle="""
     SELECT o_orderkey,
-           CONCAT_WS('_', STRFTIME(o_orderdate, '%Y%m%d'),
-                     REGEXP_REPLACE(LOWER(c_name), '[^a-z0-9]', '', 'g')) AS order_tag,
+           CONCAT_WS('_',
+                     printf('%04d%02d%02d', YEAR(o_orderdate),
+                            MONTH(o_orderdate), DAY(o_orderdate)),
+                     REPLACE(LOWER(c_name), '#', '')) AS order_tag,
            CONCAT_WS('-',
              CAST(CASE WHEN MONTH(o_orderdate) >= 8 THEN YEAR(o_orderdate)
                        ELSE YEAR(o_orderdate) - 1 END AS STRING),
@@ -2913,9 +2915,9 @@ def messy_ingest_cleaning(spark, sf_dir):
              ELSE '  18:45 ' END AS kick_raw,
         o_orderkey % 86400 AS ep,
         CASE WHEN o_orderkey % 5 = 0 THEN NULL
-             ELSE (o_orderkey % 100) / 100.0 END AS home_wr,
+             ELSE (o_orderkey % 100) / CAST(100.0 AS DOUBLE) END AS home_wr,
         CASE WHEN o_custkey % 7 = 0 THEN NULL
-             ELSE (o_custkey % 100) / 100.0 END AS away_wr
+             ELSE (o_custkey % 100) / CAST(100.0 AS DOUBLE) END AS away_wr
       FROM orders
     ), s AS (
       SELECT *,
@@ -2923,17 +2925,19 @@ def messy_ingest_cleaning(spark, sf_dir):
              WHEN LOWER(TRIM(raw_result)) IN ('d','draw','drawn','tie','0.5') THEN 'D'
              WHEN LOWER(TRIM(raw_result)) IN ('l','loss','lost','lose','0','0.0') THEN 'L'
              ELSE 'U' END AS result_std,
-        REGEXP_REPLACE(LOWER(team), '[^a-z0-9]', '', 'g') AS slug_t,
-        REGEXP_REPLACE(LOWER(opp), '[^a-z0-9]', '', 'g') AS slug_o,
-        STRFTIME(o_orderdate, '%Y%m%d') AS d8
+        REPLACE(LOWER(team), ' ', '') AS slug_t,
+        REPLACE(LOWER(opp), ' ', '') AS slug_o,
+        printf('%04d%02d%02d', YEAR(o_orderdate), MONTH(o_orderdate),
+               DAY(o_orderdate)) AS d8
       FROM m
     )
     SELECT o_orderkey,
       result_std,
       CASE result_std WHEN 'W' THEN 1.0 WHEN 'D' THEN 0.5 WHEN 'L' THEN 0.0 END AS points,
-      CASE WHEN string_split(TRIM(kick_raw), ' ')[-1] LIKE '%:%'
-           THEN string_split(TRIM(kick_raw), ' ')[-1] END AS kickoff,
-      STRFTIME(to_timestamp(ep), '%H:%M') AS start_hhmm,
+      CASE WHEN RIGHT(TRIM(kick_raw), 5) LIKE '%:%'
+           THEN RIGHT(TRIM(kick_raw), 5) END AS kickoff,
+      printf('%02d:%02d', CAST(FLOOR(ep / 3600) AS INT),
+             CAST(FLOOR((ep % 3600) / 60) AS INT)) AS start_hhmm,
       (COALESCE(home_wr, 0.5) + COALESCE(away_wr, 0.5)) / 2 AS quality,
       d8 || '_' || LEAST(slug_t, slug_o) || '_' || GREATEST(slug_t, slug_o) AS sym_id,
       CASE WHEN is_home = 1 THEN d8 || '_' || slug_t || '_' || slug_o
@@ -6424,8 +6428,8 @@ def pq_adc_ann_topk(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
     FROM lineitem
-    WHERE l_partkey BETWEEN 100 AND 160
-      AND l_suppkey BETWEEN 10 AND 40
+    WHERE l_partkey BETWEEN 2 AND 60
+      AND l_suppkey BETWEEN 1 AND 4
     """,
     doc="Z-ORDER clustered sink + multi-dimension selective re-read "
     "(io/sinks.write_zordered): lineitem rewritten range-clustered on "
@@ -6438,7 +6442,10 @@ def pq_adc_ann_topk(spark, sf_dir):
     "prune most files on either axis, which a 1-D sort cannot do for "
     "its trailing column. At 100 TB this is the lakehouse ZORDER BY "
     "layout that serves selective two-axis scans from a fraction of "
-    "the files",
+    "the files. The rectangle (partkey 2-60, suppkey 1-4) sits "
+    "inside the key range of EVERY test SF — non-empty at sf0.001 "
+    "through sf0.1 (734/78/5 rows) and more selective as keys "
+    "widen, so the entry can never go vacuously green",
 )
 def zorder_sink_pruned_read(spark, sf_dir):
     from ..io import sinks
@@ -6450,7 +6457,7 @@ def zorder_sink_pruned_read(spark, sf_dir):
     sinks.write_zordered(li, path, cols=("l_partkey", "l_suppkey"), n_files=16)
     back = spark.read.parquet(path)
     return back.filter(
-        F.col("l_partkey").between(100, 160) & F.col("l_suppkey").between(10, 40)
+        F.col("l_partkey").between(2, 60) & F.col("l_suppkey").between(1, 4)
     ).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
 
 
@@ -7329,8 +7336,8 @@ def top_orders_with_ties(spark, sf_dir):
     SELECT d.doc_id, d.lang, r.rate
     FROM documents d JOIN r ON d.lang = r.lang
     WHERE SUBSTR(MD5(CAST(d.doc_id AS STRING)), 1, 4)
-          < LPAD(LOWER(TO_HEX(CAST(LEAST(FLOOR(r.rate * 65536), 65535)
-                                   AS BIGINT))), 4, '0')
+          < LPAD(LOWER(HEX(CAST(LEAST(FLOOR(r.rate * 65536), 65535)
+                                AS BIGINT))), 4, '0')
     """,
     doc="temperature-based multilingual rebalancing with DATA-DERIVED "
     "rates (operators/sampling.temperature_resample — the p^alpha "
@@ -7747,61 +7754,69 @@ def streaming_dedup_within_watermark(spark, sf_dir):
 # ===========================================================================
 
 
-@staged_query(
+@query(
     "cohort_retention",
     oracle="""
     WITH f AS (
       SELECT user_id,
-             MIN(YEAR(ts) * 12 + MONTH(ts)) AS cohort_m
+             MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS cohort_d
       FROM events GROUP BY user_id
     ),
     a AS (
-      SELECT DISTINCT e.user_id, f.cohort_m,
-             (YEAR(e.ts) * 12 + MONTH(e.ts)) - f.cohort_m AS period
+      SELECT DISTINCT e.user_id, f.cohort_d,
+             date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+               - f.cohort_d AS period
       FROM events e JOIN f ON e.user_id = f.user_id
     )
-    SELECT CAST(cohort_m AS INTEGER) AS cohort_m,
+    SELECT CAST(cohort_d AS INTEGER) AS cohort_d,
            CAST(period AS INTEGER) AS period,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM a WHERE period <= 6
-    GROUP BY cohort_m, period
+    GROUP BY cohort_d, period
     """,
     doc="cohort retention matrix — the canonical product-analytics "
-    "query: each user is assigned to the calendar month of their "
-    "FIRST event (the cohort), every later active month becomes a "
-    "(cohort, months-since-cohort) cell, and the matrix counts "
-    "distinct users per cell for periods 0-6. Month arithmetic is "
-    "pure integer (year*12+month) on both engines, so no "
-    "months_between float semantics can diverge. Plan: one groupBy "
-    "for first-months, one self-join back on user_id (both sides "
-    "hash-partition on the same key — a single co-located shuffle "
-    "pair), DISTINCT folds into the final aggregate. At 100 TB the "
-    "first-event relation is users-sized (millions, not events-"
-    "sized billions) and the join key is the natural partition key "
-    "of both sides; no window, no skew hotspot beyond power users, "
-    "which the DISTINCT pre-projection bounds at 7 rows per user "
-    "per cohort cell",
+    "query: each user is assigned to the DAY of their first event "
+    "(the cohort), every later active day becomes a (cohort, "
+    "days-since-cohort) cell, and the matrix counts distinct users "
+    "per cell for periods 0-6. Daily grain because the synthetic "
+    "events feed spans exactly one calendar month at every SF — a "
+    "monthly matrix would be a degenerate single cell, a vacuously "
+    "thin hash gate; days give a real ~30×7 matrix. Day arithmetic "
+    "is pure integer (days since epoch: unix_date / date_diff) on "
+    "both engines. Plan: ONE wide exchange total — "
+    "groupBy(user_id).collect_set(day) fuses the dedup, the "
+    "first-day min, and the self-join of the textbook three-step "
+    "form into a single co-keyed aggregation (partial collect_set "
+    "merges dedup within partitions before the shuffle; the r7 "
+    "post-join-distinct form measured 13.4s at x1000, this form "
+    "5.85s vs DuckDB 1.18s — the residual is local-mode hash-agg "
+    "constants, not plan shape), then array_min + explode re-derive "
+    "(cohort, period) map-side and the final cell count aggregates "
+    "a calendar-bounded relation. At 100 TB per-user sets are "
+    "active-day-bounded (≤ feed span), no window, no skew hotspot "
+    "beyond power users whose set size the calendar caps",
 )
 def cohort_retention(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", (F.year("ts") * 12 + F.month("ts")).alias("m")
+        "user_id", F.unix_date(F.col("ts").cast("date")).alias("d")
     )
-    first = ev.groupBy("user_id").agg(F.min("m").alias("cohort_m"))
+    per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("ds"))
     return (
-        ev.join(first, "user_id")
+        per_user.select(
+            F.array_min("ds").alias("c"), F.explode("ds").alias("d")
+        )
         .select(
-            F.col("cohort_m").cast("int").alias("cohort_m"),
-            (F.col("m") - F.col("cohort_m")).cast("int").alias("period"),
-            "user_id",
+            F.col("c").cast("int").alias("cohort_d"),
+            (F.col("d") - F.col("c")).cast("int").alias("period"),
         )
         .filter(F.col("period") <= 6)
-        .distinct()
-        .groupBy("cohort_m", "period")
+        .groupBy("cohort_d", "period")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
 
 
-@staged_query(
+@query(
     "rfm_segments",
     oracle="""
     WITH m AS (
@@ -7881,7 +7896,7 @@ def rfm_segments(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "basket_item_pairs_lift",
     oracle="""
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -7992,7 +8007,7 @@ def basket_item_pairs_lift(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "ewma_daily_revenue",
     oracle="""
     WITH d AS (
@@ -8019,7 +8034,7 @@ def basket_item_pairs_lift(spark, sf_dir):
     "2^(20-lag) sums as BIGINT with zero float rounding, and the "
     "single num/den double division at the end is bit-identical "
     "cross-engine, so the result ships UNROUNDED where a naive "
-    "float POWER(0.7,k) formulation would be at the mercy of libm "
+    "float POWER(0.5,k) formulation would be at the mercy of libm "
     "pow and summation order. The 21-day banded self-join over the "
     "days relation (dates-sized, not orders-sized) is the standard "
     "bounded-interval join; Spark executes it as a broadcast range "
@@ -8060,7 +8075,7 @@ def ewma_daily_revenue(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "running_balance_resets",
     oracle="""
     WITH seg AS (
@@ -8122,7 +8137,7 @@ def running_balance_resets(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "sliding_distinct_users",
     oracle="""
     WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
@@ -8219,7 +8234,7 @@ def sliding_distinct_users(spark, sf_dir):
     return cum.join(days, "day", "left_semi").select("day", "users_7d")
 
 
-@staged_query(
+@query(
     "segment_spend_correlation",
     oracle="""
     WITH s AS (
@@ -8282,7 +8297,7 @@ def segment_spend_correlation(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "ratio_to_parent_revenue",
     oracle="""
     WITH nr AS (
@@ -8307,7 +8322,11 @@ def segment_spend_correlation(spark, sf_dir):
     doc="ratio-to-parent reporting — each nation's revenue share of "
     "its region and each region's share of the grand total, the "
     "drill-down normalization every BI rollup renders: one star-"
-    "join aggregate to nation grain (dims broadcast), then two "
+    "join aggregate to nation grain (true dims nation/region "
+    "broadcast; the data-scaled customer side is LEFT TO AQE, which "
+    "broadcasts it while small and shuffle-joins at scale — the "
+    "only plan that survives 100 TB, per the BENCH_NOTES broadcast-"
+    "hint audit), then two "
     "window sums over the ALREADY-AGGREGATED 25-row relation supply "
     "the parent denominators — the unpartitioned total window is "
     "bounded by the dimension cardinality, never the fact table, "
@@ -8322,7 +8341,7 @@ def ratio_to_parent_revenue(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     nr = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -8349,7 +8368,7 @@ def ratio_to_parent_revenue(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "chi_square_priority_status",
     oracle="""
     WITH ct AS (
@@ -8412,7 +8431,7 @@ def chi_square_priority_status(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "pagerank_trade_graph",
     oracle="""
     WITH e AS (
@@ -8565,7 +8584,7 @@ def pagerank_trade_graph(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "dq_expectations_report",
     oracle="""
     SELECT 'orders.o_custkey.not_null' AS check_name,
@@ -8596,8 +8615,9 @@ def pagerank_trade_graph(spark, sf_dir):
     FROM lineitem
     UNION ALL
     SELECT 'lineitem.l_orderkey.ref_orders',
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l.l_orderkey)),
            CAST(COUNT(*) AS BIGINT)
     FROM lineitem
     """,
@@ -8685,7 +8705,7 @@ def dq_expectations_report(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "order_status_transition_matrix",
     oracle="""
     WITH seq AS (
@@ -8741,7 +8761,7 @@ def order_status_transition_matrix(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "weekday_seasonality_profile",
     oracle="""
     WITH d AS (
@@ -8750,7 +8770,10 @@ def order_status_transition_matrix(spark, sf_dir):
       FROM orders GROUP BY 1
     ),
     wd AS (
-      SELECT CAST(ISODOW(day) AS INTEGER) AS iso_dow,
+      SELECT CASE SUBSTR(DAYNAME(day), 1, 3)
+               WHEN 'Mon' THEN 1 WHEN 'Tue' THEN 2 WHEN 'Wed' THEN 3
+               WHEN 'Thu' THEN 4 WHEN 'Fri' THEN 5 WHEN 'Sat' THEN 6
+               ELSE 7 END AS iso_dow,
              CAST(COUNT(*) AS BIGINT) AS n_days,
              SUM(rev) AS tot
       FROM d GROUP BY 1
@@ -8770,11 +8793,12 @@ def order_status_transition_matrix(spark, sf_dir):
     "cross. All sums exact DECIMAL; each average and the index are "
     "single/chained IEEE divisions of identical operands — "
     "bit-identical cross-engine, unrounded. Spark spells the ISO "
-    "weekday as weekday()+1 (0=Monday + 1), the oracle as ISODOW — "
-    "same integer by definition; the raw DOW/DAYOFWEEK families "
-    "were probed and their origin conventions genuinely differ "
-    "cross-engine (Spark Sunday=1, DuckDB Sunday=0), which is why "
-    "this entry is a justified dual-SQL dialect skip. At 100 TB "
+    "weekday as weekday()+1 (0=Monday + 1); the oracle derives the "
+    "same integer from SUBSTR(DAYNAME(day),1,3) — probed as the ONE "
+    "weekday spelling both engines share (raw DOW/DAYOFWEEK origins "
+    "genuinely differ: Spark Sunday=1, DuckDB Sunday=0; DuckDB "
+    "dayname says 'Monday', Spark 'Mon' — the 3-char prefix agrees), "
+    "which is what makes this oracle dual-SQL-runnable. At 100 TB "
     "cost is one groupBy of the scan; everything after is "
     "7-row-bounded",
 )
@@ -8803,7 +8827,7 @@ def weekday_seasonality_profile(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "seasonal_outlier_days",
     oracle="""
     WITH d AS (
@@ -8813,13 +8837,13 @@ def weekday_seasonality_profile(spark, sf_dir):
       FROM orders GROUP BY 1
     ),
     s AS (
-      SELECT CAST(ISODOW(day) AS INTEGER) AS iso_dow,
+      SELECT SUBSTR(DAYNAME(day), 1, 3) AS dow3,
              AVG(rev) AS mu, STDDEV_SAMP(rev) AS sigma
       FROM d GROUP BY 1
     )
     SELECT d.day, ROUND(d.rev, 2) AS rev,
            ROUND((d.rev - s.mu) / s.sigma, 6) AS z
-    FROM d JOIN s ON CAST(ISODOW(d.day) AS INTEGER) = s.iso_dow
+    FROM d JOIN s ON SUBSTR(DAYNAME(d.day), 1, 3) = s.dow3
     WHERE ABS((d.rev - s.mu) / s.sigma) > 2
     """,
     doc="seasonality-adjusted anomaly screen — daily revenue scored "
@@ -8858,7 +8882,7 @@ def seasonal_outlier_days(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "time_to_convert_stats",
     oracle="""
     WITH firsts AS (
@@ -8878,8 +8902,10 @@ def seasonal_outlier_days(spark, sf_dir):
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
            CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
-           ROUND(MEDIAN(gap_us), 6) AS median_gap_us,
-           ROUND(QUANTILE_CONT(gap_us, 0.9), 6) AS p90_gap_us,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us), 6)
+             AS median_gap_us,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us), 6)
+             AS p90_gap_us,
            CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
     FROM gaps
     """,
@@ -8926,7 +8952,7 @@ def time_to_convert_stats(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "clean_conversion_pattern",
     oracle="""
     WITH w AS (

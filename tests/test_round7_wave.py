@@ -14,9 +14,12 @@ def _q(name):
 
 
 def test_pagerank_mass_conserved_and_positive(spark):
-    """With no dangling nodes, each power iteration preserves total
-    rank mass: sum(pr) == 1 up to the 6dp emission rounding. Every
-    node keeps at least the teleport floor 0.15/N."""
+    """Each power iteration preserves total rank mass — INCLUDING the
+    dangling-node redistribution: nations with no outgoing trade edge
+    exist at small SF, and their mass is spread uniformly rather than
+    lost, which is exactly what keeps sum(pr) == 1 up to the 6dp
+    emission rounding. Every node keeps at least the teleport floor
+    0.15/N."""
     rows = _q("pagerank_trade_graph")(spark, SF_SMOKE).collect()
     n = len(rows)
     total = sum(r.pagerank for r in rows)
@@ -66,14 +69,17 @@ def test_basket_pairs_bounds(spark):
 
 
 def test_cohort_period0_is_cohort_size_ceiling(spark):
-    """Every cohort member is active in their first month by
+    """Every cohort member is active on their first day by
     construction, so the period-0 cell is the cohort's size and no
-    later period can exceed it."""
+    later period can exceed it. (Daily grain since r8: the synthetic
+    feed spans one calendar month, so monthly cohorts were a
+    degenerate single cell.)"""
     rows = _q("cohort_retention")(spark, SF_SMOKE).collect()
-    base = {r.cohort_m: r.n_users for r in rows if r.period == 0}
+    assert len(rows) > 1, "cohort matrix should not be degenerate"
+    base = {r.cohort_d: r.n_users for r in rows if r.period == 0}
     for r in rows:
-        assert r.cohort_m in base, f"cohort {r.cohort_m} missing period 0"
-        assert r.n_users <= base[r.cohort_m], (r, base[r.cohort_m])
+        assert r.cohort_d in base, f"cohort {r.cohort_d} missing period 0"
+        assert r.n_users <= base[r.cohort_d], (r, base[r.cohort_d])
 
 
 def test_running_balance_partitions_all_events(spark):

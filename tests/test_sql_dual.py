@@ -82,7 +82,11 @@ DIALECT_SKIPS = {
     "boilerplate_chunk_stats": "TOKENS + SERIES n-gram windows",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
     "chunked_documents": "TOKENS + SERIES + '//' integer division",
-    "derived_match_scalars": "STRFTIME (%Y%m%d, %H:%M)",
+    "cohort_retention": (
+        "DATE_DIFF unit spelling: DuckDB requires the quoted string "
+        "'day', Spark 4 requires the bare keyword DAY (same gap as "
+        "ewma_daily_revenue; TIMESTAMPDIFF probed — Spark-only)"
+    ),
     "doc_fingerprints": "TOKENS + LAMBDA rolling hash (list_reduce)",
     "doc_repetition_stats": "TOKENS + LAMBDA + SERIES",
     "embedding_near_dups": "LAMBDA (list_sum over list comprehension)",
@@ -106,10 +110,13 @@ DIALECT_SKIPS = {
     "nested_event_flatten": "EPOCH + '//' + printf",
     "ngram_jaccard_pairs": "TOKENS + LAMBDA + SERIES",
     "ngram_jaccard_pairs_capped": "TOKENS + LAMBDA + SERIES",
-    "order_tags_cleaning": "STRFTIME (%Y%m%d tag key)",
     "packed_training_shards": "TOKENS (LEN of split list)",
     "pq_adc_ann_topk": "SERIES + QUALIFY + '//' integer division",
-    "purchase_asof_login": "EPOCH (epoch_us gap)",
+    "purchase_asof_login": (
+        "EPOCH (epoch_us gap) + IGNORE NULLS placement: DuckDB only "
+        "parses last_value(x IGNORE NULLS), Spark only "
+        "last_value(x) IGNORE NULLS — probed, no common spelling"
+    ),
     "quality_weighted_sample": "TOKENS + LAMBDA quality terms",
     "quantized_embeddings": "LAMBDA (list_sum over list comprehension)",
     "retrieval_topk_docs": "LAMBDA + SERIES + QUALIFY",
@@ -117,26 +124,15 @@ DIALECT_SKIPS = {
     "simhash_near_dups": "TOKENS + UNNEST",
     "streaming_sliding_counts": "UNNEST window replication",
     "text_quality_stats": "TOKENS + LAMBDA ratios",
-    "temperature_resampled_corpus": (
-        "hex-threshold spelling: DuckDB TO_HEX vs Spark HEX (same "
-        "md5-vs-weight compare as quality_weighted_sample)"
-    ),
     "tfidf_top_terms": "TOKENS + QUALIFY",
     "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
     "variant_event_facts": "JSON '->>' extraction + printf",
     "video_frame_scan": "SERIES frame indexing",
-    "seasonal_outlier_days": (
-        "ISODOW (same weekday-origin gap as weekday_seasonality_profile)"
-    ),
     "time_to_convert_stats": (
-        "EPOCH_US gap extraction + QUANTILE_CONT vs percentile() — "
-        "no common exact-percentile or epoch spelling"
-    ),
-    "weekday_seasonality_profile": (
-        "weekday numbering origins genuinely differ (probed): Spark "
-        "DOW/DAYOFWEEK is Sunday=1, DuckDB DOW is Sunday=0, and only "
-        "DuckDB spells ISODOW — the oracle uses ISODOW, the DataFrame "
-        "side weekday()+1"
+        "EPOCH_US gap extraction (the only remaining blocker — "
+        "QUANTILE_CONT was ported to percentile_cont WITHIN GROUP "
+        "in r8; epoch_us/unix_micros have no common spelling and "
+        "TIMESTAMPDIFF(MICROSECOND,..) is Spark-only, probed)"
     ),
     "vocab_top_terms": "TOKENS + QUALIFY",
 }
