@@ -825,3 +825,80 @@ def canonical_docs(
         .filter(F.col("__rn") == 1)
         .select(id_col, "cluster_id", "cluster_size")
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+) -> DataFrame:
+    """Per-document repeated-span coverage — the exact-substring-dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", the suffix-array half), re-expressed at
+    fixed token grain so it distributes: a span is an ``span_n``-token
+    window; a span is DUPLICATED if the identical window occurs
+    anywhere else in the corpus (another doc, or again in the same
+    doc). Emits per doc the window count, the duplicated-window
+    count, and their ratio — the quantity pipelines threshold to drop
+    or trim boilerplate-heavy documents.
+
+    Plan: tokenize once, slide the n-token window map-side (sequence +
+    transform — no explode of single tokens), explode the windows,
+    hash them to a compact key, then ONE shuffle on the span key with
+    a window count(*) tags every occurrence with its corpus frequency
+    in place — no separate frequency relation and no join back (the
+    first cut's groupBy(span) + semi-join shuffled the exploded span
+    stream TWICE and re-ran the explode for both sides; measured 3.8x
+    behind DuckDB at x100, the window form removes a full pass) — and
+    one fused doc groupBy counts total and duplicated windows
+    together. Docs shorter than ``span_n`` tokens have zero windows
+    and NULL ratio, restored by a docs-sized left join. Unlike the
+    pair-join dedup family there is NO d² fan-out anywhere —
+    occurrence counting is linear in corpus tokens and a hot
+    boilerplate span costs one heavy window partition, not a
+    quadratic join — so no df-cap is needed (the reason
+    ngram_jaccard_pairs caps and this operator does not).
+
+    Spans are keyed by xxhash64, internal-only (never emitted), same
+    collision argument as ngram_jaccard_pairs."""
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    toked = src.select(id_col, tokens(text_col).alias("__t"))
+    win = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (span_n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__t", i, span_n))),
+    )
+    spans = toked.select(
+        id_col,
+        F.explode(
+            F.when(F.size("__t") >= span_n, win).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("s"),
+    )
+    freq = Window.partitionBy("s")
+    per_doc = (
+        spans.withColumn("df", F.count(F.lit(1)).over(freq))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans_nz"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    totals = toked.select(
+        id_col,
+        F.greatest(F.size("__t") - (span_n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"),
+        ).alias("dup_ratio"),
+    )

@@ -1216,3 +1216,60 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k_top)
         .select("query_id", "rank", id_col, "adc_d2")
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Gram matrix X'X over an embedding column — the
+    building block of PCA / covariance / whitening at corpus scale
+    (the reference has no linear-algebra surface; this is the
+    LLM-pipeline extension the embeddings table exists for).
+
+    Embeddings are first quantized to integers q = floor(x * scale)
+    so every partial sum is EXACT int64 arithmetic — floor (not
+    round) because floor of an identical double is deterministic on
+    any engine, with no half-way tie semantics to align. Each Arrow
+    batch computes its full dim×dim partial Gram with one BLAS
+    matmul and emits dim*(dim+1)/2 upper-triangle rows; a final
+    groupBy(i, j) sums the partials.
+
+    100 TB shape: the shuffle volume is n_batches × dim² ROWS —
+    independent of the corpus row count — and the reduce side is
+    dim²-bounded. This is the canonical map-side-matmul/reduce-sum
+    covariance; the N×dim data never shuffles at all. Overflow
+    headroom: |q| ≤ scale, so each partial entry is ≤ batch_rows ×
+    scale², and the global sum fits int64 up to ~9e12 corpus rows at
+    scale=1000.
+
+    The worker closure is fully self-contained (numpy/pandas only,
+    no package imports) per the driver-contract rule: executors may
+    not have this repo on PYTHONPATH."""
+    d, sc = int(dim), int(scale)
+
+    def op(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        iu = _np.triu_indices(d)
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None and len(v) == d]
+            if not vecs:
+                continue
+            q = _np.floor(
+                _np.asarray(vecs, dtype=_np.float64) * sc
+            ).astype(_np.int64)
+            g = q.T @ q  # exact: int64 matmul
+            yield _pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "partial": g[iu],
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(op, "i int, j int, partial long")
+    return part.groupBy("i", "j").agg(F.sum("partial").alias("g"))

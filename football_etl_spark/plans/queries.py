@@ -9027,6 +9027,497 @@ def clean_conversion_pattern(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------- r8 wave
+
+
+@staged_query(
+    "streaming_static_enrichment",
+    oracle="""
+    WITH dim(k, category) AS (
+      VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'revenue'), ('login', 'session')
+    )
+    SELECT COALESCE(d.category, e.event_type) AS category,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events e LEFT JOIN dim d ON d.k = e.event_type
+    GROUP BY 1
+    """,
+    doc="STREAM-STATIC enrichment join driven as a real stream — the "
+    "one canonical Structured Streaming join family the streaming "
+    "tier did not yet cover (stream-stream interval join is a "
+    "separate entry): the events feed re-read as a 3-file "
+    "file-source stream, left-joined per micro-batch against a "
+    "static broadcast dictionary (streaming/incremental."
+    "stream_static_enriched_totals), aggregated to per-category "
+    "running totals in complete mode with availableNow catch-up. "
+    "Unmatched event types coalesce to themselves, same contract as "
+    "the batch lookup join (event_category_lookup). Hash-equality "
+    "against the batch oracle certifies stream/batch parity for the "
+    "join+agg composition. At 100 TB the dictionary rides the "
+    "broadcast, the stream never shuffles for the join, and "
+    "aggregate state is category-bounded",
+)
+def streaming_static_enrichment(spark, sf_dir):
+    import os
+    import re
+
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    root = _fresh_tmp_root(spark, "sse", sf_dir)
+    feed = f"{root}/feed"
+    ev.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = incremental.read_event_stream(spark, feed, ev.schema)
+    dim = similarity._literal_rows_df(
+        spark,
+        [
+            {"k": "click", "category": "engagement"},
+            {"k": "view", "category": "engagement"},
+            {"k": "purchase", "category": "revenue"},
+            {"k": "login", "category": "session"},
+        ],
+        "k: string, category: string",
+    )
+    agg = incremental.stream_static_enriched_totals(stream, dim)
+    name = "fes_sse_" + re.sub(r"\W+", "_", f"{os.getpid()}_{sf_dir.rstrip('/')}")
+    tbl = incremental.run_available_now(agg, name, f"{root}/ckpt")
+    return tbl.select("category", "n", "total_value")
+
+
+@staged_query(
+    "join_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS total_pairs,
+             CAST(SUM(n) AS BIGINT) AS total_rows
+      FROM c
+    )
+    SELECT c.user_id, c.n, CAST(c.n * c.n AS BIGINT) AS pairs,
+           t.total_pairs, t.total_rows
+    FROM c CROSS JOIN tot t
+    ORDER BY c.n DESC, c.user_id
+    LIMIT 10
+    """,
+    doc="pre-join cardinality + skew profiler — the plan-sanity tool "
+    "this repo's own PLAN_AUDIT discipline automates: for a "
+    "prospective self-join of events on user_id, per-key count "
+    "products give the EXACT join output size before running it, "
+    "and the heaviest keys (deterministic top-10: pairs desc, "
+    "user_id tiebreak) name the skew hotspots that would need "
+    "salting. Emits the per-key profile with the grand totals "
+    "(total_pairs = the join's output cardinality, total_rows = "
+    "input) carried on every row via a 1-row broadcast cross. One "
+    "groupBy of the scan; top-10 via orderBy+limit, which Spark "
+    "plans as TakeOrderedAndProject — per-partition heaps + a "
+    "10-row driver merge, NEVER a global sort or single-reducer "
+    "window, which is what keeps the profiler itself safe on a "
+    "billion-key table",
+)
+def join_skew_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("total_pairs"),
+        F.sum("n").cast("long").alias("total_rows"),
+    )
+    return (
+        c.withColumn("pairs", (F.col("n") * F.col("n")).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@staged_query(
+    "trend_slope_by_market",
+    oracle="""
+    WITH b AS (
+      SELECT n_name,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS DECIMAL(18,0)) AS x,
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  AS DECIMAL(18,0)) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ),
+    s AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM b GROUP BY n_name
+    )
+    SELECT n_name, n_orders,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_day,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept_cents,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+    doc="per-group OLS trend (closed-form simple linear regression of "
+    "order value in cents on days-since-epoch, one line per nation "
+    "market): slope, intercept, and r-squared from the five "
+    "co-moment sums — the grouped-regression pattern every "
+    "metric-drift monitor runs, and the natural extension of the "
+    "segment_spend_correlation co-moment family. Exactness: x and y "
+    "are integers summed as DECIMAL(18,0)->DECIMAL(38,0), so all "
+    "five sums are EXACT and partition-order-independent; each sum "
+    "is then cast once to double and the derived metrics use the "
+    "IDENTICAL expression tree on both engines — every double op "
+    "consumes identical operands in the same order, so slope/"
+    "intercept/r2 ship bit-identical UNROUNDED. Plan: co-moments "
+    "are ADDITIVE, so they pre-aggregate per customer BEFORE the "
+    "customer join — and the ORDERS-SIZED pass runs entirely in "
+    "compact LONG arithmetic (whole-stage codegen; Spark decimals "
+    "above precision 18 fall off the compact representation into "
+    "BigDecimal, measured as THE cost: the all-decimal forms ran "
+    "2.8-3.2s at x100 vs DuckDB 0.2s whether or not they "
+    "pre-aggregated). Per-customer long partials are overflow-safe "
+    "while a customer has < ~2,500 orders at current price scale "
+    "(sum(y*y) per customer vs the int64 ceiling — ANSI mode makes "
+    "a breach a loud error, never silent wraparound); the partials "
+    "are then cast to DECIMAL(38,0) for the nation-level "
+    "re-aggregate (customers-sized, exact, order-independent), one "
+    "customer-sized join, broadcast nation, 25-row output. At 100 "
+    "TB the only orders-sized work is the map-side-combined long "
+    "groupBy",
+)
+def trend_slope_by_market(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("x").alias("psx"),
+        F.sum("y").alias("psy"),
+        F.sum(F.col("x") * F.col("y")).alias("psxy"),
+        F.sum(F.col("x") * F.col("x")).alias("psxx"),
+        F.sum(F.col("y") * F.col("y")).alias("psyy"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    b = per_cust.join(c, per_cust.o_custkey == c.c_custkey).join(
+        nat, c.c_nationkey == nat.n_nationkey
+    )
+    dec = "decimal(38,0)"
+    s = b.groupBy("n_name").agg(
+        F.sum(F.col("pn").cast(dec)).cast("double").alias("n"),
+        F.sum(F.col("psx").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("psy").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("psxy").cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.col("psxx").cast(dec)).cast("double").alias("sxx"),
+        F.sum(F.col("psyy").cast(dec)).cast("double").alias("syy"),
+        F.sum("pn").cast("long").alias("n_orders"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    return s.select(
+        "n_name",
+        "n_orders",
+        (num / denx).alias("slope_cents_per_day"),
+        ((sy - num / denx * sx) / n).alias("intercept_cents"),
+        ((num * num) / (denx * deny)).alias("r2"),
+    )
+
+
+@staged_query(
+    "rolling_median_spend",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS di,
+             CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, day,
+           CAST(c AS DOUBLE) / 100.0 AS spend,
+           MEDIAN(c) OVER (PARTITION BY o_custkey ORDER BY di
+                           RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+             / 100.0 AS med_90d
+    FROM d
+    """,
+    doc="rolling 90-day MEDIAN of daily spend per customer — the "
+    "robust twin of rolling_customer_metrics' mean/sum (an order-"
+    "statistic a single whale order cannot drag, which is exactly "
+    "why ops dashboards prefer it): per-customer daily rollup in "
+    "exact cents, then percentile(0.5) over a RANGE frame keyed on "
+    "the integer day number, so calendar gaps are honored without a "
+    "densify step. Exactness: the window contains exact BIGINT "
+    "cents; both engines interpolate the even-count median as the "
+    "midpoint of two integers — exact in double — and the final "
+    "/100.0 is one identical division, shipped unrounded. At 100 TB "
+    "this is one shuffle on o_custkey (the partition key), per-"
+    "customer frames are days-bounded; the window recomputes the "
+    "frame per row (O(days x 90)) which the calendar caps — no "
+    "global sort, no cross-customer state",
+)
+def rolling_median_spend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    # one exchange serves both stages: hash-partitioning on o_custkey
+    # alone satisfies the daily rollup's clustering requirement on
+    # (o_custkey, di) — same key's rows are co-located — AND the
+    # window's partitionBy(o_custkey), so neither adds a shuffle
+    # (plan-asserted in tests/test_plans.py)
+    d = (
+        o.select(
+            "o_custkey",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("di"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cts"),
+        )
+        .repartition("o_custkey")
+        .groupBy("o_custkey", "di")
+        .agg(F.sum("cts").alias("c"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("di")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return d.select(
+        "o_custkey",
+        F.date_from_unix_date("di").alias("day"),
+        (F.col("c").cast("double") / 100.0).alias("spend"),
+        (F.percentile("c", F.lit(0.5)).over(w) / 100.0).alias("med_90d"),
+    )
+
+
+@staged_query(
+    "duplicate_span_stats",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    w AS (
+      SELECT doc_id, toks,
+             CASE WHEN LEN(toks) >= 8
+                  THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 7),
+                                      i -> ARRAY_TO_STRING(toks[i:i+7], ' '))
+                  ELSE [] END AS wins
+      FROM toks_cte
+    ),
+    sp AS (SELECT doc_id, UNNEST(wins) AS s FROM w),
+    dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) >= 2),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM sp JOIN dup USING (s) GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(GREATEST(LEN(w.toks) - 7, 0) AS BIGINT) AS n_spans,
+           COALESCE(p.n_dup, 0) AS n_dup_spans,
+           CASE WHEN LEN(w.toks) - 7 > 0
+                THEN COALESCE(p.n_dup, 0)
+                     / CAST(LEN(w.toks) - 7 AS BIGINT) END AS dup_ratio
+    FROM w LEFT JOIN per p ON w.doc_id = p.doc_id
+    """,
+    doc="per-document repeated-span coverage (operators/dedup."
+    "duplicate_span_stats) — the exact-substring-dedup signal of "
+    "Lee et al. 2022 at fixed 8-token grain: a window duplicated "
+    "ANYWHERE in the corpus (another doc or the same one) marks "
+    "redundant text; the per-doc duplicated-window ratio is what "
+    "pipelines threshold to drop or trim boilerplate. Plan: "
+    "tokenize once, slide windows map-side (sequence+transform — "
+    "single-token rows never exist), one span groupBy for corpus "
+    "occurrence counts, one semi-join back, one doc groupBy — "
+    "linear end to end, NO d-squared pair fan-out (the reason this "
+    "needs no df-cap while ngram_jaccard_pairs does). Spans joined "
+    "by xxhash64, internal-only; the oracle joins the literal "
+    "strings, so hash-equality also certifies collision-freeness "
+    "on this corpus. Ratio is one identical long/long->double "
+    "division, NULL for docs shorter than 8 tokens",
+)
+def duplicate_span_stats(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return dedup.duplicate_span_stats(d, span_n=8)
+
+
+@staged_query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT LIST_TRANSFORM(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000)
+                                      AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+    )
+    SELECT i, j, CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS g
+    FROM q, GENERATE_SERIES(1, 64) AS s1(i), GENERATE_SERIES(1, 64) AS s2(j)
+    WHERE i <= j
+    GROUP BY i, j
+    """,
+    doc="distributed Gram matrix X'X over the embedding corpus "
+    "(operators/similarity.gram_matrix) — the building block of "
+    "PCA / covariance / whitening at corpus scale: embeddings "
+    "quantized q = floor(x*1000) so every partial is EXACT int64 "
+    "(floor, not round — no half-way tie semantics to align "
+    "cross-engine), each Arrow batch computes its full 64x64 "
+    "partial with one integer matmul and emits only the 2080 "
+    "upper-triangle cells, a final groupBy(i,j) sums partials. The "
+    "oracle recomputes the same integer sums via the d-squared "
+    "UNNEST fan-out — fine at gate SF, and exactly the plan the "
+    "Spark side exists to avoid: its shuffle volume is n_batches x "
+    "d-squared ROWS, independent of corpus size (the N x d data "
+    "never shuffles), which is what makes the operator viable at "
+    "100 TB where the fan-out form moves N x d-squared rows",
+)
+def embedding_gram_matrix(spark, sf_dir):
+    e = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    src = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    return similarity.gram_matrix(src, vec_col="embedding", dim=64, scale=1000)
+
+
+@staged_query(
+    "dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END
+                AS INT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="DYNAMIC partition overwrite — the lakehouse partial-refresh "
+    "semantic (Spark's partitionOverwriteMode=dynamic; Hive's "
+    "INSERT OVERWRITE ... PARTITION): orders land date-partitioned "
+    "by priority tagged batch=1, then ONLY the 1-URGENT partition "
+    "is rewritten tagged batch=2 with mode('overwrite') — dynamic "
+    "mode replaces exactly the partitions present in the incoming "
+    "write and MUST leave the other four untouched (static "
+    "overwrite, the default, would truncate the whole table first "
+    "— the classic data-loss footgun this entry pins). The re-read "
+    "aggregate hash-matches the expected final state: every "
+    "non-urgent row still batch=1, every urgent row batch=2, "
+    "counts and exact DECIMAL totals intact. At 100 TB this is the "
+    "daily-refresh idiom: rewrite one day's partition in place "
+    "without listing or rewriting the other 3650",
+)
+def dynamic_partition_overwrite(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = _fresh_tmp_root(spark, "dpo", sf_dir)
+    path = f"{root}/orders_by_priority"
+    o.withColumn("batch", F.lit(1)).write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(path)
+    upd = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "batch", F.lit(2)
+    )
+    upd.write.partitionBy("o_orderpriority").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@staged_query(
+    "mad_outlier_customers",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (SELECT MEDIAN(c) AS med FROM v),
+    a AS (SELECT MEDIAN(ABS(c - m.med)) AS mad FROM v, m),
+    z AS (
+      SELECT o_custkey,
+             CAST(c AS DOUBLE) / 100.0 AS lifetime_value,
+             CAST(0.6745 AS DOUBLE) * (c - m.med) / a.mad AS rz
+      FROM v, m, a
+    )
+    SELECT o_custkey, lifetime_value, rz AS robust_z
+    FROM z WHERE ABS(rz) > 3.0
+    """,
+    doc="median-absolute-deviation outlier screen (the Iglewicz-"
+    "Hoaglin modified z-score, |0.6745(x-med)/MAD| > 3.0) over "
+    "per-customer lifetime spend — the ROBUST counterpart of "
+    "seasonal_outlier_days' mean/stddev z-scores: medians are what "
+    "outliers cannot drag, so the screen still works when the "
+    "contamination itself inflates the moments. Screens the "
+    "per-customer SUM, not raw order prices: the synthetic price "
+    "column is bounded-uniform (measured max modified z 1.35 at "
+    "every SF — a screen there could never fire, a vacuous gate), "
+    "while summed lifetime spend has a real tail (1/8/86 flagged "
+    "at sf0.001/0.01/0.1 with the 3.0 cut, the published "
+    "lower-bound variant of the 3.5 rule, chosen so the entry is "
+    "non-vacuous at the smallest SF). Exactness: both medians "
+    "interpolate over exact integer cents (midpoint-of-two-ints is "
+    "exact in double), and the modified z is the IDENTICAL double "
+    "expression tree on both engines over identical operands — "
+    "shipped unrounded; the cut sits on continuous data far from "
+    "any representability boundary. Scale note, same contract as "
+    "equi_depth_histogram: the exact global median is a documented "
+    "1-reducer percentile — correct-by-construction for the gate, "
+    "while approx_percentile_profile (sketches.py) is the 100 TB "
+    "path and this entry's docstring is where that trade is "
+    "recorded. The two 1-row median relations ride broadcast "
+    "crosses, so the scan side stays fully parallel",
+)
+def mad_outlier_customers(spark, sf_dir):
+    v = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "c"
+            )
+        )
+    )
+    m = v.agg(F.percentile("c", F.lit(0.5)).alias("med"))
+    a = (
+        v.crossJoin(F.broadcast(m))
+        .select(F.abs(F.col("c") - F.col("med")).alias("ad"))
+        .agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    )
+    z = (
+        v.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(a))
+        .select(
+            "o_custkey",
+            (F.col("c").cast("double") / 100.0).alias("lifetime_value"),
+            (
+                F.lit(0.6745).cast("double")
+                * (F.col("c") - F.col("med"))
+                / F.col("mad")
+            ).alias("rz"),
+        )
+    )
+    return z.filter(F.abs(F.col("rz")) > 3.0).select(
+        "o_custkey", "lifetime_value", F.col("rz").alias("robust_z")
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

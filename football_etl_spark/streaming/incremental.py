@@ -521,3 +521,38 @@ def interval_stream_join(
         f" AND {rp}{right_ts} <= {_shifted(upper_s)}"
     )
     return l.join(r, cond, "inner")
+
+
+def stream_static_enriched_totals(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "event_type",
+    dim_key: str = "k",
+    value_col: str = "category",
+) -> DataFrame:
+    """Stream-static enrichment join + running totals — the canonical
+    Structured Streaming dimension-lookup pattern (the one join family
+    the streaming tier did not yet cover; stream-STREAM interval join
+    is a separate entry). The static side is broadcast to every
+    micro-batch; unmatched keys coalesce to themselves (same contract
+    as operators/joins.lookup_join). Stateless join + a global
+    aggregation: no watermark is needed for correctness because the
+    aggregate is keyed by the low-cardinality category, and complete
+    output mode re-emits the full (small) result each batch.
+
+    100 TB shape: the static side is dictionary-sized and rides the
+    broadcast; the stream never shuffles for the join — only the
+    category-keyed aggregate state exists, bounded by the dictionary
+    cardinality."""
+    joined = stream.join(
+        F.broadcast(dim), stream[key] == dim[dim_key], "left"
+    ).select(
+        F.coalesce(dim[value_col], stream[key]).alias("category"),
+        stream["value"],
+    )
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )

@@ -574,3 +574,41 @@ def test_point_in_time_join_equi_key_with_range_residual(spark):
     plan = plan_str((REGISTRY.get("point_in_time_state_join") or STAGED["point_in_time_state_join"]).fn(spark, SF_SMOKE), "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "Join" in plan and "user_id" in plan, plan
+
+
+def test_rolling_median_single_exchange(spark):
+    """rolling_median_spend: one hash exchange on o_custkey serves
+    BOTH the daily rollup (clustering on (o_custkey, di) is satisfied
+    by partitioning on o_custkey alone) and the window's
+    partitionBy — the r8 plan contract its docstring claims."""
+    from football_etl_spark.plans.queries import REGISTRY, STAGED
+
+    qd = REGISTRY.get("rolling_median_spend") or STAGED["rolling_median_spend"]
+    plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_gram_matrix_shuffle_is_dim_bounded(spark):
+    """embedding_gram_matrix: the only exchange is the dim²-row
+    partial-sum groupBy downstream of mapInPandas — the N×d data
+    itself must never shuffle (no exchange between the scan and the
+    Python stage)."""
+    from football_etl_spark.plans.queries import REGISTRY, STAGED
+
+    qd = REGISTRY.get("embedding_gram_matrix") or STAGED["embedding_gram_matrix"]
+    plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan, plan
+    # the hash exchange must sit ABOVE the Python stage (partials),
+    # not below it (which would shuffle the full embedding corpus)
+    assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas"), plan
+
+
+def test_join_skew_profile_take_ordered(spark):
+    """join_skew_profile's top-10 must plan as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort."""
+    from football_etl_spark.plans.queries import REGISTRY, STAGED
+
+    qd = REGISTRY.get("join_skew_profile") or STAGED["join_skew_profile"]
+    plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -87,6 +87,19 @@ DIALECT_SKIPS = {
         "'day', Spark 4 requires the bare keyword DAY (same gap as "
         "ewma_daily_revenue; TIMESTAMPDIFF probed — Spark-only)"
     ),
+    "duplicate_span_stats": "TOKENS + LAMBDA + SERIES window build",
+    "embedding_gram_matrix": (
+        "LAMBDA quantization + SERIES index fan-out + DuckDB "
+        "list-subscript qv[i]"
+    ),
+    "rolling_median_spend": (
+        "DATE_DIFF unit spelling (day-number RANGE key — same gap as "
+        "cohort_retention/ewma_daily_revenue)"
+    ),
+    "trend_slope_by_market": (
+        "DATE_DIFF unit spelling (days-since-epoch regressor — same "
+        "gap as cohort_retention/ewma_daily_revenue)"
+    ),
     "doc_fingerprints": "TOKENS + LAMBDA rolling hash (list_reduce)",
     "doc_repetition_stats": "TOKENS + LAMBDA + SERIES",
     "embedding_near_dups": "LAMBDA (list_sum over list comprehension)",
