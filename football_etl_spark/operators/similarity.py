@@ -1273,3 +1273,58 @@ def gram_matrix(
 
     part = df.select(vec_col).mapInPandas(op, "i int, j int, partial long")
     return part.groupBy("i", "j").agg(F.sum("partial").alias("g"))
+
+
+def pca_top_component(
+    gram_df: DataFrame,
+    dim: int = 64,
+    n_iter: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top principal axis from a Gram matrix by DETERMINISTIC power
+    iteration — the eigen step of distributed PCA: the corpus-sized
+    work (the Gram matrix, see gram_matrix) is already reduced to a
+    dim×dim relation, so the iteration is dimension-sized driver
+    control-plane, the same contract as IVF's k-means centroids.
+
+    Determinism spec (so a SQL oracle can replay it literally): start
+    from the all-ones vector; each step computes w = G·v in float64,
+    max-normalizes (divide by max|w| — no sqrt, so no libm variance),
+    and ROUNDS each component to ``round_to`` dp half-away-from-zero
+    before the next multiply. The rounding quantizes away the last-bit
+    noise of differing summation orders (numpy's pairwise dot vs a SQL
+    SUM's arbitrary order), which is what makes the loadings
+    hash-comparable cross-engine — the identical discipline the PQ-ADC
+    and trained-IVF entries use. n_iter is part of the spec, not a
+    convergence knob (the pagerank entry's unrolled-supersteps
+    precedent).
+
+    Returns a dim-row (i, loading) relation as a pure-JVM literal
+    plan; the only Spark job run here is collecting the dim²-row Gram
+    upper triangle."""
+    import numpy as np
+
+    d = int(dim)
+    rows = gram_df.collect()  # dim*(dim+1)/2 rows — control-plane
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+        G[r["j"] - 1, r["i"] - 1] = r["g"]
+
+    def rnd(x):
+        # half-away-from-zero at round_to dp (SQL ROUND semantics;
+        # numpy.round is banker's and would diverge on exact halves)
+        q = 10.0**round_to
+        return np.sign(x) * np.floor(np.abs(x) * q + 0.5) / q
+
+    w = G.sum(axis=1)  # G @ ones
+    for _ in range(n_iter - 1):
+        v = rnd(w / np.abs(w).max())
+        w = G @ v
+    loading = rnd(w / np.abs(w).max())
+    spark = gram_df.sparkSession
+    return _literal_rows_df(
+        spark,
+        [{"i": i + 1, "loading": float(loading[i])} for i in range(d)],
+        "i: int, loading: double",
+    )

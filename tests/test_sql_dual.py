@@ -88,6 +88,14 @@ DIALECT_SKIPS = {
         "ewma_daily_revenue; TIMESTAMPDIFF probed — Spark-only)"
     ),
     "duplicate_span_stats": "TOKENS + LAMBDA + SERIES window build",
+    "negative_sampling_pairs": (
+        "SERIES draw fan-out: UNNEST(GENERATE_SERIES(1,2)) vs "
+        "explode(array(...)) — no common spelling"
+    ),
+    "pca_top_component": (
+        "LAMBDA quantization + SERIES Gram fan-out + DuckDB "
+        "list-subscript qv[i] (same blockers as embedding_gram_matrix)"
+    ),
     "embedding_gram_matrix": (
         "LAMBDA quantization + SERIES index fan-out + DuckDB "
         "list-subscript qv[i]"
