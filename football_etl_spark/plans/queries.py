@@ -9032,7 +9032,7 @@ def clean_conversion_pattern(spark, sf_dir):
 # ---------------------------------------------------------------- r8 wave
 
 
-@staged_query(
+@query(
     "streaming_static_enrichment",
     oracle="""
     WITH dim(k, category) AS (
@@ -9088,7 +9088,7 @@ def streaming_static_enrichment(spark, sf_dir):
     return tbl.select("category", "n", "total_value")
 
 
-@staged_query(
+@query(
     "join_skew_profile",
     oracle="""
     WITH c AS (
@@ -9136,7 +9136,7 @@ def join_skew_profile(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "trend_slope_by_market",
     oracle="""
     WITH b AS (
@@ -9243,7 +9243,7 @@ def trend_slope_by_market(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "rolling_median_spend",
     oracle="""
     WITH d AS (
@@ -9306,7 +9306,7 @@ def rolling_median_spend(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "duplicate_span_stats",
     oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
@@ -9353,7 +9353,7 @@ def duplicate_span_stats(spark, sf_dir):
     return dedup.duplicate_span_stats(d, span_n=8)
 
 
-@staged_query(
+@query(
     "embedding_gram_matrix",
     oracle="""
     WITH q AS (
@@ -9391,7 +9391,7 @@ def embedding_gram_matrix(spark, sf_dir):
     return similarity.gram_matrix(src, vec_col="embedding", dim=64, scale=1000)
 
 
-@staged_query(
+@query(
     "dynamic_partition_overwrite",
     oracle="""
     SELECT o_orderpriority,
@@ -9440,7 +9440,7 @@ def dynamic_partition_overwrite(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "mad_outlier_customers",
     oracle="""
     WITH v AS (
@@ -9520,7 +9520,7 @@ def mad_outlier_customers(spark, sf_dir):
 
 
 
-@staged_query(
+@query(
     "negative_sampling_pairs",
     oracle="""
     WITH pos AS (
@@ -9621,7 +9621,7 @@ _RESCUE_CSV_LINES = (
 )
 
 
-@staged_query(
+@query(
     "csv_corrupt_rescue",
     oracle="""
     SELECT * FROM (VALUES
@@ -9675,7 +9675,7 @@ def csv_corrupt_rescue(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "psi_value_drift",
     oracle="""
     WITH b AS (
@@ -9771,7 +9771,7 @@ def psi_value_drift(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "pca_top_component",
     oracle="""
     WITH q AS (

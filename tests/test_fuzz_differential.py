@@ -1025,3 +1025,59 @@ def test_round_boundary_divergence(spark):
     ).fetchone()[0]
     assert got_s == 40246.83  # shortest-decimal HALF_UP
     assert got_d == 40246.82  # binary value is below the boundary
+
+
+# ---- order-statistic window frames (r8: the rolling-median family) ---------
+
+# MEDIAN/percentile over an explicit frame of exact integer cents: the
+# interpolated midpoint of two BIGINTs is exact in double, so the
+# whole family compares without rounding. DuckDB spells it MEDIAN,
+# Spark percentile(c, 0.5) — one semantic, two names (probed: DuckDB
+# MEDIAN(int) == quantile_cont(0.5) == Spark percentile 0.5).
+
+
+@given(
+    pred=_predicate,
+    part=st.sampled_from([[], ["o_orderstatus"], ["o_orderpriority"]]),
+    kind=st.sampled_from(["trailing", "cumulative"]),
+    n=st.integers(1, 40),
+    q=st.sampled_from([0.25, 0.5, 0.75]),
+)
+@settings(**_SETTINGS)
+def test_random_percentile_window_matches_duckdb(spark, pred, part, kind, n, q):
+    from pyspark.sql import Window
+
+    frames = {
+        "trailing": (f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW", (-n, 0)),
+        "cumulative": (
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            (Window.unboundedPreceding, Window.currentRow),
+        ),
+    }
+    frame_sql, (lo, hi) = frames[kind]
+    part_sql = f"PARTITION BY {', '.join(part)} " if part else ""
+    over = f"({part_sql}ORDER BY o_totalprice ASC, o_orderkey ASC {frame_sql})"
+    sql = f"""
+    SELECT o_orderkey,
+           QUANTILE_CONT(CAST(ROUND(o_totalprice * 100) AS BIGINT), {q})
+             OVER {over} AS pq
+    FROM orders WHERE {_pred_sql(pred)}
+    """
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(lo, hi)
+    )
+    df = load_table(spark, SF_SMOKE, "orders").filter(_pred_col(pred))
+    sdf = df.select(
+        "o_orderkey",
+        F.percentile(
+            F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(q)
+        )
+        .over(w)
+        .alias("pq"),
+    )
+    problems = compare(sdf, sql, SF_SMOKE)
+    assert not problems, f"pred={pred!r} part={part} {kind} n={n} q={q}\n" + "\n".join(
+        problems
+    )
