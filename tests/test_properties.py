@@ -256,3 +256,92 @@ def test_asof_forward_direction_matches_bruteforce(spark, seed):
         ]
         want = min(cands)[2] if cands else None
         assert got[lid] == want, (lid, k, lt, sorted(cands), got[lid])
+
+
+# ---- r8 kernels pinned against brute force ---------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_duplicate_span_stats_matches_brute_force(spark, docs, n):
+    """operators/dedup.duplicate_span_stats vs a quadratic Python
+    recomputation on tiny 2-letter-alphabet corpora (maximally
+    collision-prone shingles): per-doc window counts, duplicated
+    counts, and NULL-ratio semantics must agree exactly."""
+    from collections import Counter
+
+    from football_etl_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_ratio)
+        for r in duplicate_span_stats(df, span_n=n).collect()
+    }
+    spans = {}
+    for i, t in enumerate(docs):
+        toks = t.split()
+        spans[i] = [
+            " ".join(toks[k : k + n]) for k in range(len(toks) - n + 1)
+        ]
+    freq = Counter(s for ss in spans.values() for s in ss)
+    for i in range(len(docs)):
+        total = len(spans[i])
+        dup = sum(1 for s in spans[i] if freq[s] >= 2)
+        want_ratio = dup / total if total else None
+        g_total, g_dup, g_ratio = got[i]
+        assert g_total == total and g_dup == dup, (i, got[i], (total, dup))
+        if want_ratio is None:
+            assert g_ratio is None
+        else:
+            assert abs(g_ratio - want_ratio) < 1e-12
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0, max_value=2.0, allow_nan=False, width=32
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_gram_matrix_matches_brute_force(spark, vecs):
+    """operators/similarity.gram_matrix vs direct integer arithmetic:
+    the distributed partial-sum path must reproduce the exact
+    floor-quantized X'X upper triangle for arbitrary float inputs."""
+    import math
+
+    from football_etl_spark.operators.similarity import gram_matrix
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.i, r.j): r.g for r in gram_matrix(df, dim=3, scale=10).collect()}
+    # brute force: quantize exactly like the kernel (float32 -> float64
+    # promotion, then floor), then integer dot products
+    q = [
+        [math.floor(float(__import__("numpy").float32(x)) * 10) for x in v]
+        for v in vecs
+    ]
+    for i in range(1, 4):
+        for j in range(i, 4):
+            want = sum(row[i - 1] * row[j - 1] for row in q)
+            assert got[(i, j)] == want, (i, j, got[(i, j)], want)
+    assert len(got) == 6
