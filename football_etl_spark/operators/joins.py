@@ -315,3 +315,42 @@ def apply_cdc_changes(
     ups = changes.filter(~is_del).drop(op_col).join(dels, on, "left_anti")
     kept = base.join(dels, on, "left_anti")
     return kept.join(ups.select(*on), on, "left_anti").unionByName(ups)
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: tuple[str, ...],
+    measure: str = "n",
+) -> DataFrame:
+    """Period-over-period (or version-over-version) entity diff — the
+    report every retention/churn/demand-mix dashboard and every
+    snapshot-compare tool renders: FULL OUTER join two keyed states
+    and classify each entity as ``added`` (after only), ``removed``
+    (before only), ``grew`` / ``shrank`` (both, measure moved), or
+    ``stable``. Emits the keys, both measures (NULL on the missing
+    side), and the class.
+
+    The CASE must test null-ness via the measure columns AFTER the
+    join (never ``keys`` — full-outer coalesces join keys, so a key
+    column is non-null even for one-sided rows).
+
+    At 100 TB: one co-keyed full-outer join of two pre-aggregated
+    (entity-grain, not fact-grain) states — both sides shuffle once
+    on the same keys; classification is map-side."""
+    on = list(keys)
+    # measures surface as DOUBLE: a nullable integer column crosses
+    # Arrow/pandas as float anyway (one-sided rows are NULL here by
+    # construction), so an explicit cast keeps both engines' dtypes
+    # aligned for the driver's value-hash
+    b = before.select(*on, F.col(measure).cast("double").alias("n_before"))
+    a = after.select(*on, F.col(measure).cast("double").alias("n_after"))
+    joined = b.join(a, on, "full_outer")
+    cls = (
+        F.when(F.col("n_before").isNull(), F.lit("added"))
+        .when(F.col("n_after").isNull(), F.lit("removed"))
+        .when(F.col("n_after") > F.col("n_before"), F.lit("grew"))
+        .when(F.col("n_after") < F.col("n_before"), F.lit("shrank"))
+        .otherwise(F.lit("stable"))
+    )
+    return joined.select(*on, "n_before", "n_after", cls.alias("change_type"))

@@ -9829,6 +9829,123 @@ def pca_top_component(spark, sf_dir):
     return similarity.pca_top_component(gram, dim=64, n_iter=3, round_to=6)
 
 
+
+
+@staged_query(
+    "demand_mix_snapshot_diff",
+    oracle="""
+    WITH b AS (
+      SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1, 2
+    )
+    SELECT COALESCE(b.o_custkey, a.o_custkey) AS o_custkey,
+           COALESCE(b.o_orderpriority, a.o_orderpriority) AS o_orderpriority,
+           CAST(b.n AS DOUBLE) AS n_before,
+           CAST(a.n AS DOUBLE) AS n_after,
+           CASE WHEN b.n IS NULL THEN 'added'
+                WHEN a.n IS NULL THEN 'removed'
+                WHEN a.n > b.n THEN 'grew'
+                WHEN a.n < b.n THEN 'shrank'
+                ELSE 'stable' END AS change_type
+    FROM b FULL OUTER JOIN a
+      ON b.o_custkey = a.o_custkey
+     AND b.o_orderpriority = a.o_orderpriority
+    """,
+    doc="period-over-period entity diff (operators/joins."
+    "snapshot_diff) — the churn/new/retained report every snapshot-"
+    "compare tool and demand dashboard renders, here over "
+    "(customer, priority) demand combinations before vs after a "
+    "fixed cutover: added / removed / grew / shrank / stable, with "
+    "both measures carried (NULL on the missing side). All five "
+    "classes are non-empty at every test SF (measured 205/149/98/"
+    "72/120 at sf0.001), so no class is a vacuous branch. Plan: two "
+    "entity-grain pre-aggregates of one scan, then ONE co-keyed "
+    "full-outer join — both sides shuffle once on the same "
+    "composite key, classification is map-side. At 100 TB the join "
+    "inputs are entity-counts, never fact rows; this is also the "
+    "version-over-version diff of the silver snapshot family "
+    "(time travel reads two v=N states instead of two date filters, "
+    "identical join)",
+)
+def demand_mix_snapshot_diff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    keys = ("o_custkey", "o_orderpriority")
+
+    def state(df):
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    return joins.snapshot_diff(
+        state(o.filter(F.col("o_orderdate") < cutoff)),
+        state(o.filter(F.col("o_orderdate") >= cutoff)),
+        keys=keys,
+    )
+
+
+@staged_query(
+    "streaming_fanout_two_sinks",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT 'bronze' AS sink, event_type, n, total_value FROM g
+    UNION ALL
+    SELECT 'metrics' AS sink, event_type, n, total_value FROM g
+    """,
+    doc="ONE stream, TWO exactly-once sinks (streaming/incremental."
+    "fanout_two_sinks): the events feed re-read as a 3-file stream, "
+    "each micro-batch landing BOTH the raw rows (batch_id-keyed "
+    "bronze) and a per-batch metrics partial (count + exact cents "
+    "per event_type) from a single foreachBatch body — the "
+    "bronze+ops-rollup fanout every production ingest runs without "
+    "a second source read. The entry re-reads BOTH sinks and emits "
+    "each one's per-type totals tagged by sink; the oracle expects "
+    "the two legs IDENTICAL and equal to the batch aggregate, so "
+    "one hash certifies source==bronze, source==metrics, and "
+    "bronze==metrics. Exactly-once on both legs: each write is an "
+    "overwrite of its own batch_id directory, so a crash BETWEEN "
+    "the two writes (the failure a naive two-write body gets wrong) "
+    "replays as an identical rewrite; the companion pytest replays "
+    "a batch through the body twice and asserts both sinks "
+    "unchanged. Metrics partials are mergeable, re-aggregated at "
+    "read — the rollup never needs the raw rows again",
+)
+def streaming_fanout_two_sinks(spark, sf_dir):
+    from ..streaming import incremental
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    root = _fresh_tmp_root(spark, "f2s", sf_dir)
+    feed = f"{root}/feed"
+    ev.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = incremental.read_event_stream(spark, feed, ev.schema)
+    incremental.fanout_two_sinks(
+        stream, f"{root}/bronze", f"{root}/metrics", f"{root}/ckpt"
+    )
+    bronze = spark.read.parquet(f"{root}/bronze").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+        ).alias("total_value"),
+    )
+    metrics = spark.read.parquet(f"{root}/metrics").groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        (F.sum("pcents") / 100.0).alias("total_value"),
+    )
+    tag = lambda df, s: df.select(  # noqa: E731
+        F.lit(s).alias("sink"), "event_type", "n", "total_value"
+    )
+    return tag(bronze, "bronze").unionByName(tag(metrics, "metrics"))
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

@@ -556,3 +556,71 @@ def stream_static_enriched_totals(
             "total_value"
         ),
     )
+
+
+def fanout_two_sinks(
+    stream_df: DataFrame,
+    bronze_path: str,
+    metrics_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """ONE stream, TWO exactly-once sinks from the same foreachBatch —
+    the standard bronze+metrics fanout every production ingest runs
+    (land the raw rows AND maintain an ops rollup without a second
+    read of the source). Both writes are keyed on the replay-stable
+    ``batch_id`` (overwrite of a batch-scoped directory, the
+    write_bronze_batch discipline), so a batch replayed after a crash
+    ANYWHERE between the two writes lands idempotently on BOTH sinks
+    — the failure mode a naive two-write body gets wrong is a crash
+    between write 1 and write 2, which replays write 1; batch-keyed
+    overwrite makes that replay a no-op-equivalent rewrite. The
+    metrics leg stores per-batch PARTIALS (count + exact cents sum
+    per group); the reader re-aggregates across batch dirs — partials
+    are mergeable, so the rollup never needs the raw rows again.
+
+    At 100 TB the two writes become a table-format MERGE and an
+    aggregate MERGE, same body; the batch_id keying is unchanged."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        fanout_write_batch(
+            batch_df, batch_id, bronze_path, metrics_path, group_col, value_col
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def fanout_write_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    bronze_path: str,
+    metrics_path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """The fanout's per-batch body, module-level so the crash-replay
+    pytest can drive it directly: bronze rows then metrics partial,
+    each an overwrite of its own ``batch_id`` directory — replaying
+    the same (batch_df, batch_id) after a crash anywhere between the
+    two writes rewrites identical content on both sinks."""
+    batch_df.persist()
+    try:
+        write_bronze_batch(batch_df, batch_id, bronze_path)
+        partial = batch_df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "pcents"
+            ),
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{metrics_path}/batch_id={batch_id}"
+        )
+    finally:
+        batch_df.unpersist()

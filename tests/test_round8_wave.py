@@ -225,3 +225,96 @@ def test_pca_loading_is_dominant_direction(spark):
     rayleigh = (v @ G @ v) / (v @ v)
     axis_best = G.diagonal().max()
     assert rayleigh >= axis_best * 0.999, (rayleigh, axis_best)
+
+
+def test_snapshot_diff_partitions_and_reconstructs(spark):
+    """All five change classes are present; every row's class is
+    re-derivable from its measures; the diff reconstructs both input
+    states exactly (no entity lost or invented by the full-outer)."""
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.io.loader import load_table
+
+    rows = _q("demand_mix_snapshot_diff")(spark, SF_SMOKE).collect()
+    assert {r.change_type for r in rows} == {
+        "added",
+        "removed",
+        "grew",
+        "shrank",
+        "stable",
+    }
+    o = load_table(spark, SF_SMOKE, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    before = {
+        (r.o_custkey, r.o_orderpriority): r.n
+        for r in o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey", "o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    after = {
+        (r.o_custkey, r.o_orderpriority): r.n
+        for r in o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_custkey", "o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got_b = {
+        (r.o_custkey, r.o_orderpriority): r.n_before
+        for r in rows
+        if r.n_before is not None
+    }
+    got_a = {
+        (r.o_custkey, r.o_orderpriority): r.n_after
+        for r in rows
+        if r.n_after is not None
+    }
+    assert got_b == {k: float(v) for k, v in before.items()}
+    assert got_a == {k: float(v) for k, v in after.items()}
+    for r in rows:
+        want = (
+            "added"
+            if r.n_before is None
+            else "removed"
+            if r.n_after is None
+            else "grew"
+            if r.n_after > r.n_before
+            else "shrank"
+            if r.n_after < r.n_before
+            else "stable"
+        )
+        assert r.change_type == want, r
+
+
+def test_fanout_replay_is_idempotent_on_both_sinks(spark):
+    """Crash-replay contract: driving the SAME (batch, batch_id)
+    through the fanout body twice — the replay a crash between the two
+    writes produces — leaves both sinks byte-identical in content."""
+    import tempfile
+
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.streaming.incremental import fanout_write_batch
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "value", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="fes_f2s_replay_")
+    bronze, metrics = f"{root}/bronze", f"{root}/metrics"
+
+    def snapshot():
+        b = sorted(
+            map(tuple, spark.read.parquet(bronze).drop("ts").collect())
+        )
+        m = sorted(map(tuple, spark.read.parquet(metrics).collect()))
+        return b, m
+
+    fanout_write_batch(ev, 0, bronze, metrics)
+    first = snapshot()
+    fanout_write_batch(ev, 0, bronze, metrics)  # the replay
+    assert snapshot() == first
+    # and a distinct batch lands additively, not destructively
+    fanout_write_batch(ev.limit(5), 1, bronze, metrics)
+    b2, m2 = snapshot()
+    assert len(b2) == len(first[0]) + 5
