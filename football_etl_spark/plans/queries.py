@@ -9831,7 +9831,7 @@ def pca_top_component(spark, sf_dir):
 
 
 
-@staged_query(
+@query(
     "demand_mix_snapshot_diff",
     oracle="""
     WITH b AS (
@@ -9888,7 +9888,7 @@ def demand_mix_snapshot_diff(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "streaming_fanout_two_sinks",
     oracle="""
     WITH g AS (
