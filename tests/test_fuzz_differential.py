@@ -1081,3 +1081,55 @@ def test_random_percentile_window_matches_duckdb(spark, pred, part, kind, n, q):
     assert not problems, f"pred={pred!r} part={part} {kind} n={n} q={q}\n" + "\n".join(
         problems
     )
+
+
+# ---- full-outer snapshot-diff shapes (r8: the entity-diff family) ----------
+
+
+@given(p1=_predicate, p2=_predicate)
+@settings(**_SETTINGS)
+def test_random_snapshot_diff_matches_duckdb(spark, p1, p2):
+    """operators/joins.snapshot_diff under random state predicates:
+    two arbitrary filtered states of orders (entity = custkey x
+    status), FULL OUTER joined and classified added/removed/grew/
+    shrank/stable — fuzzing exactly the one-sided-NULL handling and
+    key coalescing that outer joins get wrong across engines. Either
+    state may be empty (assume filters that out only when BOTH are,
+    where the diff is trivially empty on both engines too — kept in,
+    it must still match)."""
+    from football_etl_spark.operators.joins import snapshot_diff
+
+    keys = ("o_custkey", "o_orderstatus")
+    sql = f"""
+    WITH b AS (
+      SELECT o_custkey, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE {_pred_sql(p1)} GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT o_custkey, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE {_pred_sql(p2)} GROUP BY 1, 2
+    )
+    SELECT COALESCE(b.o_custkey, a.o_custkey) AS o_custkey,
+           COALESCE(b.o_orderstatus, a.o_orderstatus) AS o_orderstatus,
+           CAST(b.n AS DOUBLE) AS n_before,
+           CAST(a.n AS DOUBLE) AS n_after,
+           CASE WHEN b.n IS NULL THEN 'added'
+                WHEN a.n IS NULL THEN 'removed'
+                WHEN a.n > b.n THEN 'grew'
+                WHEN a.n < b.n THEN 'shrank'
+                ELSE 'stable' END AS change_type
+    FROM b FULL OUTER JOIN a
+      ON b.o_custkey = a.o_custkey AND b.o_orderstatus = a.o_orderstatus
+    """
+    o = load_table(spark, SF_SMOKE, "orders")
+
+    def state(pred):
+        return (
+            o.filter(_pred_col(pred))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    got = snapshot_diff(state(p1), state(p2), keys=keys)
+    problems = compare(got, sql, SF_SMOKE)
+    assert not problems, f"p1={p1!r} p2={p2!r}\n" + "\n".join(problems)
