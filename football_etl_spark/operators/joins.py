@@ -49,7 +49,7 @@ def enrich_home_away(
     away_key: str = "away_team_norm",
     metric_key: str = "team_norm",
     fixture_keys: Sequence[str] = ("match_id",),
-    broadcast_metrics: bool = True,
+    broadcast_metrics: bool = False,
 ) -> DataFrame:
     """The reference's 4-way enrichment (utils/data_utils.py:122-191):
     fixtures ⟕ metrics (home side, columns prefixed home_) ⟕ metrics
@@ -60,7 +60,14 @@ def enrich_home_away(
     recombine, but skips the self-join on match_id entirely (one
     fewer shuffle). With a deduplicated per-team metrics side this is
     1:1; with per-(team,date) metrics it reproduces the reference's
-    faithful m:n fan-out."""
+    faithful m:n fan-out.
+
+    ``broadcast_metrics`` defaults to False: a metrics side keyed on
+    an entity column is SF-proportional in general (per-customer
+    aggregates at 100 TB are terabytes), so the hint convention says
+    AQE must size it — it broadcasts while small and shuffle-joins at
+    scale. Pass True only when the caller KNOWS the metrics domain is
+    bounded (the reference's per-team table: ~20 teams)."""
     mcols = [c for c in metrics.columns if c != metric_key]
     home_m = metrics.select(
         F.col(metric_key).alias("__hk"), *[F.col(c).alias(f"home_{c}") for c in mcols]

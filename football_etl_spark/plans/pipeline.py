@@ -147,6 +147,9 @@ def join_data(
             }
         ),
         m.withColumn("team_norm", scalars.strip_team_suffix("team")).drop("team"),
+        # the reference's metrics domain is per-TEAM (~20 entities) —
+        # bounded, so the forced broadcast is sanctioned here
+        broadcast_metrics=True,
     )
     return enriched.drop("home_team_norm", "away_team_norm").orderBy("date")
 

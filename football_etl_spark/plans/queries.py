@@ -261,7 +261,10 @@ def distinct_users_by_type(spark, sf_dir):
 )
 def regional_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    # customer is SF-proportional: no broadcast hint — AQE picks BHJ while it
+    # fits and falls back to shuffle join at scale (the only plan that
+    # survives 100 TB). nation/region are fixed-cardinality dims (25/5 rows).
+    c = _t(spark, sf_dir, "customer")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region"))
     return (
@@ -712,7 +715,9 @@ def union_mixed_projection(spark, sf_dir):
 )
 def order_tags_cleaning(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    # customer is SF-proportional: unhinted — AQE broadcasts at bench SF,
+    # shuffle-joins at cluster scale.
+    c = _t(spark, sf_dir, "customer")
     j = o.join(c, o.o_custkey == c.c_custkey)
     return j.select(
         "o_orderkey",
@@ -2050,10 +2055,13 @@ def quality_weighted_sample(spark, sf_dir):
     QUALIFY rank <= 3
     """,
     doc="TF-IDF top-3 terms per document: explode → two hash aggs "
-    "(term frequency per doc, document frequency) → broadcast df join "
-    "→ ranking window. The df side is vocabulary-sized (≪ corpus) so "
-    "it broadcasts at any scale; smoothed idf ln((N+1)/(df+1)) rounded "
-    "to absorb cross-engine libm last-bit noise",
+    "(term frequency per doc, document frequency) → df join → ranking "
+    "window. The df side is vocabulary-sized (≪ corpus, Heaps-law "
+    "sublinear) but NOT hard-bounded — a 100 TB web corpus has 1e8+ "
+    "terms — so it joins unhinted: AQE broadcasts it while it fits "
+    "and falls back to the term-keyed shuffle join (tf is already "
+    "term-hashed from its own agg) past the threshold. Smoothed idf "
+    "ln((N+1)/(df+1)) rounded to absorb cross-engine libm noise",
 )
 def tfidf_top_terms(spark, sf_dir):
     d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
@@ -2064,7 +2072,7 @@ def tfidf_top_terms(spark, sf_dir):
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -3128,7 +3136,10 @@ def flagship_order_enrichment(spark, sf_dir):
         F.round(F.avg("o_totalprice").over(w), 6).alias("r90_avg_spend"),
         F.count("*").over(w).alias("r90_n_orders"),
     )
-    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    # customer scales with SF: leave it unhinted so AQE broadcasts it while
+    # small and switches to a shuffle join at cluster scale; only the
+    # fixed-cardinality nation (25) / region (5) dims carry hints.
+    c = _t(spark, sf_dir, "customer")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region"))
     return (
@@ -3775,8 +3786,10 @@ def lang_rate_mixture(spark, sf_dir):
     "for its home entity × every row for its away entity — the "
     "deliberate fan-out the reference produces when metrics aren't "
     "pre-deduplicated (the as-of variant is the intended 1:1 form, "
-    "driver-green as purchase_asof_login/flagship). Both metric sides "
-    "broadcast; left semantics keep fixtures whose derived away "
+    "driver-green as purchase_asof_login/flagship). The per-(customer, "
+    "month) metric sides are SF-proportional, so they join UNHINTED — "
+    "AQE broadcasts them at bench SF and shuffle-joins at 100 TB; "
+    "left semantics keep fixtures whose derived away "
     "entity has no orders. Closes SURVEY §2.3's last pytest-only row "
     "under the exact oracle gate",
 )
@@ -3987,7 +4000,9 @@ def json_round_trip_documents(spark, sf_dir):
     LIMIT 10
     """,
     doc="TPC-H Q3-shaped shipping priority: filtered customer segment "
-    "broadcast into orders, orders⋈lineitem on the shared orderkey "
+    "joined into orders (unhinted — the surviving orders side is "
+    "SF-proportional, so AQE must choose: broadcast while small, "
+    "shuffle at scale), orders⋈lineitem on the shared orderkey "
     "(the one shuffle a fact-fact join needs; both date filters push "
     "to the scans), decimal-exact revenue, TakeOrderedAndProject "
     "top-10 — the canonical 3-table analytic join the engine must "
@@ -4000,8 +4015,8 @@ def shipping_priority(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-                             .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+        li.join(o.join(c, o.o_custkey == c.c_custkey)
+                 .select("o_orderkey", "o_orderdate", "o_orderpriority"),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dec_sum(rev, "revenue", 4))
@@ -4350,7 +4365,8 @@ def order_priority_backlog(spark, sf_dir):
     "revenue sums (promo vs all), ratio as ONE IEEE division of two "
     "cross-engine-identical doubles (the file-header exactness "
     "policy). The month filter pushes to the lineitem scan; part is "
-    "the broadcast dim; a single partial-agg-combined scalar row "
+    "SF-proportional so it carries no hint (AQE broadcasts the "
+    "2-column projection while small); a single partial-agg scalar row "
     "leaves the executors — the minimal-traffic plan at any scale",
 )
 def promo_revenue_ratio(spark, sf_dir):
@@ -4362,7 +4378,7 @@ def promo_revenue_ratio(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(_dec_sum(promo, "promo_rev", 4), _dec_sum(rev, "total_rev", 4))
     )
     return agg.select(
@@ -4392,10 +4408,10 @@ def promo_revenue_ratio(spark, sf_dir):
     "per order (decimal-exact quantity sum), HAVING-filter to the "
     "rare big orders, join the survivors back to orders and "
     "customer. The one unavoidable shuffle is the lineitem groupBy "
-    "(map-side partial combine); the HAVING survivor set is tiny by "
-    "construction, so BOTH enrichment joins broadcast the survivor "
-    "side into the big tables — at 100 TB neither orders nor "
-    "customer is ever shuffled. The classic "
+    "(map-side partial combine); the HAVING survivor set is small but "
+    "still SF-proportional, so neither enrichment join carries a "
+    "forced hint — AQE broadcasts the survivor side while it fits "
+    "and shuffle-joins past the threshold. The classic "
     "aggregate-subquery-join-back plan done scale-right",
 )
 def large_volume_customers(spark, sf_dir):
@@ -4407,10 +4423,10 @@ def large_volume_customers(spark, sf_dir):
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    enriched = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
+    enriched = o.join(big, o.o_orderkey == big.l_orderkey).select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
     )
-    return c.join(F.broadcast(enriched), c.c_custkey == F.col("o_custkey")).select(
+    return c.join(enriched, c.c_custkey == F.col("o_custkey")).select(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
     )
 
@@ -4431,7 +4447,8 @@ def large_volume_customers(spark, sf_dir):
            AND l_quantity BETWEEN 20 AND 40)
     """,
     doc="TPC-H Q19-shaped disjunctive-predicate revenue: lineitem ⋈ "
-    "broadcast(part) under an OR-of-ANDs mixing both sides' columns "
+    "part (unhinted; AQE sizes the 3-column part projection) under "
+    "an OR-of-ANDs mixing both sides' columns "
     "— the predicate cannot be split per side, but Catalyst derives "
     "the implied per-side prefilters (p_brand IN (…), l_quantity "
     "BETWEEN min..max) and pushes them to the scans, so the join "
@@ -4450,7 +4467,7 @@ def disjunctive_part_revenue(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(pred)
         .agg(F.count(F.lit(1)).alias("n_lines"), _dec_sum(rev, "revenue", 4))
     )
@@ -4765,8 +4782,11 @@ def top_revenue_supplier(spark, sf_dir):
     "shuffled on the shared orderkey) — profit = revenue minus a "
     "retail-price cost surrogate (the reference schema has no "
     "partsupp), decimal-exact, grouped by nation and order year. "
-    "The shape that exposes join-ORDER planning: dims must broadcast "
-    "into the fact scan before the fact-fact shuffle, never after",
+    "The shape that exposes join-ORDER planning: the small sides must "
+    "join into the fact scan before the fact-fact shuffle, never "
+    "after. part/supplier are SF-proportional so they carry no hints "
+    "— AQE broadcasts their pruned projections while small; only the "
+    "fixed 25-row nation is force-broadcast",
 )
 def nation_profit_trend(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -4782,8 +4802,8 @@ def nation_profit_trend(spark, sf_dir):
         "l_quantity"
     ) * F.col("p_retailprice") * 0.1
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
@@ -4854,7 +4874,7 @@ def sole_blame_late_suppliers(spark, sf_dir):
     return (
         per_order.groupBy("late_supp")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .join(s, F.col("late_supp") == s.s_suppkey)
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
         .select("s_name", "numwait")
@@ -5093,10 +5113,10 @@ def except_dormant_segment(spark, sf_dir):
     doc="TPC-H Q10-shaped returned-item losses: revenue lost to "
     "returns per customer in a quarter, top-20. Both scan filters "
     "(quarter, returnflag='R') push to parquet; the quarter-filtered "
-    "orders slice broadcasts into the lineitem scan, the per-custkey "
-    "aggregate (decimal-exact) is customer-bounded, and THAT small "
-    "result broadcasts into customer⋈nation for enrichment — the "
-    "fact tables never shuffle for the dims — finishing in "
+    "orders slice and the customer-bounded per-custkey aggregate are "
+    "both SF-proportional, so neither carries a forced hint — AQE "
+    "broadcasts them while small and shuffle-joins at cluster scale; "
+    "only the 25-row nation dim keeps its hint — finishing in "
     "TakeOrderedAndProject",
 )
 def returned_item_losses(spark, sf_dir):
@@ -5107,7 +5127,7 @@ def returned_item_losses(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_cust = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(_dec_sum(rev, "revenue", 4))
     )
@@ -5116,7 +5136,7 @@ def returned_item_losses(spark, sf_dir):
     )
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        c.join(F.broadcast(per_cust), c.c_custkey == F.col("o_custkey"))
+        c.join(per_cust, c.c_custkey == F.col("o_custkey"))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -5213,7 +5233,7 @@ def small_quantity_part_revenue(spark, sf_dir):
         .select("p_partkey")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("part_avg_qty"))
         .agg(
@@ -5248,9 +5268,12 @@ def small_quantity_part_revenue(spark, sf_dir):
     "symmetric cross-side disjunction ((c=A AND s=B) OR (c=B AND "
     "s=A)) cannot anchor either side alone, but Catalyst derives the "
     "implied per-side IN-pair prefilters so both nation dims arrive "
-    "pre-filtered; orders⋈lineitem is the one fact-fact shuffle, "
-    "every dim chain broadcasts, and the residual pair predicate "
-    "runs on the joined rows. Six-table join planned scale-right",
+    "pre-filtered; orders⋈lineitem is the one fact-fact shuffle. "
+    "Only the two fixed 25-row nation dims carry hints — orders/"
+    "customer/supplier are SF-proportional, so AQE sizes them at "
+    "runtime (BHJ while small, shuffle at 100 TB) and the residual "
+    "pair predicate runs on the joined rows. Six-table join planned "
+    "scale-right",
 )
 def nation_pair_trade_volume(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -5268,11 +5291,11 @@ def nation_pair_trade_volume(spark, sf_dir):
     ) | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-                             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-                             .select("o_orderkey", "cust_nation")),
+        li.join(o.join(c, o.o_custkey == c.c_custkey)
+                 .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+                 .select("o_orderkey", "cust_nation"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(pair)
         .groupBy(
@@ -5312,8 +5335,9 @@ def nation_pair_trade_volume(spark, sf_dir):
     "as two conditional decimal-exact sums in the SAME aggregation "
     "pass (no second scan, no self-join), share as one IEEE division "
     "of identical operands. Part filter pushes to its scan and "
-    "prunes the fact rows through the broadcast join before the "
-    "fact-fact shuffle; supplier-nation chain broadcasts",
+    "prunes the fact rows through the (AQE-sized, unhinted — part "
+    "and supplier scale with SF) joins before the fact-fact "
+    "shuffle; only the 25-row nation dim keeps a hint",
 )
 def nation_market_share(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -5328,8 +5352,8 @@ def nation_market_share(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
@@ -5428,8 +5452,8 @@ def cheapest_supplier_per_part(spark, sf_dir):
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        best.join(F.broadcast(p), best.ps_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.ps_suppkey == s.s_suppkey)
+        best.join(p, best.ps_partkey == p.p_partkey)
+        .join(s, best.ps_suppkey == s.s_suppkey)
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "ps_unit_cost")
     )
 
@@ -5453,7 +5477,8 @@ def cheapest_supplier_per_part(spark, sf_dir):
     "excluding a complained-about supplier set via NOT IN — the "
     "null-free key makes NOT IN ≡ anti-join (with nullable keys "
     "Spark would need a null-aware anti join; the doc records the "
-    "distinction), and the excluded set broadcasts. Negated "
+    "distinction); the excluded set is supplier-derived (SF-scaled) "
+    "so it carries no hint — AQE broadcasts it while small. Negated "
     "predicates (<>, NOT LIKE) still push to the part scan; the "
     "count-distinct groups on the already-distinct derived pairs",
 )
@@ -5474,8 +5499,8 @@ def supplier_count_by_part_attrs(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -5507,8 +5532,9 @@ def supplier_count_by_part_attrs(spark, sf_dir):
     "more than half a year's shipped quantity of any bolt part — "
     "the NESTED-IN chain (suppkey IN (… partkey IN (…) AND "
     "correlated-agg threshold)). Both INs compile to semi-joins "
-    "(name-filtered part keys broadcast into the derived pairs; the "
-    "qualifying pair set semi-joins supplier); the per-pair 1997 "
+    "(name-filtered part keys semi-join the derived pairs and the "
+    "qualifying pair set semi-joins supplier — both SF-scaled, both "
+    "unhinted so AQE sizes them); the per-pair 1997 "
     "quantity is a decimal-exact aggregate equi-joined on the pair "
     "key, and the threshold compare is one IEEE op on exact values. "
     "No correlated re-execution anywhere — the whole chain is three "
@@ -5531,7 +5557,7 @@ def excess_stock_suppliers(spark, sf_dir):
         .select("p_partkey")
     )
     qualifying = (
-        ps.join(F.broadcast(bolts), ps.ps_partkey == bolts.p_partkey, "left_semi")
+        ps.join(bolts, ps.ps_partkey == bolts.p_partkey, "left_semi")
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey)
@@ -5541,7 +5567,7 @@ def excess_stock_suppliers(spark, sf_dir):
         .select("ps_suppkey")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return s.join(F.broadcast(qualifying), s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+    return s.join(qualifying, s.s_suppkey == F.col("ps_suppkey"), "left_semi")
 
 
 @query(
@@ -7437,8 +7463,9 @@ def unigram_logprob_scores(spark, sf_dir):
     "orders -> lineitem (deleted orders pull their line items), and "
     "the audit reports rows_before / rows_deleted / rows_after per "
     "entity — the compliance evidence a purge job must emit. Plan: the "
-    "deletion set and its order closure broadcast (deletion sets are "
-    "tiny vs the fact tables), each fact table takes ONE left join + "
+    "deletion set (1/13 of customer — SF-proportional, so no forced "
+    "hint; AQE broadcasts it while small and shuffle-joins at 100 TB) "
+    "and its order closure flow in, each fact table takes ONE left join + "
     "flag, and a single union + groupBy produces the audit — no "
     "cartesians, no second pass per table; the actual purge is the "
     "same joins as anti-joins (operators/joins.anti_join). At 100 TB "
@@ -7450,16 +7477,16 @@ def cascade_delete_users(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dels = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
-    del_orders = o.join(
-        F.broadcast(dels), o.o_custkey == dels.c_custkey, "left_semi"
-    ).select("o_orderkey")
+    del_orders = o.join(dels, o.o_custkey == dels.c_custkey, "left_semi").select(
+        "o_orderkey"
+    )
     tagged = (
         c.select(
             F.lit("customer").alias("entity"),
             (F.col("c_custkey") % 13 == 0).cast("int").alias("is_del"),
         )
         .unionByName(
-            o.join(F.broadcast(dels), o.o_custkey == dels.c_custkey, "left")
+            o.join(dels, o.o_custkey == dels.c_custkey, "left")
             .select(
                 F.lit("orders").alias("entity"),
                 F.col("c_custkey").isNotNull().cast("int").alias("is_del"),
@@ -7467,7 +7494,7 @@ def cascade_delete_users(spark, sf_dir):
         )
         .unionByName(
             li.join(
-                F.broadcast(del_orders),
+                del_orders,
                 li.l_orderkey == del_orders.o_orderkey,
                 "left",
             ).select(

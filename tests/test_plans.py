@@ -36,8 +36,11 @@ def plan_str(df, mode: str = "formatted") -> str:
 
 
 def test_flagship_broadcasts_all_dimensions(spark):
-    """customer/nation/region enrichment must be broadcast-hash joins —
-    at 100 TB the orders fact side must never shuffle for a dim join."""
+    """customer/nation/region enrichment must plan as broadcast-hash
+    joins WITHOUT any hint on customer (customer is SF-proportional;
+    only nation/region carry hints) — certifying the engine picks the
+    BHJ from size stats alone at bench SF, and is therefore free to
+    fall back to a shuffle join when customer is terabytes at 100 TB."""
     plan = plan_str(REGISTRY["flagship_order_enrichment"].fn(spark, SF_SMOKE), "simple")
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan, plan
@@ -206,9 +209,10 @@ def test_backlog_semi_join_has_equi_key(spark):
 
 
 def test_promo_ratio_single_broadcast_and_partial_agg(spark):
-    """Q14 shape: part is the broadcast dim, the month filter pushes
-    to the lineitem scan, and ONE partial-combined scalar row crosses
-    the SinglePartition exchange."""
+    """Q14 shape: part joins UNHINTED (SF-proportional) and the
+    planner must still choose the BHJ from stats at bench SF; the
+    month filter pushes to the lineitem scan, and ONE partial-combined
+    scalar row crosses the SinglePartition exchange."""
     plan = plan_str(REGISTRY["promo_revenue_ratio"].fn(spark, SF_SMOKE), "simple")
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
@@ -219,8 +223,10 @@ def test_promo_ratio_single_broadcast_and_partial_agg(spark):
 
 def test_large_volume_broadcasts_survivors_not_facts(spark):
     """Q18 shape: the only hash shuffle is the lineitem groupBy; the
-    HAVING survivor set is the BROADCAST side of both enrichment
-    joins, so orders and customer are never shuffled."""
+    HAVING survivor set must be chosen as the BROADCAST side of both
+    enrichment joins WITHOUT a hint (it is small-but-SF-proportional,
+    so the choice must stay with the planner/AQE), and orders and
+    customer are never shuffled at bench SF."""
     plan = plan_str(REGISTRY["large_volume_customers"].fn(spark, SF_SMOKE), "simple")
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
@@ -315,8 +321,9 @@ def test_top_supplier_argmax_is_broadcast_equality(spark):
 
 
 def test_profit_star_broadcasts_all_dims(spark):
-    """Q9 shape: part/supplier/nation must all broadcast into the
-    lineitem scan side (no dim ever shuffles the fact), and the
+    """Q9 shape: part/supplier (unhinted — SF-proportional) and the
+    hinted 25-row nation must all plan as broadcast sides into the
+    lineitem scan at bench SF (no dim shuffles the fact), and the
     p_name contains-filter must reach the part scan."""
     plan = plan_str(REGISTRY["nation_profit_trend"].fn(spark, SF_SMOKE), "simple")
     assert plan.count("BroadcastHashJoin") >= 3, plan
@@ -368,8 +375,9 @@ def test_except_plans_as_anti_join(spark):
 
 def test_returned_losses_dims_broadcast_fact_agg_first(spark):
     """Q10 shape: the quarter-filtered orders slice and the
-    customer-bounded aggregate must both be BROADCAST sides; the two
-    pushed filters (quarter, returnflag) reach their scans; the
+    customer-bounded aggregate must both plan as BROADCAST sides
+    unhinted (both are SF-proportional — the planner sizes them); the
+    two pushed filters (quarter, returnflag) reach their scans; the
     top-20 is TakeOrderedAndProject."""
     plan = plan_str(REGISTRY["returned_item_losses"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
@@ -439,8 +447,10 @@ def test_cheapest_supplier_argmin_rejoin(spark):
 
 
 def test_supplier_count_not_in_is_anti_join(spark):
-    """Q16 shape: the null-free NOT IN must compile to a broadcast
-    LeftAnti, and the negated predicates still push to the part scan."""
+    """Q16 shape: the null-free NOT IN must compile to a LeftAnti
+    hash join with the (unhinted, supplier-derived) excluded set as
+    the build side, and the negated predicates still push to the
+    part scan."""
     plan = plan_str(REGISTRY["supplier_count_by_part_attrs"].fn(spark, SF_SMOKE))
     assert "LeftAnti" in plan, plan
     assert "Not(EqualTo(p_brand,Brand#13))" in plan, plan
