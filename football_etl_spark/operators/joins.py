@@ -338,9 +338,17 @@ def snapshot_diff(
     ``stable``. Emits the keys, both measures (NULL on the missing
     side), and the class.
 
-    The CASE must test null-ness via the measure columns AFTER the
-    join (never ``keys`` — full-outer coalesces join keys, so a key
-    column is non-null even for one-sided rows).
+    Presence is carried by an explicit lit(true) marker per side,
+    NOT by measure null-ness: an entity present in a state whose
+    measure VALUE is NULL must classify as present (a measure-null
+    row on both sides is ``stable`` under the unknown-comparison
+    rule below, not ``added``). The CASE must never test ``keys``
+    either — full-outer coalesces join keys, so a key column is
+    non-null even for one-sided rows.
+
+    NULL-measure contract: a side can be present with a NULL
+    measure; grew/shrank comparisons against NULL are unknown, so
+    such present-both entities fall through to ``stable``.
 
     At 100 TB: one co-keyed full-outer join of two pre-aggregated
     (entity-grain, not fact-grain) states — both sides shuffle once
@@ -350,12 +358,20 @@ def snapshot_diff(
     # Arrow/pandas as float anyway (one-sided rows are NULL here by
     # construction), so an explicit cast keeps both engines' dtypes
     # aligned for the driver's value-hash
-    b = before.select(*on, F.col(measure).cast("double").alias("n_before"))
-    a = after.select(*on, F.col(measure).cast("double").alias("n_after"))
+    b = before.select(
+        *on,
+        F.col(measure).cast("double").alias("n_before"),
+        F.lit(True).alias("__in_before"),
+    )
+    a = after.select(
+        *on,
+        F.col(measure).cast("double").alias("n_after"),
+        F.lit(True).alias("__in_after"),
+    )
     joined = b.join(a, on, "full_outer")
     cls = (
-        F.when(F.col("n_before").isNull(), F.lit("added"))
-        .when(F.col("n_after").isNull(), F.lit("removed"))
+        F.when(F.col("__in_before").isNull(), F.lit("added"))
+        .when(F.col("__in_after").isNull(), F.lit("removed"))
         .when(F.col("n_after") > F.col("n_before"), F.lit("grew"))
         .when(F.col("n_after") < F.col("n_before"), F.lit("shrank"))
         .otherwise(F.lit("stable"))

@@ -1301,11 +1301,34 @@ def pca_top_component(
 
     Returns a dim-row (i, loading) relation as a pure-JVM literal
     plan; the only Spark job run here is collecting the dim²-row Gram
-    upper triangle."""
+    upper triangle. Callers that reuse the Gram across invocations
+    should collect it ONCE and call ``pca_top_component_from_rows``
+    with the cached row list — caching the lazy DataFrame and
+    re-collecting re-runs the distributed Gram job every time."""
+    return pca_top_component_from_rows(
+        gram_df.sparkSession,
+        gram_df.collect(),  # dim*(dim+1)/2 rows — control-plane
+        dim=dim,
+        n_iter=n_iter,
+        round_to=round_to,
+    )
+
+
+def pca_top_component_from_rows(
+    spark,
+    rows,
+    dim: int = 64,
+    n_iter: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Power-iteration eigen step over an already-COLLECTED Gram upper
+    triangle (list of (i, j, g) rows). Pure driver arithmetic + a
+    literal result relation: runs zero Spark jobs, which is what makes
+    the per-session Gram row cache actually deliver its
+    'distributed job paid once' contract."""
     import numpy as np
 
     d = int(dim)
-    rows = gram_df.collect()  # dim*(dim+1)/2 rows — control-plane
     G = np.zeros((d, d), dtype=np.float64)
     for r in rows:
         G[r["i"] - 1, r["j"] - 1] = r["g"]
@@ -1322,7 +1345,6 @@ def pca_top_component(
         v = rnd(w / np.abs(w).max())
         w = G @ v
     loading = rnd(w / np.abs(w).max())
-    spark = gram_df.sparkSession
     return _literal_rows_df(
         spark,
         [{"i": i + 1, "loading": float(loading[i])} for i in range(d)],

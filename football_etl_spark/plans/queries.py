@@ -9215,8 +9215,11 @@ def join_skew_profile(spark, sf_dir):
     "2.8-3.2s at x100 vs DuckDB 0.2s whether or not they "
     "pre-aggregated). Per-customer long partials are overflow-safe "
     "while a customer has < ~2,500 orders at current price scale "
-    "(sum(y*y) per customer vs the int64 ceiling — ANSI mode makes "
-    "a breach a loud error, never silent wraparound); the partials "
+    "(sum(y*y) per customer vs the int64 ceiling). The session pins "
+    "ANSI OFF, so the product sums use try_sum — checked long adds "
+    "in every eval mode, NULL on breach — and an assert_true guard "
+    "on the re-aggregate turns any NULL partial into a loud error, "
+    "never silent wraparound; the partials "
     "are then cast to DECIMAL(38,0) for the nation-level "
     "re-aggregate (customers-sized, exact, order-independent), one "
     "customer-sized join, broadcast nation, 25-row output. At 100 "
@@ -9231,13 +9234,22 @@ def trend_slope_by_market(spark, sf_dir):
         .alias("x"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
     )
+    # Per-term products are provably int64-safe for any plausible row
+    # (x ≤ ~2.1e4 days, y ≤ ~6e9 cents even at 100× price inflation:
+    # y*y ≤ 3.6e19 would overflow — but at CURRENT price scale y ≤
+    # ~6e7 so y*y ≤ 3.6e15, x*y ≤ 1.3e12, x*x ≤ 4.4e8). What CAN
+    # overflow is the per-customer SUM of y*y once a customer exceeds
+    # ~2,500 orders. The session pins ANSI off, so a plain sum() would
+    # wrap SILENTLY — try_sum uses checked long adds in every eval
+    # mode and yields NULL on breach, which the guard below turns into
+    # a loud error instead of a wrong slope.
     per_cust = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum("x").alias("psx"),
         F.sum("y").alias("psy"),
-        F.sum(F.col("x") * F.col("y")).alias("psxy"),
-        F.sum(F.col("x") * F.col("x")).alias("psxx"),
-        F.sum(F.col("y") * F.col("y")).alias("psyy"),
+        F.try_sum(F.col("x") * F.col("y")).alias("psxy"),
+        F.try_sum(F.col("x") * F.col("x")).alias("psxx"),
+        F.try_sum(F.col("y") * F.col("y")).alias("psyy"),
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = F.broadcast(
@@ -9247,6 +9259,9 @@ def trend_slope_by_market(spark, sf_dir):
         nat, c.c_nationkey == nat.n_nationkey
     )
     dec = "decimal(38,0)"
+    overflowed = (
+        F.col("psxy").isNull() | F.col("psxx").isNull() | F.col("psyy").isNull()
+    )
     s = b.groupBy("n_name").agg(
         F.sum(F.col("pn").cast(dec)).cast("double").alias("n"),
         F.sum(F.col("psx").cast(dec)).cast("double").alias("sx"),
@@ -9255,7 +9270,24 @@ def trend_slope_by_market(spark, sf_dir):
         F.sum(F.col("psxx").cast(dec)).cast("double").alias("sxx"),
         F.sum(F.col("psyy").cast(dec)).cast("double").alias("syy"),
         F.sum("pn").cast("long").alias("n_orders"),
+        F.sum(overflowed.cast("int")).alias("__n_overflowed"),
     )
+    # Loud backstop: a try_sum NULL (int64 breach in a per-customer
+    # partial) must abort the query, never ship a silently-wrong
+    # slope. assert_true returns NULL when the predicate holds, so
+    # the filter keeps every row on the happy path and throws on
+    # breach; test_round9_wave seeds an overflow to prove it fires.
+    s = s.filter(
+        F.assert_true(
+            F.col("__n_overflowed") == 0,
+            F.lit(
+                "trend_slope_by_market: per-customer long co-moment "
+                "partial overflowed int64 — a customer exceeds ~2,500 "
+                "orders at current price scale; switch the partials "
+                "to DECIMAL for this data"
+            ),
+        ).isNull()
+    ).drop("__n_overflowed")
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     num = n * sxy - sx * sy
@@ -9366,10 +9398,14 @@ def rolling_median_spend(spark, sf_dir):
     "redundant text; the per-doc duplicated-window ratio is what "
     "pipelines threshold to drop or trim boilerplate. Plan: "
     "tokenize once, slide windows map-side (sequence+transform — "
-    "single-token rows never exist), one span groupBy for corpus "
-    "occurrence counts, one semi-join back, one doc groupBy — "
-    "linear end to end, NO d-squared pair fan-out (the reason this "
-    "needs no df-cap while ngram_jaccard_pairs does). Spans joined "
+    "single-token rows never exist), then ONE exchange on the span "
+    "key where a window count(*) tags each occurrence with its "
+    "corpus frequency in place (the rejected first cut's "
+    "groupBy(span)+semi-join shuffled the exploded span stream "
+    "twice; the window form removed a full pass, 3.8x->1.3x ahead "
+    "at x1000), and one fused doc groupBy — linear end to end, NO "
+    "d-squared pair fan-out (the reason this needs no df-cap while "
+    "ngram_jaccard_pairs does). Spans keyed "
     "by xxhash64, internal-only; the oracle joins the literal "
     "strings, so hash-equality also certifies collision-freeness "
     "on this corpus. Ratio is one identical long/long->double "
@@ -9583,8 +9619,12 @@ def mad_outlier_customers(spark, sf_dir):
     "shared spelling), then drop accidental hits (candidates the "
     "customer actually bought) with an anti-join so every emitted "
     "row is a TRUE negative. Inner operands are pre-reduced mod 1e6 "
-    "so the mix never leaves int64 even at x1000 key shifts (ANSI "
-    "would make an overflow loud). Plan: one distinct over the "
+    "so the mix is PROVABLY int64-bounded at any key scale: the "
+    "worst case (1000002*69069 + 1000002*40503 + 2*97) ≈ 1.1e11 sits "
+    "seven orders of magnitude under the ceiling, so no runtime "
+    "backstop is needed (the session pins ANSI off, so boundedness "
+    "must come from the algebra, not the conf). Plan: one distinct "
+    "over the "
     "positives join, a 2x map-side fan-out, and a self-anti-join "
     "co-keyed on (custkey, partkey); the part count rides a 1-row "
     "broadcast. At 100 TB everything is positives-sized; no window, "
@@ -9846,14 +9886,20 @@ def pca_top_component(spark, sf_dir):
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir.rstrip("/"), "pca_gram")
-    gram = _CONTROL_CACHE.get(key)
-    if gram is None:
+    key = (app_id, sf_dir.rstrip("/"), "pca_gram_rows")
+    rows = _CONTROL_CACHE.get(key)
+    if rows is None:
         _evict_dead_sessions(_CONTROL_CACHE, app_id)
-        gram = _CONTROL_CACHE[key] = similarity.gram_matrix(
+        # cache the COLLECTED triangle (the line-150 pattern), not the
+        # lazy DataFrame — a cached lazy plan re-runs the distributed
+        # Gram job on every invocation and the 'paid once per session'
+        # contract is never delivered
+        rows = _CONTROL_CACHE[key] = similarity.gram_matrix(
             src, vec_col="embedding", dim=64, scale=1000
-        )
-    return similarity.pca_top_component(gram, dim=64, n_iter=3, round_to=6)
+        ).collect()
+    return similarity.pca_top_component_from_rows(
+        spark, rows, dim=64, n_iter=3, round_to=6
+    )
 
 
 

@@ -1,0 +1,105 @@
+"""Round-9 fixes: overflow guard, PCA Gram cache, snapshot_diff
+presence contract (the four ADVICE r8 findings, made regressions)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from football_etl_spark.operators.joins import snapshot_diff
+from football_etl_spark.plans.queries import REGISTRY, _CONTROL_CACHE
+
+from .conftest import SF_SMOKE
+
+
+def test_trend_slope_overflow_guard_fires(spark, tmp_path):
+    """The session pins ANSI off, so the per-customer long co-moment
+    partials use try_sum (checked adds, NULL on breach) and an
+    assert_true guard — a customer whose sum(y*y) exceeds int64 must
+    ABORT the query, never ship a silently-wrong slope. Two orders of
+    30.3M each give y = 3.03e9, y² = 9.18e18 (still a legal long per
+    term) and a partial sum of 1.8e19 > 2^63-1."""
+    for t in ("customer", "nation"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", tmp_path / f"{t}.parquet")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet").iloc[0]
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [int(cust.c_custkey)] * 2,
+            "o_orderdate": pd.to_datetime(
+                ["1997-01-01", "1997-01-02"]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [30_300_000.0, 30_300_000.0],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    with pytest.raises(Exception, match="overflowed int64"):
+        REGISTRY["trend_slope_by_market"].fn(spark, str(tmp_path)).collect()
+
+
+def test_trend_slope_happy_path_unchanged(spark):
+    """try_sum partials are value-identical to sum when nothing
+    overflows: the smoke-SF result must match the plain-sum spelling
+    exactly."""
+    out = {
+        r["n_name"]: r
+        for r in REGISTRY["trend_slope_by_market"].fn(spark, SF_SMOKE).collect()
+    }
+    assert out, "no rows"
+    assert all(r["n_orders"] > 0 for r in out.values())
+    assert all(r["r2"] is None or 0.0 <= r["r2"] <= 1.0 + 1e-12 for r in out.values())
+
+
+def test_pca_gram_cache_holds_collected_rows(spark):
+    """ADVICE r8: the per-session cache must hold the COLLECTED Gram
+    triangle (a list — the distributed job paid once), not a lazy
+    DataFrame that re-runs the Gram job on every invocation. Two
+    invocations return identical loadings from the same cached rows."""
+    first = REGISTRY["pca_top_component"].fn(spark, SF_SMOKE).collect()
+    key = (
+        spark.sparkContext.applicationId,
+        SF_SMOKE.rstrip("/"),
+        "pca_gram_rows",
+    )
+    cached = _CONTROL_CACHE.get(key)
+    assert isinstance(cached, list) and len(cached) == 64 * 65 // 2, type(cached)
+    second = REGISTRY["pca_top_component"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_snapshot_diff_presence_not_measure_nullness(spark):
+    """ADVICE r8: presence must ride an explicit per-side marker. An
+    entity present in a state with a NULL measure value was formerly
+    misclassified 'added'/'removed'; NULL-on-both-sides became
+    'added'. Now: present+NULL-measure rows classify by presence, and
+    unknown comparisons fall to 'stable'."""
+    b = spark.createDataFrame(
+        [("k_both_null", None), ("k_removed", None), ("k_b_null", None),
+         ("k_grew", 1.0)],
+        "k string, n double",
+    )
+    a = spark.createDataFrame(
+        [("k_both_null", None), ("k_added", None), ("k_b_null", 5.0),
+         ("k_grew", 2.0)],
+        "k string, n double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(b, a, keys=("k",), measure="n").collect()
+    }
+    assert got == {
+        "k_both_null": "stable",   # present both, measures unknown
+        "k_removed": "removed",    # present before only, despite NULL measure
+        "k_added": "added",        # present after only, despite NULL measure
+        "k_b_null": "stable",      # present both, one-sided NULL -> unknown
+        "k_grew": "grew",
+    }, got
+
+
+def test_snapshot_diff_no_marker_columns_leak(spark):
+    b = spark.createDataFrame([("x", 1.0)], "k string, n double")
+    a = spark.createDataFrame([("x", 2.0)], "k string, n double")
+    out = snapshot_diff(b, a, keys=("k",), measure="n")
+    assert out.columns == ["k", "n_before", "n_after", "change_type"]
