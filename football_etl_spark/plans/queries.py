@@ -7811,23 +7811,67 @@ def streaming_dedup_within_watermark(spark, sf_dir):
     "monthly matrix would be a degenerate single cell, a vacuously "
     "thin hash gate; days give a real ~30×7 matrix. Day arithmetic "
     "is pure integer (days since epoch: unix_date / date_diff) on "
-    "both engines. Plan: ONE wide exchange total — "
-    "groupBy(user_id).collect_set(day) fuses the dedup, the "
-    "first-day min, and the self-join of the textbook three-step "
-    "form into a single co-keyed aggregation (partial collect_set "
-    "merges dedup within partitions before the shuffle; the r7 "
-    "post-join-distinct form measured 13.4s at x1000, this form "
-    "5.85s vs DuckDB 1.18s — the residual is local-mode hash-agg "
-    "constants, not plan shape), then array_min + explode re-derive "
-    "(cohort, period) map-side and the final cell count aggregates "
-    "a calendar-bounded relation. At 100 TB per-user sets are "
-    "active-day-bounded (≤ feed span), no window, no skew hotspot "
-    "beyond power users whose set size the calendar caps",
+    "both engines. Plan: ONE wide exchange total. When the feed span "
+    "fits 64 days (this feed: ~30), the per-user day set is a long "
+    "BITMASK — bit_or+min partials are codegen long aggs, the "
+    "exchange carries 16-byte pairs (6x fewer bytes than the "
+    "collect_set arrays), and bits rel0..rel0+6 decode periods 0-6 "
+    "map-side; wider spans fall back to the collect_set fusion. "
+    "Measured lineage at x1000: r7 post-join-distinct 13.4s -> r8 "
+    "collect_set 5.85s -> r9 bitmask 5.2s vs DuckDB 0.9s. ACCEPTED "
+    "residual (r8 verdict's option b): the plan is provably minimal "
+    "— one exchange of 1.5M 16-byte pairs plus two 0.44s scans — "
+    "and three shapes (two-level agg, repartition+single-mode, "
+    "codegen distinct+join: 12.7-13.1s) measured WORSE; the gap is "
+    "DuckDB's in-process radix hash-agg vs Spark's ser/de exchange "
+    "on 1.5M groups, an engine constant local mode cannot remove "
+    "and a cluster amortizes (the exchange is exactly what "
+    "parallelizes at 100 TB). At 100 TB per-user state is 8 bytes, "
+    "no skew hotspot — power users cap at one long",
 )
 def cohort_retention(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_date(F.col("ts").cast("date")).alias("d")
     )
+    # Fast path (r9): when the feed's day span fits one 64-bit word,
+    # the per-user active-day SET is a long BITMASK — bit_or + min are
+    # both plain codegen long aggregations, so the one wide exchange
+    # carries 16-byte (mask, min) pairs instead of serialized arrays
+    # (6x fewer shuffle bytes) and no ObjectHashAggregate ever runs.
+    # Period extraction tests only bits rel0..rel0+6 (periods 0-6) —
+    # the rel0+p<=63 guard excludes Java's mod-64 shift wraparound.
+    # Cost: one extra map-only min/max pre-scan (0.44s of the 5.2s
+    # x1000 total — the control-plane 1-row collect pattern). The
+    # span>63 fallback is the collect_set form, correct at any width.
+    bounds = ev.agg(F.min("d").alias("g"), F.max("d").alias("mx")).collect()[0]
+    if bounds["g"] is not None and bounds["mx"] - bounds["g"] <= 63:
+        gmin = int(bounds["g"])
+        bm = (
+            ev.groupBy("user_id")
+            .agg(
+                F.bit_or(
+                    F.expr(f"shiftleft(1L, cast(d - {gmin} as int))")
+                ).alias("mask"),
+                F.min("d").alias("c"),
+            )
+            .withColumn("rel0", (F.col("c") - F.lit(gmin)).cast("int"))
+            .withColumn(
+                "ps",
+                F.expr(
+                    "filter(sequence(0, 6), p -> rel0 + p <= 63 "
+                    "AND ((mask >> (rel0 + p)) & 1) = 1)"
+                ),
+            )
+        )
+        return (
+            bm.select(
+                F.col("c").cast("int").alias("cohort_d"),
+                F.explode("ps").alias("p"),
+            )
+            .select("cohort_d", F.col("p").cast("int").alias("period"))
+            .groupBy("cohort_d", "period")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
     per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("ds"))
     return (
         per_user.select(

@@ -103,3 +103,62 @@ def test_snapshot_diff_no_marker_columns_leak(spark):
     a = spark.createDataFrame([("x", 2.0)], "k string, n double")
     out = snapshot_diff(b, a, keys=("k",), measure="n")
     assert out.columns == ["k", "n_before", "n_after", "change_type"]
+
+
+def test_cohort_bitmask_equals_collect_set_fallback(spark):
+    """The r9 bitmask fast path (span <= 63 days) must be value-
+    identical to the collect_set fallback on the same input."""
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.plans.queries import REGISTRY
+
+    fast = {
+        (r["cohort_d"], r["period"]): r["n_users"]
+        for r in REGISTRY["cohort_retention"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.unix_date(F.col("ts").cast("date")).alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("ds"))
+    slow = {
+        (r["cohort_d"], r["period"]): r["n_users"]
+        for r in per_user.select(
+            F.array_min("ds").alias("c"), F.explode("ds").alias("d")
+        )
+        .select(
+            F.col("c").cast("int").alias("cohort_d"),
+            (F.col("d") - F.col("c")).cast("int").alias("period"),
+        )
+        .filter(F.col("period") <= 6)
+        .groupBy("cohort_d", "period")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .collect()
+    }
+    assert fast == slow and len(fast) > 1
+
+
+def test_cohort_wide_span_takes_fallback(spark, tmp_path):
+    """A feed spanning > 63 days must route to the collect_set form
+    and still produce correct cells (bit positions would wrap)."""
+    from football_etl_spark.plans.queries import REGISTRY
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-06-01",
+                 "2024-06-03", "2024-01-05", "2024-06-08"]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "event_type": ["a"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    got = {
+        (r["cohort_d"], r["period"]): r["n_users"]
+        for r in REGISTRY["cohort_retention"].fn(spark, str(tmp_path)).collect()
+    }
+    # user1 cohort 2024-01-01 (d=19723): periods 0, 1 (Jun beyond 6)
+    # user2 cohort 2024-01-05 (d=19727): period 0 only
+    assert got == {(19723, 0): 1, (19723, 1): 1, (19727, 0): 1}, got
