@@ -131,6 +131,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates from LSH
     banding, verified by estimated Jaccard = fraction of matching
@@ -138,9 +139,29 @@ def minhash_near_dup_pairs(
 
     Signatures ride along through the band join as arrays, so
     verification is a zip_with over the pair — no join back to the
-    signature table (two fewer shuffles than the naive plan)."""
+    signature table (two fewer shuffles than the naive plan).
+
+    ``max_bucket_size`` is the banded-join analogue of
+    ngram_jaccard_pairs' df-cap and the recorded CORPUS-SCALE default
+    (None = exact, the verification twin): a band bucket of B docs
+    emits B² candidate pairs, so one boilerplate-degenerate bucket
+    dominates the whole join (the d² fan-out that spilled the
+    uncapped x1000 run past the box's disk). The cap drops buckets
+    larger than the bound BEFORE the self-join via a window count
+    over (band, bkey) — the count exchange hash-partitions on
+    exactly the join key, so the join itself adds no further
+    shuffle of that side. Standard MinHash-LSH practice: oversized
+    buckets are boilerplate clusters better handled by exact-dedup
+    passes than by pairwise verification."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = _banded(sigs, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band", "bkey")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey")
     pairs = (

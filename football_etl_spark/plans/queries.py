@@ -1079,15 +1079,34 @@ def _minhash_matches_expr(num_hashes: int = 16) -> str:
     return " + ".join(f"CAST(ma.mh{k} = mb.mh{k} AS INT)" for k in range(num_hashes))
 
 
-def _minhash_cte_body(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_cte_body(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> str:
     """The MinHash-LSH pipeline as a reusable CTE chain ending in
-    ``mhpairs(id_a, id_b, est_jaccard)`` — shared by the pair query
-    and the MinHash-edge clustering oracle."""
+    ``mhpairs(id_a, id_b, est_jaccard)`` — shared by the pair query,
+    its bucket-capped scale twin, and the MinHash-edge clustering
+    oracle. ``max_bucket`` mirrors the operator's band-bucket cap:
+    buckets above the bound are excluded before the self-join."""
     matches = _minhash_matches_expr(num_hashes)
-    return f"""{_minhash_prefix_cte(num_hashes, bands)},
+    if max_bucket is None:
+        band_src = "bands"
+        cap_ctes = ""
+    else:
+        band_src = "bands_kept"
+        cap_ctes = f"""
+    bands_sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands
+    ),
+    bands_kept AS (SELECT doc_id, band, bkey FROM bands_sized
+                   WHERE bsz <= {max_bucket}),"""
+    return f"""{_minhash_prefix_cte(num_hashes, bands)},{cap_ctes}
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      FROM {band_src} a JOIN {band_src} b
+        ON a.band = b.band AND a.bkey = b.bkey
       WHERE a.doc_id < b.doc_id
     ),
     mhpairs AS (
@@ -1099,9 +1118,14 @@ def _minhash_cte_body(num_hashes: int = 16, bands: int = 4, threshold: float = 0
     )"""
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> str:
     return f"""
-    WITH {_minhash_cte_body(num_hashes, bands, threshold)}
+    WITH {_minhash_cte_body(num_hashes, bands, threshold, max_bucket)}
     SELECT id_a, id_b, est_jaccard FROM mhpairs
     """
 
@@ -1117,6 +1141,34 @@ def minhash_near_dups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_near_dup_pairs(
         d, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+@query(
+    "minhash_near_dups_capped",
+    oracle=_minhash_oracle(16, 4, 0.5, max_bucket=2),
+    doc="the SCALE path of the MinHash-LSH family (r8 verdict ask #4; "
+    "the banded-join analogue of ngram_jaccard_pairs_capped): band "
+    "buckets larger than the cap are dropped before the self-join, "
+    "bounding every bucket's candidate fan-out at cap² pairs — the "
+    "uncapped form's hot-bucket d² blowup is exactly what spilled "
+    "the x1000 attempt past the box's free disk. Cap=2 here so the "
+    "bound demonstrably BINDS at bench SF (sf0.01's largest bucket "
+    "is 3 docs; the entry's result differs from minhash_near_dups, "
+    "so the gate certifies the cap semantics, not a no-op); the "
+    "corpus-scale recommendation is O(100) — large enough to keep "
+    "every genuine near-dup cluster, small enough that one "
+    "boilerplate bucket cannot emit millions of pairs. Oracle "
+    "mirrors the cap with a window count over (band, bkey) before "
+    "the bucket self-join; the x1000 paired measurement lives in "
+    "BENCH_NOTES (the deepest-decade row the uncapped form could "
+    "not produce)",
+)
+def minhash_near_dups_capped(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+        max_bucket_size=2,
     )
 
 

@@ -162,3 +162,27 @@ def test_cohort_wide_span_takes_fallback(spark, tmp_path):
     # user1 cohort 2024-01-01 (d=19723): periods 0, 1 (Jun beyond 6)
     # user2 cohort 2024-01-05 (d=19727): period 0 only
     assert got == {(19723, 0): 1, (19723, 1): 1, (19727, 0): 1}, got
+
+
+def test_minhash_bucket_cap_subset_and_binds(spark):
+    """minhash_near_dups_capped (the banded-join df-cap analogue) must
+    emit a strict SUBSET of the uncapped pairs at a SF where the cap
+    binds, and be identical when the cap exceeds the largest bucket."""
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.operators import dedup
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    un = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(d, max_bucket_size=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(d, max_bucket_size=2).collect()
+    }
+    assert capped < un, (len(capped), len(un))  # strict subset: cap binds
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(d, max_bucket_size=10**6).collect()
+    }
+    assert loose == un

@@ -127,6 +127,7 @@ DIALECT_SKIPS = {
     "messy_ingest_cleaning": "STRFTIME (four messy formats)",
     "minhash_clusters": "TOKENS + LAMBDA + RECURSIVE CTE",
     "minhash_near_dups": "TOKENS + LAMBDA minhash",
+    "minhash_near_dups_capped": "TOKENS + LAMBDA minhash",
     "near_dup_clusters": "TOKENS + LAMBDA + RECURSIVE CTE",
     "nested_event_flatten": "EPOCH + '//' + printf",
     "ngram_jaccard_pairs": "TOKENS + LAMBDA + SERIES",
