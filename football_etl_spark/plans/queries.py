@@ -9694,7 +9694,7 @@ def mad_outlier_customers(spark, sf_dir):
               + d.draw * 97) % np.n_parts AS neg_partkey
       FROM pos p
       CROSS JOIN np
-      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 2)) AS draw) d
+      CROSS JOIN (SELECT 1 AS draw UNION ALL SELECT 2) d
     )
     SELECT c.o_custkey, CAST(c.neg_partkey AS BIGINT) AS neg_partkey,
            CAST(c.draw AS INT) AS draw

@@ -44,12 +44,16 @@ TABLES = (
 ).split()
 
 EXCLUDED = {
-    "json_extract_events": "single-quote backslash escaping dialect",
-    "dedup_exact_documents": (
-        "single-quote backslash escaping dialect ('\\s+' regex) + "
-        "DuckDB 4-arg REGEXP_REPLACE('g') vs Spark's position arg"
-    ),
-    "pii_redacted_docs": "single-quote backslash escaping dialect (regex class literals)",
+    # escapedStringLiterals=true (see _views) retired the backslash
+    # half of these reasons in r9 — json_extract_events runs dual now;
+    # the two below remain excluded on the 'g'-flag gap alone:
+    # DuckDB's 4-arg REGEXP_REPLACE(str, pat, rep, 'g') does global
+    # replacement, Spark's 4th arg is a 1-based POSITION (the string
+    # 'g' would cast to NULL position under the pinned non-ANSI
+    # session and return NULL rows — a silent-wrong, not a parse
+    # error, so they cannot ride the DIALECT_SKIPS parse gate).
+    "dedup_exact_documents": "DuckDB 4-arg REGEXP_REPLACE('g') vs Spark position arg",
+    "pii_redacted_docs": "DuckDB 4-arg REGEXP_REPLACE('g') vs Spark position arg",
     "league_table": "ROUND(AVG(double)) boundary vs plan accumulation order",
 }
 
@@ -88,10 +92,6 @@ DIALECT_SKIPS = {
         "ewma_daily_revenue; TIMESTAMPDIFF probed — Spark-only)"
     ),
     "duplicate_span_stats": "TOKENS + LAMBDA + SERIES window build",
-    "negative_sampling_pairs": (
-        "SERIES draw fan-out: UNNEST(GENERATE_SERIES(1,2)) vs "
-        "explode(array(...)) — no common spelling"
-    ),
     "pca_top_component": (
         "LAMBDA quantization + SERIES Gram fan-out + DuckDB "
         "list-subscript qv[i] (same blockers as embedding_gram_matrix)"
@@ -176,6 +176,19 @@ _ALL_CASES = [("registry", n) for n in _ALL_ORACLE_NAMES] + [
 def _views(spark):
     for t in TABLES:
         load_table(spark, SF_SMOKE, t).createOrReplaceTempView(t)
+    # Standard-SQL string literals for the dual surface (r9): DuckDB
+    # never escape-processes '...' literals, so an oracle regex like
+    # '\s*' reaches RE2 as backslash-s. Spark's DEFAULT mode eats the
+    # backslash ('\s' -> 's') — the same oracle silently matches the
+    # wrong thing (probed: regexp_extract returns '' instead of the
+    # group). spark.sql.parser.escapedStringLiterals=true is Spark's
+    # own documented switch to standard literal semantics; under it
+    # the literal reaches the engine byte-identical to DuckDB, which
+    # is precisely the dual-surface contract. Green oracles without
+    # backslashes are unaffected by construction.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    yield
+    spark.conf.unset("spark.sql.parser.escapedStringLiterals")
 
 
 @pytest.mark.parametrize(("tier", "name"), _ALL_CASES)
