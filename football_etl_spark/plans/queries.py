@@ -10115,6 +10115,309 @@ def streaming_fanout_two_sinks(spark, sf_dir):
     return tag(bronze, "bronze").unionByName(tag(metrics, "metrics"))
 
 
+
+# ===========================================================================
+# Round-9 wave: BPE-merge statistics (registry — fills the one rotation
+# slot left after minhash_near_dups_capped; 48 r4-stale + 2 new = the
+# exact 50-entry driver sample) and four staged entries for r10
+# promotion (benford screen, exact-integer CUSUM, Heaps-law vocab
+# growth, dup-cluster size distribution).
+# ===========================================================================
+
+
+@query(
+    "bpe_pair_stats",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    bi AS (
+      SELECT UNNEST(CASE WHEN LEN(toks) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(toks)),
+                                 i -> toks[i-1] || ' ' || toks[i])
+             ELSE [] END) AS pair
+      FROM toks_cte
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM bi GROUP BY pair)
+    SELECT pair, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC)
+                AS INT) AS rank
+    FROM c
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 20
+    """,
+    doc="BPE-merge pair statistics — the inner loop of byte-pair-"
+    "encoding tokenizer TRAINING as one distributed aggregation: "
+    "count every ADJACENT token pair across the corpus (bag "
+    "semantics — BPE merges by occurrence count, not document "
+    "frequency) and rank the top-20 merge candidates, pair-ASC "
+    "tiebreak making the cut deterministic cross-engine. Plan: "
+    "tokenize once, build the bigram array map-side (transform over "
+    "sequence — single-token rows never exist, <2-token docs emit "
+    "zero pairs), explode, ONE pair-keyed groupBy with map-side "
+    "partial combine, TakeOrderedAndProject top-20, and a 20-row "
+    "ranking window. At 100 TB this is the exact shape a real BPE "
+    "trainer iterates (count -> merge -> re-count): one exchange of "
+    "pair partials per iteration, vocabulary-sized output, no "
+    "driver-side corpus state",
+)
+def bpe_pair_stats(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    toked = d.select(text.tokens("text").alias("t"))
+    k = F.size("t")
+    bigrams = F.when(
+        k >= 2,
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toked.select(F.explode(bigrams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@staged_query(
+    "benford_price_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTRING(printf('%d',
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           n / CAST(total AS DOUBLE) AS obs_freq,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_freq,
+           ROUND(ABS(n / CAST(total AS DOUBLE)
+                     - ROUND(LOG10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+    doc="Benford's-law first-digit screen over order values — the "
+    "classic forensic data-quality test (synthetic or fabricated "
+    "monetary columns flunk the log-curve): distribution of the "
+    "leading digit of exact cents vs the Benford expectation "
+    "log10(1+1/d), with per-digit absolute deviation. The leading "
+    "digit comes from the INTEGER cents string (exact on both "
+    "engines; x100 shifts the decimal point without changing the "
+    "leading digit), obs_freq is one long/long->double division of "
+    "identical operands, and the libm log10 is rounded to 6dp "
+    "before the deviation subtraction so both engines subtract the "
+    "identical quantized operand. Plan: map-side digit extraction, "
+    "one 9-cell groupBy, a 1-row total broadcast — flat at any "
+    "scale, the DQ-suite shape",
+)
+def benford_price_digits(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    obs = F.col("n") / F.col("total").cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        obs.alias("obs_freq"),
+        benford.alias("benford_freq"),
+        F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+    )
+
+
+@staged_query(
+    "cusum_changepoint_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(c) AS BIGINT) AS tot FROM daily),
+    cum AS (
+      SELECT day, c,
+             CAST(SUM(c) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cumc,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+      FROM daily
+    ),
+    scaled AS (
+      SELECT day, CAST(st.n * cumc - k * st.tot AS BIGINT) AS cusum_scaled
+      FROM cum CROSS JOIN st
+    ),
+    peak AS (SELECT MAX(ABS(cusum_scaled)) AS mx FROM scaled)
+    SELECT day, cusum_scaled,
+           ABS(cusum_scaled) = peak.mx AS is_changepoint
+    FROM scaled CROSS JOIN peak
+    """,
+    doc="CUSUM change-point detection on daily revenue in EXACT "
+    "integer arithmetic: the textbook statistic cum_k - k*mean "
+    "carries a non-integer mean, so both engines compute the "
+    "n-SCALED form n*cum_k - k*total — pure BIGINT, bit-identical, "
+    "zero float ops until nothing (headroom: n*cum <= days * total-"
+    "cents ~ 5.5e17 at x1000, thirty-fold under int64) — and flag "
+    "the argmax |CUSUM| day, the changepoint a level-shift monitor "
+    "alerts on. Plan: one orders-sized daily rollup (exact cents, "
+    "map-side combine), then EVERYTHING downstream operates on the "
+    "dates-sized relation (~2.4k rows over the 7-year window): the "
+    "cumulative window's single-partition sort is calendar-bounded "
+    "(the ewma_daily_revenue precedent), and n/tot/peak cross as "
+    "1-row broadcasts. At 100 TB only the rollup grows",
+)
+def cusum_changepoint_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("tot"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum("c").over(w).cast("long").alias("cumc"),
+        F.row_number().over(wk).cast("long").alias("k"),
+    )
+    scaled = cum.crossJoin(F.broadcast(st)).select(
+        "day",
+        (F.col("n") * F.col("cumc") - F.col("k") * F.col("tot"))
+        .cast("long")
+        .alias("cusum_scaled"),
+    )
+    peak = scaled.agg(F.max(F.abs("cusum_scaled")).alias("mx"))
+    return scaled.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "cusum_scaled",
+        (F.abs("cusum_scaled") == F.col("mx")).alias("is_changepoint"),
+    )
+
+
+@staged_query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    ids AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    ex AS (
+      SELECT CAST(FLOOR(10 * (t.doc_id - ids.lo)
+                        / (ids.hi - ids.lo + 1)) AS INT) AS bucket,
+             LOWER(UNNEST(t.toks)) AS term
+      FROM toks_cte t CROSS JOIN ids
+    ),
+    first_seen AS (SELECT term, MIN(bucket) AS b FROM ex GROUP BY term),
+    per AS (SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+            FROM first_seen GROUP BY b)
+    SELECT bucket, new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY bucket
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum_vocab
+    FROM per
+    """,
+    doc="Heaps'-law vocabulary growth curve — how fast the corpus "
+    "vocabulary grows as documents are ingested, the measurement "
+    "behind 'does more data still buy new tokens' and the empirical "
+    "basis for the tfidf entry's sublinear-vocabulary argument. Docs "
+    "are assigned to 10 ingest buckets by doc_id range arithmetic "
+    "against a 1-row min/max broadcast (NO global NTILE sort — at "
+    "100 TB a percent-rank bucketing would shuffle the corpus; the "
+    "range formula is map-side), each term's FIRST bucket is one "
+    "term-keyed groupBy over the exploded tokens, new-term counts "
+    "per bucket follow, and the cumulative curve is a 10-row window. "
+    "Two shuffles total, both vocabulary-bounded after the explode",
+)
+def vocab_growth_curve(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    ids = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    ex = d.crossJoin(F.broadcast(ids)).select(
+        F.floor(
+            10 * (F.col("doc_id") - F.col("lo")) / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.explode(text.tokens("text")).alias("t0"),
+    ).select("bucket", F.lower("t0").alias("term"))
+    first_seen = ex.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    per = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+@staged_query(
+    "dup_cluster_size_distribution",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_body(16, 4, 0.5)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mhpairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM mhpairs
+    ),
+    walk(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+    clus AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM clus GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="near-dup cluster SIZE distribution — the power-law histogram "
+    "every dedup report leads with (how much of the corpus sits in "
+    "how-big duplicate families; the number that decides whether "
+    "dedup keeps 99%% or 60%% of the data): MinHash-LSH edges -> "
+    "connected components (the minhash_clusters composition) -> one "
+    "cluster-keyed count -> one size-keyed count. The two extra "
+    "aggregations beyond minhash_clusters are cluster-bounded and "
+    "size-bounded — noise at any scale. Oracle replays the identical "
+    "recursive-CTE fixpoint and folds the same two aggregations",
+)
+def dup_cluster_size_distribution(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_near_dup_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    clus = dedup.near_dup_clusters(d, edges)
+    sizes = clus.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

@@ -84,6 +84,9 @@ DIALECT_SKIPS = {
     "benchmark_decontamination": "TOKENS + LAMBDA shingle set",
     "bm25_topk_docs": "TOKENS + QUALIFY",
     "boilerplate_chunk_stats": "TOKENS + SERIES n-gram windows",
+    "bpe_pair_stats": "TOKENS + SERIES bigram build",
+    "vocab_growth_curve": "TOKENS per-token expansion",
+    "dup_cluster_size_distribution": "TOKENS + LAMBDA + RECURSIVE CTE",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
     "chunked_documents": "TOKENS + SERIES + '//' integer division",
     "cohort_retention": (
