@@ -10424,6 +10424,69 @@ def dup_cluster_size_distribution(spark, sf_dir):
     )
 
 
+
+@staged_query(
+    "kl_lang_drift",
+    oracle="""
+    WITH c AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM documents GROUP BY lang
+    ),
+    t AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) AS BIGINT) AS tot_b,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM c
+    )
+    SELECT lang, n_a, n_b,
+           (n_a + 1) / CAST(tot_a + k AS DOUBLE) AS p,
+           (n_b + 1) / CAST(tot_b + k AS DOUBLE) AS q,
+           ROUND(((n_a + 1) / CAST(tot_a + k AS DOUBLE))
+                 * LN(((n_a + 1) / CAST(tot_a + k AS DOUBLE))
+                      / ((n_b + 1) / CAST(tot_b + k AS DOUBLE))), 6)
+             AS kl_contribution
+    FROM c CROSS JOIN t
+    """,
+    doc="KL-divergence language drift between two deterministic "
+    "corpus halves (doc_id parity — the A/B shard comparison every "
+    "mixture-rebalance decision needs; swap the parity predicate for "
+    "a snapshot/date predicate in production): per-language add-one-"
+    "smoothed probabilities under BOTH halves and each language's "
+    "signed KL contribution p*ln(p/q), whose sum is KL(P||Q). "
+    "Exactness: p and q are single long/long->double divisions of "
+    "identical operands; the libm LN is consumed by a ROUND 6 like "
+    "every transcendental in the registry. Plan: ONE language-keyed "
+    "groupBy computes both halves' counts as conditional sums in the "
+    "same pass (no second scan, no join of two half-aggregates), a "
+    "1-row totals broadcast, map-side contributions — the PSI/"
+    "chi-square DQ shape, flat at any scale. ANSI oracle: runs "
+    "unmodified on Spark SQL (dual-green)",
+)
+def kl_lang_drift(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).cast("long").alias("n_b"),
+    )
+    t = c.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = (F.col("n_a") + 1) / (F.col("tot_a") + F.col("k")).cast("double")
+    q = (F.col("n_b") + 1) / (F.col("tot_b") + F.col("k")).cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_a",
+        "n_b",
+        p.alias("p"),
+        q.alias("q"),
+        F.round(p * F.log(p / q), 6).alias("kl_contribution"),
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

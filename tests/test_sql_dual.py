@@ -80,7 +80,13 @@ DIALECT_SKIPS = {
         "'day', Spark 4 requires the bare keyword DAY — no common "
         "3-arg form, and the 2-arg datediff exists only in Spark"
     ),
-    "audio_decode_wav": "SERIES sample indexing",
+    "audio_decode_wav": (
+        "SERIES sample indexing — range(a,b) t(i) parses on BOTH "
+        "engines (probed r9) but the per-row sample sum needs a "
+        "correlated aggregate mixing outer doc_id with local i, "
+        "which Spark rejects (AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL_"
+        "REFERENCES); the lateral-explode spelling is Spark-only"
+    ),
     "benchmark_decontamination": "TOKENS + LAMBDA shingle set",
     "bm25_topk_docs": "TOKENS + QUALIFY",
     "boilerplate_chunk_stats": "TOKENS + SERIES n-gram windows",
@@ -152,7 +158,11 @@ DIALECT_SKIPS = {
     "tfidf_top_terms": "TOKENS + QUALIFY",
     "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
     "variant_event_facts": "JSON '->>' extraction + printf",
-    "video_frame_scan": "SERIES frame indexing",
+    "video_frame_scan": (
+        "SERIES frame indexing — same probed blocker as "
+        "audio_decode_wav (shared range() TVF exists, but the "
+        "correlated mixed-reference aggregate does not)"
+    ),
     "time_to_convert_stats": (
         "EPOCH_US gap extraction (the only remaining blocker — "
         "QUANTILE_CONT was ported to percentile_cont WITHIN GROUP "
