@@ -345,3 +345,71 @@ def test_gram_matrix_matches_brute_force(spark, vecs):
             want = sum(row[i - 1] * row[j - 1] for row in q)
             assert got[(i, j)] == want, (i, j, got[(i, j)], want)
     assert len(got) == 6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 7),          # user id
+            st.integers(0, 80),         # day offset from an epoch base
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.booleans(),                      # force a span-63 boundary user
+)
+@settings(**_SETTINGS)
+def test_cohort_retention_matches_bruteforce_any_span(spark, pairs, pin63):
+    """Pin the r9 cohort bitmask fast path against pure-Python brute
+    force on arbitrary (user, day) feeds. The generated spans cross
+    the 63-day bitmask cutoff both ways, and `pin63` injects a user
+    whose cohort day sits near the span end so the rel0+p <= 63
+    shift-wraparound guard is exercised at the exact boundary (Java's
+    shiftleft is mod-64 — an unguarded decode would alias bit 64 to
+    bit 0 and invent false periods)."""
+    import tempfile
+
+    import pandas as pd
+
+    from football_etl_spark.plans.queries import REGISTRY
+
+    if pin63:
+        # span exactly 63: day 0 exists, day 63 exists, and a user
+        # whose FIRST day is 60 with activity at 63 (period 3 sits on
+        # the last representable bit).
+        pairs = pairs + [(6, 0), (6, 63), (7, 60), (7, 63)]
+    base = 19700  # days since epoch, arbitrary
+    rows = [
+        (i, u, base + d)
+        for i, (u, d) in enumerate(pairs)
+    ]
+    ev = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                [dt.date(1970, 1, 1) + dt.timedelta(days=r[2]) for r in rows]
+            ).astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["a"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    tmp = tempfile.mkdtemp(prefix="cohort_prop_")
+    ev.to_parquet(f"{tmp}/events.parquet")
+    got = {
+        (r["cohort_d"], r["period"]): r["n_users"]
+        for r in REGISTRY["cohort_retention"].fn(spark, tmp).collect()
+    }
+    # brute force: cohort = min day per user; one cell per distinct
+    # active day within 6 days of the cohort; count users per cell
+    per_user: dict[int, set[int]] = {}
+    for _, u, d in rows:
+        per_user.setdefault(u, set()).add(d)
+    want: dict[tuple[int, int], int] = {}
+    for days in per_user.values():
+        c = min(days)
+        for d in days:
+            if d - c <= 6:
+                want[(c, d - c)] = want.get((c, d - c), 0) + 1
+    assert got == want, (got, want)
