@@ -10487,6 +10487,328 @@ def kl_lang_drift(spark, sf_dir):
     )
 
 
+@staged_query(
+    "lorenz_gini_order_value",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x, o_orderkey AS k
+      FROM orders
+    ),
+    r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS rk FROM v),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+    d AS (
+      SELECT CAST(FLOOR((rk - 1) * 10.0 / n) AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(x) AS decile_value,
+             SUM(rk * x) AS srx_part
+      FROM r CROSS JOIN t
+      GROUP BY 1
+    ),
+    t2 AS (
+      SELECT CAST(SUM(n_orders) AS BIGINT) AS n,
+             CAST(SUM(decile_value) AS DOUBLE) AS sx,
+             CAST(SUM(srx_part) AS DOUBLE) AS srx
+      FROM d
+    )
+    SELECT d.decile, d.n_orders,
+           CAST(d.decile_value AS DECIMAL(18,2)) AS decile_value,
+           ROUND(CAST(SUM(d.decile_value) OVER (ORDER BY d.decile)
+                      AS DOUBLE) / t2.sx, 6) AS cum_share,
+           ROUND((2.0 * t2.srx - (CAST(t2.n AS DOUBLE) + 1.0) * t2.sx)
+                 / (CAST(t2.n AS DOUBLE) * t2.sx), 6) AS gini
+    FROM d CROSS JOIN t2
+    ORDER BY d.decile
+    """,
+    doc="EXACT global Lorenz curve + Gini coefficient of order value "
+    "— the inequality statistic behind every 'top-X% of customers "
+    "drive Y% of revenue' claim — computed WITHOUT a single-"
+    "partition rank. The naive row_number() OVER (ORDER BY x) "
+    "funnels the whole fact table through one task; this entry "
+    "reuses the two-pass radix-rank pattern (corpus.py "
+    "global_shuffle_index) with FIXED-WIDTH VALUE buckets as the "
+    "monotone prefix of the total order: per-bucket counts (a "
+    "control-plane-sized collect), cumulative offsets broadcast "
+    "back as a JVM-literal relation, rank = offset + row_number "
+    "within bucket. (x, o_orderkey) is a unique total order, so "
+    "ranks are layout-independent and the decile/Gini sums are "
+    "exact DECIMAL arithmetic — srx caps at rank*price*N ~ 1e28 at "
+    "100 TB, inside DECIMAL(38,2). Gini = (2*SUM(rk*x) - (n+1)*"
+    "SUM(x)) / (n*SUM(x)) on ascending ranks; the division is the "
+    "only double, consumed by ROUND 6. Totals come from the 10 "
+    "decile partials (sum of sums), NOT a second pass over the "
+    "ranked rows — one rank window, one groupBy, one 10-row window. "
+    "At 100 TB: bucket width is a knob (width/50 here ≈ 20 buckets; "
+    "production widens to executor count) and no partition ever "
+    "holds more than one bucket's rows. ANSI oracle: runs "
+    "unmodified on Spark SQL (dual-green)",
+)
+def lorenz_gini_order_value(spark, sf_dir):
+    from ..operators.corpus import _literal_rows_df as _lit
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    withb = o.withColumn(
+        "__b", F.floor(F.col("x") / F.lit(25000)).cast("int")
+    )
+    counts = sorted(
+        (r["__b"], r["__n"])
+        for r in withb.groupBy("__b").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, nrows in counts:
+        offsets.append({"__b": b, "__off": acc})
+        acc += nrows
+    n_total = acc
+    off = F.broadcast(
+        _lit(spark, offsets, "__b: int, __off: long")
+    )
+    wb = Window.partitionBy("__b").orderBy(F.asc("x"), F.asc("k"))
+    ranked = (
+        withb.join(off, "__b")
+        .withColumn("rk", (F.col("__off") + F.row_number().over(wb)).cast("long"))
+    )
+    d = (
+        ranked.groupBy(
+            F.floor((F.col("rk") - 1) * 10.0 / F.lit(n_total))
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("x").alias("dv"),
+            F.sum(F.col("rk") * F.col("x")).alias("srx_part"),
+        )
+    )
+    wtot = Window.partitionBy(F.pmod(F.col("decile"), F.lit(1))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.partitionBy(F.pmod(F.col("decile"), F.lit(1))).orderBy("decile")
+    n = F.sum("n_orders").over(wtot).cast("double")
+    sx = F.sum("dv").over(wtot).cast("double")
+    srx = F.sum("srx_part").over(wtot).cast("double")
+    return d.select(
+        "decile",
+        "n_orders",
+        F.col("dv").cast("decimal(18,2)").alias("decile_value"),
+        F.round(F.sum("dv").over(wcum).cast("double") / sx, 6).alias("cum_share"),
+        F.round(
+            (F.lit(2.0) * srx - (n + F.lit(1.0)) * sx) / (n * sx), 6
+        ).alias("gini"),
+    ).orderBy("decile")
+
+
+@staged_query(
+    "corpus_mass_by_length_bucket",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(LOG2(n_chars)) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_in_bucket
+      FROM documents
+      WHERE n_chars > 0
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(chars_in_bucket) AS DOUBLE) AS total FROM b)
+    SELECT bucket, n_docs, chars_in_bucket,
+           ROUND(CAST(chars_in_bucket AS DOUBLE) / total, 6) AS bucket_share,
+           ROUND(CAST(SUM(chars_in_bucket) OVER (ORDER BY bucket)
+                      AS DOUBLE) / total, 6) AS cum_share
+    FROM b CROSS JOIN t
+    ORDER BY bucket
+    """,
+    doc="Corpus mass by log2 document-length bucket with cumulative "
+    "share — the length histogram every pre-training mixture report "
+    "leads with ('docs under 2^9 chars hold 40% of the corpus'), "
+    "and the scalable stand-in for the sort-hungry decile version: "
+    "fixed log2 buckets need NO global rank, just one groupBy of "
+    "the scan to ~15 cells. FLOOR(LOG2(n)) is boundary-stable cross-"
+    "engine: powers of two convert exactly to double, so log2 hits "
+    "the integer exactly; all other values sit strictly inside a "
+    "bucket. Shares are single divisions of exact longs consumed by "
+    "ROUND 6; the cumulative window runs over bucket-count rows "
+    "(control-plane-sized). ANSI oracle: runs unmodified on Spark "
+    "SQL (dual-green)",
+)
+def corpus_mass_by_length_bucket(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    b = (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy(
+            F.floor(F.log2("n_chars")).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).cast("long").alias("chars_in_bucket"),
+        )
+    )
+    wtot = Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1))).orderBy("bucket")
+    total = F.sum("chars_in_bucket").over(wtot).cast("double")
+    return b.select(
+        "bucket",
+        "n_docs",
+        "chars_in_bucket",
+        F.round(F.col("chars_in_bucket").cast("double") / total, 6).alias(
+            "bucket_share"
+        ),
+        F.round(
+            F.sum("chars_in_bucket").over(wcum).cast("double") / total, 6
+        ).alias("cum_share"),
+    ).orderBy("bucket")
+
+
+@staged_query(
+    "user_day_entropy_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE), event_type
+    ),
+    u AS (
+      SELECT user_id, d,
+             CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE))) AS s
+      FROM c
+      GROUP BY user_id, d
+    ),
+    e AS (
+      SELECT CASE WHEN k = 1 THEN 0.0
+                  ELSE LN(CAST(tot AS DOUBLE)) - s / CAST(tot AS DOUBLE)
+             END AS entropy,
+             k
+      FROM u
+    )
+    SELECT CAST(FLOOR(entropy / 0.25) AS INT) AS entropy_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(MIN(k) AS BIGINT) AS min_types,
+           CAST(MAX(k) AS BIGINT) AS max_types
+    FROM e
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Behavioral-diversity histogram: Shannon entropy of each "
+    "user-DAY's event-type mix, binned at 0.25 nats — the bot/"
+    "monoculture screen (entropy-0 days are single-action loops; "
+    "high-entropy days are organic sessions). Day grain because "
+    "whole-account entropy converges to the source distribution for "
+    "every user (probed: one degenerate bin) — per-day mixes of "
+    "2-10 events spread across six bins at every SF. H = ln(tot) - "
+    "SUM(n*ln(n))/tot from ONE (user, day, type) groupBy and one "
+    "(user, day) rollup — two keyed exchanges, both scale-free of "
+    "any single hot partition. Boundary determinism: the only "
+    "entropy that lands EXACTLY on a bin edge is the single-type "
+    "day (H=0), forced to literal 0.0 by the k=1 branch in BOTH "
+    "engines rather than trusting ln(tot)-tot*ln(tot)/tot to cancel "
+    "in FP; every k>=2 entropy is a transcendental strictly inside "
+    "a bin (sub-ulp cross-engine sum-order drift cannot cross the "
+    "0.25 edge). ANSI oracle: runs unmodified on Spark SQL "
+    "(dual-green)",
+)
+def user_day_entropy_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nd = F.col("n").cast("double")
+    u = c.groupBy("user_id", "d").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(nd * F.log(nd)).alias("s"),
+    )
+    totd = F.col("tot").cast("double")
+    entropy = F.when(F.col("k") == 1, F.lit(0.0)).otherwise(
+        F.log(totd) - F.col("s") / totd
+    )
+    return (
+        u.select(entropy.alias("entropy"), "k")
+        .groupBy(
+            F.floor(F.col("entropy") / 0.25).cast("int").alias("entropy_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_user_days"),
+            F.min("k").cast("long").alias("min_types"),
+            F.max("k").cast("long").alias("max_types"),
+        )
+        .orderBy("entropy_bin")
+    )
+
+
+@staged_query(
+    "context_budget_truncation",
+    oracle="""
+    WITH n AS (
+      SELECT CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                  AS BIGINT) AS tok_n
+      FROM documents
+    ),
+    b AS (SELECT budget FROM (VALUES (16), (32), (64), (128)) AS v(budget))
+    SELECT budget,
+           CAST(SUM(tok_n) AS BIGINT) AS total_tokens,
+           CAST(SUM(GREATEST(tok_n - budget, 0)) AS BIGINT) AS tokens_lost,
+           CAST(SUM(CASE WHEN tok_n > budget THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_truncated,
+           ROUND(CAST(SUM(GREATEST(tok_n - budget, 0)) AS DOUBLE)
+                 / SUM(tok_n), 6) AS loss_ratio
+    FROM n CROSS JOIN b
+    GROUP BY budget
+    ORDER BY budget
+    """,
+    doc="Context-budget truncation loss: for candidate sequence "
+    "lengths 16/32/64/128, how many tokens fall off the end of each "
+    "document and what fraction of the corpus that is — the first "
+    "table anyone sizing a context window or a packing buffer "
+    "computes. Token count is the ENGINE-PORTABLE whitespace field "
+    "count LENGTH(t)-LENGTH(REPLACE(t,' ',''))+1 (counts space-"
+    "delimited fields including empties — exact integer contract "
+    "both engines share; the real tokenizer split lives in "
+    "functions/text.py and is a documented dialect blocker for "
+    "dual-SQL entries). Budgets sized to this corpus's 8-90-token "
+    "docs so every row is non-vacuous; the shape is budget-"
+    "agnostic. Plan: map-side token count, fan-out 4x via a "
+    "broadcast 4-row literal relation (the sanctioned scalar-class "
+    "cross join), ONE groupBy to 4 cells — flat at any scale. ANSI "
+    "oracle: runs unmodified on Spark SQL (dual-green)",
+)
+def context_budget_truncation(spark, sf_dir):
+    from ..operators.corpus import _literal_rows_df as _lit
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    tok_n = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    n = d.select(tok_n.alias("tok_n"))
+    budgets = F.broadcast(
+        _lit(spark, [{"budget": v} for v in (16, 32, 64, 128)], "budget: int")
+    )
+    lost = F.greatest(F.col("tok_n") - F.col("budget"), F.lit(0).cast("long"))
+    return (
+        n.crossJoin(budgets)
+        .groupBy("budget")
+        .agg(
+            F.sum("tok_n").cast("long").alias("total_tokens"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            F.sum((F.col("tok_n") > F.col("budget")).cast("long"))
+            .cast("long")
+            .alias("docs_truncated"),
+            F.round(
+                F.sum(lost).cast("double") / F.sum("tok_n"), 6
+            ).alias("loss_ratio"),
+        )
+        .orderBy("budget")
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

@@ -186,3 +186,84 @@ def test_minhash_bucket_cap_subset_and_binds(spark):
         for r in dedup.minhash_near_dup_pairs(d, max_bucket_size=10**6).collect()
     }
     assert loose == un
+
+
+def test_lorenz_gini_matches_bruteforce(spark, tmp_path):
+    """Pin the radix-rank Gini against the textbook O(n log n)
+    formula on a synthetic orders table with duplicate prices (rank
+    ties broken by key) and values spanning several radix buckets."""
+    from football_etl_spark.plans.queries import STAGED
+
+    vals = [1013.70, 499978.59, 250000.00, 250000.00, 99.99,
+            75000.25, 75000.25, 310111.11, 12.00, 480000.00,
+            123456.78, 123456.78, 123456.78, 2500.50, 68000.00]
+    od = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(vals) + 1),
+            "o_custkey": [1] * len(vals),
+            "o_orderstatus": ["O"] * len(vals),
+            "o_totalprice": vals,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(vals)),
+            "o_orderpriority": ["1-URGENT"] * len(vals),
+        }
+    )
+    od.to_parquet(tmp_path / "orders.parquet")
+    got = {
+        r["decile"]: (r["n_orders"], float(r["decile_value"]),
+                      r["cum_share"], r["gini"])
+        for r in STAGED["lorenz_gini_order_value"].fn(spark, str(tmp_path)).collect()
+    }
+    # brute force: sort by (price, key) ascending, 1-based ranks
+    from decimal import Decimal
+
+    rows = sorted(
+        (Decimal(f"{v:.2f}"), k) for k, v in enumerate(vals, start=1)
+    )
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    srx = sum(Decimal(i) * x for i, (x, _) in enumerate(rows, start=1))
+    gini = round(
+        (2.0 * float(srx) - (n + 1.0) * float(sx)) / (n * float(sx)), 6
+    )
+    want: dict[int, list] = {}
+    for i, (x, _) in enumerate(rows, start=1):
+        dec = int((i - 1) * 10.0 / n)
+        want.setdefault(dec, [0, Decimal(0)])
+        want[dec][0] += 1
+        want[dec][1] += x
+    cum = Decimal(0)
+    for dec in sorted(want):
+        cnt, dv = want[dec]
+        cum += dv
+        exp = (cnt, float(dv), round(float(cum) / float(sx), 6), gini)
+        assert got[dec] == exp, (dec, got[dec], exp)
+    assert set(got) == set(want) and len(got) >= 5
+
+
+def test_context_budget_token_count_is_field_count(spark, tmp_path):
+    """The portable token count is LENGTH-REPLACE field arithmetic:
+    consecutive spaces count as extra (empty) fields by contract —
+    the cross-engine exactness trade documented in the entry doc."""
+    from football_etl_spark.plans.queries import STAGED
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b  c", "one", "x " * 20],  # 4, 1, 21 fields
+            # ("x " * 20 = 20 x's + 20 spaces incl. trailing -> 21
+            # fields, the trailing one empty)
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [6, 3, 40],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r["budget"]: (r["total_tokens"], r["tokens_lost"], r["docs_truncated"])
+        for r in STAGED["context_budget_truncation"].fn(spark, str(tmp_path)).collect()
+    }
+    # field counts: 4, 1, 21 -> total 26
+    assert got[16] == (26, 21 - 16, 1)
+    assert got[32] == (26, 0, 0)
+    assert got[64] == (26, 0, 0)
+    assert got[128] == (26, 0, 0)
