@@ -203,7 +203,9 @@ def test_lorenz_gini_matches_bruteforce(spark, tmp_path):
             "o_custkey": [1] * len(vals),
             "o_orderstatus": ["O"] * len(vals),
             "o_totalprice": vals,
-            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(vals)),
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(vals)).astype(
+                "datetime64[us]"
+            ),
             "o_orderpriority": ["1-URGENT"] * len(vals),
         }
     )
