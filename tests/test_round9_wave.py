@@ -269,3 +269,39 @@ def test_context_budget_token_count_is_field_count(spark, tmp_path):
     assert got[32] == (26, 0, 0)
     assert got[64] == (26, 0, 0)
     assert got[128] == (26, 0, 0)
+
+
+def test_entropy_pivot_fast_path_equals_generic(spark, tmp_path):
+    """The bounded-domain pivot path must reproduce the generic
+    rollup semantics (pinned by hand-computed entropies), including
+    NULL event_type as its own grouping value and single-type days
+    landing EXACTLY in bin 0."""
+    from football_etl_spark.plans.queries import STAGED
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00"] * 4 + ["2024-01-02 09:00"] * 3
+                + ["2024-01-01 11:00"] * 3
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 1, 1, 1, 1, 2, 2, 2],
+            "event_type": ["a", "b", None, "a", "c", "c", "c", "a", "a", "a"],
+            "value": [1.0] * 10,
+            "props": ["{}"] * 10,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    got = {
+        r["entropy_bin"]: (r["n_user_days"], r["min_types"], r["max_types"])
+        for r in STAGED["user_day_entropy_profile"].fn(spark, str(tmp_path)).collect()
+    }
+    # brute force (user, day) mixes:
+    #   u1 d1: a=2, b=1, NULL=1  -> k=3, H = ln(4) - (2ln2)/4 ~ 1.0397 -> bin 4
+    #   u1 d2: c=3              -> k=1, H = 0                          -> bin 0
+    #   u2 d1: a=3              -> k=1, H = 0                          -> bin 0
+    import math
+
+    h = math.log(4) - (2 * math.log(2)) / 4
+    assert int(h / 0.25) == 4
+    assert got == {0: (2, 1, 1), 4: (1, 3, 3)}, got
