@@ -305,3 +305,38 @@ def test_entropy_pivot_fast_path_equals_generic(spark, tmp_path):
     h = math.log(4) - (2 * math.log(2)) / 4
     assert int(h / 0.25) == 4
     assert got == {0: (2, 1, 1), 4: (1, 3, 3)}, got
+
+
+def test_triangle_count_matches_unoriented_bruteforce(spark):
+    """The degree-ordered orientation must count each triangle exactly
+    once: pin against the naive unoriented triple join on the smoke-SF
+    co-purchase graph."""
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.plans.queries import STAGED
+
+    row = STAGED["copurchase_triangle_count"].fn(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+    )
+    brute = (
+        p.alias("p1")
+        .join(p.alias("p2"), F.col("p1.b") == F.col("p2.a"))
+        .join(
+            p.alias("p3"),
+            (F.col("p1.a") == F.col("p3.a")) & (F.col("p2.b") == F.col("p3.b")),
+        )
+        .count()
+    )
+    assert row["n_triangles"] == brute and brute > 0
+    n_edges = p.count()
+    assert row["n_edges"] == n_edges
