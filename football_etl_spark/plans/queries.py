@@ -10737,10 +10737,17 @@ def user_day_entropy_profile(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("d")
-    vocab = [
-        r["event_type"] for r in ev.select("event_type").distinct().collect()
-    ]
-    vocab.sort(key=lambda t: (t is None, t))
+    app_id = spark.sparkContext.applicationId
+    vkey = (app_id, sf_dir.rstrip("/"), "event_type_vocab")
+    vocab = _CONTROL_CACHE.get(vkey)
+    if vocab is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        vocab = [
+            r["event_type"]
+            for r in ev.select("event_type").distinct().collect()
+        ]
+        vocab.sort(key=lambda t: (t is None, t))
+        _CONTROL_CACHE[vkey] = vocab
     if 0 < len(vocab) <= 32:
         # bounded-domain fast path: per-type counts as conditional
         # sums of ONE (user, day) groupBy. NULL gets its own column —
