@@ -11026,6 +11026,134 @@ def copurchase_triangle_count(spark, sf_dir):
     )
 
 
+@staged_query(
+    "copurchase_degree_structure",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM pairs
+            UNION ALL SELECT b AS node FROM pairs) e
+      GROUP BY node
+    ),
+    ed AS (
+      SELECT CAST(da.d AS DECIMAL(12,0)) AS du,
+             CAST(db.d AS DECIMAL(12,0)) AS dv
+      FROM pairs p
+      JOIN deg da ON p.a = da.node
+      JOIN deg db ON p.b = db.node
+      UNION ALL
+      SELECT CAST(db.d AS DECIMAL(12,0)), CAST(da.d AS DECIMAL(12,0))
+      FROM pairs p
+      JOIN deg da ON p.a = da.node
+      JOIN deg db ON p.b = db.node
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n2,
+             CAST(SUM(du) AS DOUBLE) AS s1,
+             CAST(SUM(du * dv) AS DOUBLE) AS sp,
+             CAST(SUM(du * du) AS DOUBLE) AS s2
+      FROM ed
+    ),
+    r AS (
+      SELECT ROUND((n2 * sp - s1 * s1) / (n2 * s2 - s1 * s1), 6)
+               AS assortativity
+      FROM m
+    )
+    SELECT CAST(FLOOR(LOG2(d)) AS INT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           r.assortativity
+    FROM deg CROSS JOIN r
+    GROUP BY 1, r.assortativity
+    ORDER BY 1
+    """,
+    doc="Degree structure of the co-purchase graph: log2-degree "
+    "histogram plus Newman's degree assortativity coefficient (the "
+    "Pearson correlation of endpoint degrees over the symmetrized "
+    "edge list) — together with connected components, PageRank and "
+    "the triangle count this completes the graph-health panel "
+    "(assortativity near 0 on this uniformly-drawn synthetic graph, "
+    "the honest answer; hub-repelling real graphs go negative). "
+    "Exactness at scale: per-edge degree products are DECIMAL(12,0) "
+    "operands — exact to degree 1e12 and SUM-safe inside "
+    "DECIMAL(38,0) — because the pinned non-ANSI session would "
+    "silently WRAP an int64 sum of d*d on a hub-heavy 100 TB graph "
+    "(the trend_slope_by_market lesson); the Pearson ratio is the "
+    "one double, consumed by ROUND 6. Plan: the same one-exchange "
+    "edge build and degree groupBy as copurchase_triangle_count, "
+    "two degree joins (AQE-decided, never hinted), ONE pass of "
+    "decimal sums to a 1-row relation, and a bucket-count groupBy "
+    "of deg — no wedge stream at all, so this stat stays cheap on "
+    "graphs whose triangle count is expensive. ANSI oracle: runs "
+    "unmodified on Spark SQL (dual-green)",
+)
+def copurchase_degree_structure(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    joined = (
+        pairs.join(deg.alias("da"), F.col("a") == F.col("da.node"))
+        .join(deg.alias("db"), F.col("b") == F.col("db.node"))
+        .select(
+            F.col("da.d").cast("decimal(12,0)").alias("du"),
+            F.col("db.d").cast("decimal(12,0)").alias("dv"),
+        )
+    )
+    ed = joined.unionAll(joined.select(F.col("dv").alias("du"), F.col("du").alias("dv")))
+    m = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("n2"),
+        F.sum("du").cast("double").alias("s1"),
+        F.sum(F.col("du") * F.col("dv")).cast("double").alias("sp"),
+        F.sum(F.col("du") * F.col("du")).cast("double").alias("s2"),
+    )
+    r = m.select(
+        F.round(
+            (F.col("n2") * F.col("sp") - F.col("s1") * F.col("s1"))
+            / (F.col("n2") * F.col("s2") - F.col("s1") * F.col("s1")),
+            6,
+        ).alias("assortativity")
+    )
+    return (
+        deg.crossJoin(F.broadcast(r))
+        .groupBy(
+            F.floor(F.log2("d")).cast("int").alias("degree_bucket"),
+            "assortativity",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+        .select(
+            "degree_bucket", "n_nodes", "min_degree", "max_degree",
+            "assortativity",
+        )
+        .orderBy("degree_bucket")
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

@@ -340,3 +340,40 @@ def test_triangle_count_matches_unoriented_bruteforce(spark):
     assert row["n_triangles"] == brute and brute > 0
     n_edges = p.count()
     assert row["n_edges"] == n_edges
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    """Newman's assortativity IS the Pearson correlation of endpoint
+    degrees over the symmetrized edge list — pin the decimal-sum
+    formula against numpy.corrcoef, an implementation that shares no
+    code or formula arrangement with either engine."""
+    import numpy as np
+
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.plans.queries import STAGED
+
+    rows = STAGED["copurchase_degree_structure"].fn(spark, SF_SMOKE).collect()
+    got = rows[0]["assortativity"]
+    assert all(r["assortativity"] == got for r in rows)
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    du = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    dv = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    want = float(np.corrcoef(du, dv)[0, 1])
+    assert abs(got - want) < 1e-6, (got, want)
+    # histogram sanity: bucket counts sum to the node count
+    assert sum(r["n_nodes"] for r in rows) == len(deg)
