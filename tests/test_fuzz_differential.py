@@ -259,13 +259,20 @@ _WINDOWS = {
         "CAST(NTILE(4) OVER w AS INT)",
         lambda w: F.ntile(4).over(w).cast("int"),
     ),
+    # percent_rank/cume_dist are compared RAW: (rank-1)/(n-1) and
+    # rank/n are single IEEE divisions of identical exact integers,
+    # bit-equal across engines. A defensive ROUND(x, 6) here would
+    # CREATE mismatches instead of preventing them — dyadic ratios
+    # like 333/640 = 0.5203125 land exactly on the half-ulp tie,
+    # where Spark's BigDecimal HALF_UP says ...313 and DuckDB's
+    # half-even says ...312 (found by the 150-example r9 soak).
     "prnk": (
-        "ROUND(PERCENT_RANK() OVER w, 6)",
-        lambda w: F.round(F.percent_rank().over(w), 6),
+        "PERCENT_RANK() OVER w",
+        lambda w: F.percent_rank().over(w),
     ),
     "cume": (
-        "ROUND(CUME_DIST() OVER w, 6)",
-        lambda w: F.round(F.cume_dist().over(w), 6),
+        "CUME_DIST() OVER w",
+        lambda w: F.cume_dist().over(w),
     ),
 }
 _win_fns = st.lists(
