@@ -13,7 +13,19 @@ Cross-engine exactness policy:
 - averages of doubles: ROUND(x, 6) both sides (accumulation order
   differs between engines; rounding absorbs the last-bit noise).
 - ratios of integers: single IEEE double division of identical
-  operands → bit-identical, left unrounded.
+  operands → bit-identical, left unrounded. Do NOT "defensively"
+  round these: ROUND is where the engines DIVERGE, not where they
+  agree. The r9 150-example fuzz soak caught it live — a rank ratio
+  333/640 = 0.5203125 is an exactly-representable double sitting
+  precisely on the 6th-digit tie, and Spark's BigDecimal HALF_UP
+  says 0.520313 while DuckDB's half-even says 0.520312. The hazard
+  needs a dyadic-rational value (denominator 2^a·5^b, e.g. n-1 =
+  640 rows after a filter), so data-valued averages are safe in
+  practice, but pure small-integer ratios (percent_rank, count
+  shares) hit it at realistic row counts — compare those raw.
+- transcendentals (LN/EXP/POW): ROUND(x, 6) both sides, never used
+  as a grouping/branch value except where a literal branch pins the
+  only exact boundary (see user_day_entropy_profile).
 - every computed column aliased identically on both sides.
 """
 
