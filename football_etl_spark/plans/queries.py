@@ -11166,6 +11166,152 @@ def copurchase_degree_structure(spark, sf_dir):
     )
 
 
+@staged_query(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+             AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source exact-duplicate rate — the first dashboard of any "
+    "corpus intake review (which feed is sending us the same page "
+    "five times?): md5 content fingerprints, distinct count per "
+    "source, dup rate. md5 is byte-identical hex on both engines, "
+    "so the fingerprint layer itself is oracle-checked, not just "
+    "the counts. dup_rate is a RAW integer-ratio division per the "
+    "float policy — ROUND here would reintroduce the half-ulp tie "
+    "class the r9 soak caught. Plan: one groupBy(source, fp) "
+    "partial-distinct then the source rollup (Spark's two-phase "
+    "COUNT DISTINCT), fingerprints never collected — at 100 TB "
+    "this is the same one-exchange shape as dedup_exact_documents "
+    "with a dashboard on top. ANSI oracle: runs unmodified on "
+    "Spark SQL (dual-green)",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    fp = F.md5(F.col("text").cast("binary"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(fp).cast("long").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_dup_docs"),
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_BRR_B = 16
+_BRR_HEX = "0123456789abcdef"
+
+
+def _brr_member_sql(b: int) -> str:
+    # deterministic half-sample membership: parity of the first hex
+    # digit of md5(orderkey '|' replicate-id) — identical bytes, hence
+    # identical membership, on every engine that has md5
+    # bare numeric || string concat: the one cast spelling BOTH
+    # engines parse (Spark rejects length-less VARCHAR, DuckDB has no
+    # STRING type); identical md5 hex verified by probe
+    return (
+        f"(POSITION(SUBSTRING(md5(o_orderkey || '|{b}'),"
+        f" 1, 1) IN '{_BRR_HEX}') - 1) % 2 = 0"
+    )
+
+
+@staged_query(
+    "half_sample_stderr_revenue",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             {', '.join(
+                 f"CAST(SUM(CASE WHEN {_brr_member_sql(b)} THEN cents END) AS DECIMAL(38,0)) AS s{b}, "
+                 f"CAST(SUM(CASE WHEN {_brr_member_sql(b)} THEN 1 ELSE 0 END) AS BIGINT) AS n{b}"
+                 for b in range(_BRR_B))}
+      FROM x
+    )
+    SELECT n,
+           CAST(s AS DOUBLE) / 100.0 / n AS mean_price,
+           ROUND(SQRT(({' + '.join(
+               f"(CAST(s{b} AS DOUBLE) / 100.0 / n{b} - CAST(s AS DOUBLE) / 100.0 / n) "
+               f"* (CAST(s{b} AS DOUBLE) / 100.0 / n{b} - CAST(s AS DOUBLE) / 100.0 / n)"
+               for b in range(_BRR_B))}) / {_BRR_B}.0), 6) AS stderr_brr
+    FROM m
+    """,
+    doc="Uncertainty quantification in ONE pass: the balanced-"
+    "repeated-replication (half-sample) standard error of mean "
+    "order value — Var(est) ~ (1/B) * SUM_b (est_b - est)^2 over B "
+    "deterministic half-samples (McCarthy's BRR, the survey-"
+    "statistics classic). Each replicate's membership is the parity "
+    "of the first hex digit of md5(orderkey '|' b) — identical "
+    "bytes on both engines, so replicate composition is itself "
+    "cross-engine-pinned, and at 100 TB the WHOLE estimator is "
+    "16 conditional sums inside the one aggregation the mean "
+    "already needs: map-side partials, a 1-row result, ZERO extra "
+    "exchanges — where a naive bootstrap materializes B resamples "
+    "and reshuffles each. Exactness: cents partials in "
+    "DECIMAL(38,0) (order-free exact sums), replicate means are "
+    "divisions of identical exact operands, the 16 squared "
+    "deviations are combined in one FIXED-ORDER expression tree "
+    "(no SUM-over-rows reorder), and the final sqrt is consumed by "
+    "ROUND 6. ANSI oracle: runs unmodified on Spark SQL "
+    "(dual-green)",
+)
+def half_sample_stderr_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    ]
+    for b in range(_BRR_B):
+        member = F.expr(_brr_member_sql(b))
+        aggs.append(
+            F.sum(F.when(member, F.col("cents")))
+            .cast("decimal(38,0)")
+            .alias(f"s{b}")
+        )
+        aggs.append(
+            F.sum(F.when(member, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"n{b}")
+        )
+    m = o.agg(*aggs)
+    mean = F.col("s").cast("double") / 100.0 / F.col("n")
+    dev_sq = None
+    for b in range(_BRR_B):
+        mb = F.col(f"s{b}").cast("double") / 100.0 / F.col(f"n{b}")
+        term = (mb - mean) * (mb - mean)
+        dev_sq = term if dev_sq is None else dev_sq + term
+    return m.select(
+        "n",
+        mean.alias("mean_price"),
+        F.round(F.sqrt(dev_sq / float(_BRR_B)), 6).alias("stderr_brr"),
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the

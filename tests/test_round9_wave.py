@@ -377,3 +377,46 @@ def test_assortativity_matches_numpy_pearson(spark):
     assert abs(got - want) < 1e-6, (got, want)
     # histogram sanity: bucket counts sum to the node count
     assert sum(r["n_nodes"] for r in rows) == len(deg)
+
+
+def test_dedup_rate_by_source_counts_injected_dups(spark, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["same", "same", "same", "uniq1", "uniq2", "only"],
+            "lang": ["en"] * 6,
+            "source": ["a", "a", "a", "a", "b", "b"],
+            "n_chars": [4, 4, 4, 5, 5, 4],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from football_etl_spark.plans.queries import STAGED
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_unique"], r["n_dup_docs"], r["dup_rate"])
+        for r in STAGED["dedup_rate_by_source"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {"a": (4, 2, 2, 0.5), "b": (2, 2, 0, 0.0)}, got
+
+
+def test_half_sample_stderr_statistically_sane(spark):
+    """BRR stderr on the smoke orders must approximate sigma/sqrt(n)
+    (the classic SE of a mean) — half-samples of a well-mixed i.i.d.
+    column estimate it consistently; accept a 3x bracket (B=16
+    replicates has ~18% relative noise). Also pins mean_price to the
+    exact decimal mean."""
+    import math
+
+    from football_etl_spark.io.loader import load_table
+    from football_etl_spark.plans.queries import STAGED
+
+    row = STAGED["half_sample_stderr_revenue"].fn(spark, SF_SMOKE).collect()[0]
+    pdf = load_table(spark, SF_SMOKE, "orders").select("o_totalprice").toPandas()
+    n = len(pdf)
+    assert row["n"] == n
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    assert abs(row["mean_price"] - cents.sum() / 100.0 / n) < 1e-9
+    se_classic = cents.std(ddof=1) / 100.0 / math.sqrt(n)
+    assert se_classic / 3 < row["stderr_brr"] < se_classic * 3, (
+        row["stderr_brr"], se_classic
+    )
