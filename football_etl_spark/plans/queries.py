@@ -11217,27 +11217,28 @@ def dedup_rate_by_source(spark, sf_dir):
 
 
 _BRR_B = 16
-_BRR_HEX = "0123456789abcdef"
+_BRR_EVEN = "('0','2','4','6','8','a','c','e')"
 
 
 def _brr_member_sql(b: int) -> str:
-    # deterministic half-sample membership: parity of the first hex
-    # digit of md5(orderkey '|' replicate-id) — identical bytes, hence
-    # identical membership, on every engine that has md5
-    # bare numeric || string concat: the one cast spelling BOTH
-    # engines parse (Spark rejects length-less VARCHAR, DuckDB has no
-    # STRING type); identical md5 hex verified by probe
-    return (
-        f"(POSITION(SUBSTRING(md5(o_orderkey || '|{b}'),"
-        f" 1, 1) IN '{_BRR_HEX}') - 1) % 2 = 0"
-    )
+    # replicate b's membership = "is HEX DIGIT b+1 of the ONE md5 the
+    # row carries (column 'h') an even nibble" — md5 hex is
+    # byte-identical on both engines and its digits are independent
+    # uniform nibbles, so 16 digits of a single hash give 16
+    # independent half-samples. Two measured rewrites at x1000
+    # (150M rows): the first cut hashed md5(key || '|b') PER
+    # REPLICATE (16 md5/row = 2.4B calls: 82s Spark / 59s DuckDB);
+    # one shared hash + POSITION-in-alphabet parity cut it to 38s;
+    # the direct even-digit IN-list is another 25% (27.6s, right
+    # above the 11.8s md5+scan floor).
+    return f"SUBSTRING(h, {b + 1}, 1) IN {_BRR_EVEN}"
 
 
 @staged_query(
     "half_sample_stderr_revenue",
     oracle=f"""
     WITH x AS (
-      SELECT o_orderkey,
+      SELECT md5(o_orderkey || '|brr') AS h,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ),
@@ -11263,13 +11264,16 @@ def _brr_member_sql(b: int) -> str:
     "order value — Var(est) ~ (1/B) * SUM_b (est_b - est)^2 over B "
     "deterministic half-samples (McCarthy's BRR, the survey-"
     "statistics classic). Each replicate's membership is the parity "
-    "of the first hex digit of md5(orderkey '|' b) — identical "
-    "bytes on both engines, so replicate composition is itself "
-    "cross-engine-pinned, and at 100 TB the WHOLE estimator is "
-    "16 conditional sums inside the one aggregation the mean "
-    "already needs: map-side partials, a 1-row result, ZERO extra "
-    "exchanges — where a naive bootstrap materializes B resamples "
-    "and reshuffles each. Exactness: cents partials in "
+    "of one hex DIGIT of the single md5(orderkey) the row carries — "
+    "16 independent uniform nibbles from ONE hash (the per-"
+    "replicate-hash first cut cost 16 md5/row = 82s Spark / 59s "
+    "DuckDB at x1000; sharing the hash removes 15/16 of it on both "
+    "engines). md5 hex is byte-identical cross-engine, so replicate "
+    "composition is itself oracle-pinned, and at 100 TB the WHOLE "
+    "estimator is 16 conditional sums inside the one aggregation "
+    "the mean already needs: map-side partials, a 1-row result, "
+    "ZERO extra exchanges — where a naive bootstrap materializes B "
+    "resamples and reshuffles each. Exactness: cents partials in "
     "DECIMAL(38,0) (order-free exact sums), replicate means are "
     "divisions of identical exact operands, the 16 squared "
     "deviations are combined in one FIXED-ORDER expression tree "
@@ -11279,7 +11283,7 @@ def _brr_member_sql(b: int) -> str:
 )
 def half_sample_stderr_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
+        F.expr("md5(o_orderkey || '|brr')").alias("h"),
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
     aggs = [
