@@ -622,3 +622,46 @@ def test_join_skew_profile_take_ordered(spark):
     qd = REGISTRY.get("join_skew_profile") or STAGED["join_skew_profile"]
     plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_half_sample_stderr_single_aggregation_no_joins(spark):
+    """The BRR estimator must live INSIDE the mean's own aggregation:
+    one partial+final agg pair over the scan, no join, no window, no
+    per-replicate re-read of the fact table."""
+    from football_etl_spark.plans.queries import STAGED
+
+    plan = plan_str(STAGED["half_sample_stderr_revenue"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_lorenz_gini_rank_is_bucket_partitioned(spark):
+    """The radix rank must window-partition BY BUCKET — a global
+    single-partition rank window (partitioning on nothing) is the
+    exact shape the entry exists to avoid."""
+    from football_etl_spark.plans.queries import STAGED
+
+    plan = plan_str(STAGED["lorenz_gini_order_value"].fn(spark, SF_SMOKE), "simple")
+    rank_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln
+    ]
+    # exactly one rank window, and its partition spec is the radix
+    # bucket — the decile-level cum/totals windows (10 rows) may stay
+    # constant-partitioned, that's the sanctioned control-plane size
+    assert len(rank_windows) == 1 and "__b" in rank_windows[0], plan
+
+
+def test_entropy_pivot_never_shuffles_type_grain(spark):
+    """The bounded-domain fast path must aggregate (user, day) ONCE —
+    no (user, day, event_type) grouping anywhere in the plan."""
+    from football_etl_spark.plans.queries import STAGED
+
+    plan = plan_str(STAGED["user_day_entropy_profile"].fn(spark, SF_SMOKE), "simple")
+    # the conditional sums may READ event_type, but no exchange may
+    # ever PARTITION on it — that's the 22.5M-row intermediate the
+    # pivot exists to remove
+    shuffles = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) == 2, plan  # (user, day) agg + entropy-bin agg
+    assert all("event_type" not in ln for ln in shuffles), plan
