@@ -11316,6 +11316,63 @@ def half_sample_stderr_revenue(spark, sf_dir):
     )
 
 
+@staged_query(
+    "token_fertility_by_lang",
+    oracle="""
+    WITH n AS (
+      SELECT lang,
+             CAST(n_chars AS BIGINT) AS chars,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                  AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(chars) AS DOUBLE) / SUM(toks) AS chars_per_token
+    FROM n
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Tokenizer fertility table by language — chars per token is "
+    "THE efficiency metric a tokenizer/vocab decision is made on "
+    "(languages with high fertility get more vocab budget; a "
+    "fertility shift after a corpus refresh means the tokenizer no "
+    "longer fits the data). Token count is the engine-portable "
+    "whitespace field count (same contract as "
+    "context_budget_truncation); chars_per_token is a RAW ratio of "
+    "exact longs per the float policy (ROUND would reintroduce the "
+    "soak-caught tie class). One groupBy of the scan to a "
+    "languages-sized relation — flat at any scale. ANSI oracle: "
+    "runs unmodified on Spark SQL (dual-green)",
+)
+def token_fertility_by_lang(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    toks = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    return (
+        d.select(
+            "lang",
+            F.col("n_chars").cast("long").alias("chars"),
+            toks.alias("toks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            (F.sum("chars").cast("double") / F.sum("toks")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def _driver_history(root=None) -> dict[str, int]:
     """Latest driver round that sampled each entry, read from the
     committed ``CORRECTNESS_r*.json`` files at the repo root (or the
