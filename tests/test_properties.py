@@ -413,3 +413,46 @@ def test_cohort_retention_matches_bruteforce_any_span(spark, pairs, pin63):
             if d - c <= 6:
                 want[(c, d - c)] = want.get((c, d - c), 0) + 1
     assert got == want, (got, want)
+
+
+@given(
+    st.integers(0, 10_000),   # seed for the price stream
+    st.integers(300, 1500),   # n rows
+)
+@settings(**_SETTINGS)
+def test_brr_stderr_tracks_classic_se_on_random_data(spark, seed, n):
+    """Statistical-consistency fuzz for the one-pass BRR estimator:
+    on random i.i.d. prices the half-sample stderr must bracket the
+    classic s/sqrt(n) within 3x (B=16 replicates carry ~18% relative
+    noise; 3x is far outside it), and the mean must be the exact
+    decimal mean."""
+    import math
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from football_etl_spark.plans.queries import STAGED
+
+    rng = np.random.RandomState(seed)
+    prices = np.round(rng.uniform(900.0, 500_000.0, size=n), 2)
+    od = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n + 1, dtype="int64"),
+            "o_custkey": np.ones(n, dtype="int64"),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": prices,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n).astype(
+                "datetime64[us]"
+            ),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    tmp = tempfile.mkdtemp(prefix="brr_prop_")
+    od.to_parquet(f"{tmp}/orders.parquet")
+    row = STAGED["half_sample_stderr_revenue"].fn(spark, tmp).collect()[0]
+    cents = np.round(prices * 100).astype("int64")
+    assert row["n"] == n
+    assert abs(row["mean_price"] - cents.sum() / 100.0 / n) < 1e-9
+    se = cents.std(ddof=1) / 100.0 / math.sqrt(n)
+    assert se / 3 < row["stderr_brr"] < se * 3, (row["stderr_brr"], se)
