@@ -10131,9 +10131,14 @@ def streaming_fanout_two_sinks(spark, sf_dir):
 # ===========================================================================
 # Round-9 wave: BPE-merge statistics (registry — fills the one rotation
 # slot left after minhash_near_dups_capped; 48 r4-stale + 2 new = the
-# exact 50-entry driver sample) and four staged entries for r10
-# promotion (benford screen, exact-integer CUSUM, Heaps-law vocab
-# growth, dup-cluster size distribution).
+# exact 50-entry driver sample) and FOURTEEN staged entries for r10
+# promotion: benford screen, exact-integer CUSUM, Heaps-law vocab
+# growth, dup-cluster size distribution, KL language drift, radix-rank
+# Lorenz/Gini, log2 length-bucket corpus mass, user-day entropy
+# profile, context-budget truncation, triangle count + degree
+# structure (the co-purchase graph panel), per-source dedup rate,
+# one-pass BRR half-sample stderr, and tokenizer fertility by
+# language — the last ten all dual-green ANSI oracles.
 # ===========================================================================
 
 
