@@ -420,3 +420,32 @@ def test_half_sample_stderr_statistically_sane(spark):
     assert se_classic / 3 < row["stderr_brr"] < se_classic * 3, (
         row["stderr_brr"], se_classic
     )
+
+
+def test_lorenz_gini_all_equal_prices_single_bucket(spark, tmp_path):
+    """Degenerate edge: every price identical -> ONE radix bucket,
+    every rank a tie broken by key, Gini exactly 0 (perfect
+    equality), every decile's cum_share = (decile+1)/10 of the
+    total."""
+    from football_etl_spark.plans.queries import STAGED
+
+    n = 20
+    od = pd.DataFrame(
+        {
+            "o_orderkey": range(1, n + 1),
+            "o_custkey": [1] * n,
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": [1000.0] * n,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n).astype(
+                "datetime64[us]"
+            ),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    od.to_parquet(tmp_path / "orders.parquet")
+    rows = STAGED["lorenz_gini_order_value"].fn(spark, str(tmp_path)).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    assert all(r["n_orders"] == 2 for r in rows)
+    assert all(abs(r["gini"]) < 1e-12 for r in rows)
+    for r in rows:
+        assert abs(r["cum_share"] - (r["decile"] + 1) / 10.0) < 1e-9, r
