@@ -16,13 +16,18 @@ degrades gracefully to a shuffle join.
 
 ``audit_hints`` walks a DataFrame's ANALYZED logical plan (so it sees
 ``ResolvedHint`` nodes before the optimizer folds them into join
-strategies), and for every broadcast hint decides:
+strategies), and for every BROADCAST-strategy hint (scale-safe
+``shuffle_hash``/``merge`` hints are exempt — forcing a shuffle join
+is the convention's preferred degradation) decides:
 
 - subtree scans no SF-scaled parquet table            -> OK (bounded
   dims, literal relations, range sources);
-- subtree contains a global Aggregate (no grouping
-  keys -> at most one row crosses the wire)           -> OK;
-- subtree contains a GlobalLimit                      -> OK;
+- the subtree ROOT structurally bounds its own
+  cardinality (ungrouped Aggregate, Limit, or a
+  bound that provably propagates root-ward through
+  row-preserving operators and joins — see
+  ``_is_bounded``; a bounding node buried under a
+  crossJoin does NOT count)                           -> OK;
 - otherwise                                           -> VIOLATION
   unless the (query, tables) site is explicitly allowlisted with a
   written justification for why its cardinality is bounded by
@@ -80,16 +85,105 @@ def _relation_tables(node) -> set[str]:
     return tables
 
 
-def _is_bounded(hint_subtree) -> bool:
-    """True when the subtree provably bounds its own cardinality:
-    a global (ungrouped) aggregate yields at most one row, and a
-    GlobalLimit yields at most its literal limit."""
-    for m in _walk(hint_subtree):
-        name = _node_name(m)
-        if name == "Aggregate" and m.groupingExpressions().size() == 0:
+# Hint names that force a broadcast strategy (UnresolvedHint spelling
+# variants); scale-safe strategies (shuffle_hash, merge,
+# shuffle_replicate_nl) are NOT audited — forcing a shuffle join on an
+# SF-proportional relation is exactly what the convention wants.
+_BROADCAST_HINT_NAMES = frozenset({"broadcast", "broadcastjoin", "mapjoin"})
+
+
+def _is_broadcast_hint(node) -> bool:
+    """True only for hints that force the BROADCAST join strategy.
+    A ResolvedHint carries HintInfo.strategy(); every JoinStrategyHint
+    stringifies to its displayName ('broadcast', 'shuffle_hash',
+    'merge', 'shuffle_replicate_nl'). Unknown/unreadable strategies
+    audit conservatively (True)."""
+    if _node_name(node) == "UnresolvedHint":
+        try:
+            return node.name().lower() in _BROADCAST_HINT_NAMES
+        except Exception:
             return True
-        if name in ("GlobalLimit", "Limit"):
+    try:
+        strat = node.hints().strategy()
+        if strat.isEmpty():
+            return False
+        return "broadcast" in strat.get().toString().lower()
+    except Exception:
+        return True
+
+
+# Unary nodes that never increase their child's row count, so the
+# subtree's cardinality bound passes straight through them.
+_ROW_BOUND_PRESERVING = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Sort",
+        "Distinct",
+        "Deduplicate",
+        "DeduplicateWithinWatermark",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Sample",
+        "SubqueryAlias",
+        "ResolvedHint",
+        "UnresolvedHint",
+        "Window",
+        "WithWatermark",
+        # Expand multiplies rows by a literal projection count
+        # (grouping sets) — a constant factor keeps a bound a bound.
+        "Expand",
+    }
+)
+
+
+def _is_bounded(node) -> bool:
+    """True when the subtree provably bounds its own cardinality AT THE
+    ROOT — structurally, not by scanning for a bounding node anywhere
+    inside (an ungrouped Aggregate buried under a crossJoin bounds
+    nothing about the join's output). Rules:
+
+    - ungrouped Aggregate           -> 1 row; grouped Aggregate is
+      bounded iff its input is (|groups| <= |input rows|);
+    - GlobalLimit/Limit             -> literal bound;
+    - leaf relations                -> bounded unless the relation IS
+      an SF-scaled parquet scan (LocalRelation / OneRowRelation /
+      literal Range are driver-sized by construction);
+    - Join                          -> semi/anti bounded iff the left
+      is; every other join type (incl. cross) bounded only if ALL
+      inputs are — a 1:n join can exceed either side alone;
+    - row-preserving unaries        -> bounded iff the child is;
+    - Union                         -> bounded iff all children are;
+    - anything else (Generate, ...) -> conservatively unbounded.
+    """
+    name = _node_name(node)
+    if name == "Aggregate":
+        if node.groupingExpressions().size() == 0:
             return True
+        return _is_bounded(node.children().apply(0))
+    if name in ("GlobalLimit", "LocalLimit", "Limit"):
+        return True
+    if name == "LogicalRelation":
+        return not (_relation_tables(node) & SF_SCALED_TABLES)
+    if name in ("LocalRelation", "OneRowRelation", "Range"):
+        return True
+    children = node.children()
+    if name == "Join":
+        try:
+            jt = node.joinType().toString().lower().replace("_", "")
+        except Exception:
+            jt = ""
+        left_bounded = _is_bounded(children.apply(0))
+        if jt in ("leftsemi", "leftanti"):
+            return left_bounded
+        return left_bounded and _is_bounded(children.apply(1))
+    if name == "Union":
+        return all(
+            _is_bounded(children.apply(i)) for i in range(children.size())
+        )
+    if name in _ROW_BOUND_PRESERVING and children.size() == 1:
+        return _is_bounded(children.apply(0))
     return False
 
 
@@ -105,6 +199,8 @@ def audit_hints(df) -> list[dict]:
     records = []
     for node in _walk(analyzed):
         if _node_name(node) not in ("ResolvedHint", "UnresolvedHint"):
+            continue
+        if not _is_broadcast_hint(node):
             continue
         child = node.children().apply(0)
         tables = _relation_tables(child)

@@ -4819,7 +4819,12 @@ def top_revenue_supplier(spark, sf_dir):
         .filter(F.col("total_rev") == F.col("__mx"))
         .select("l_suppkey", "total_rev")
     )
-    return s.join(F.broadcast(top), s.s_suppkey == F.col("l_suppkey")).select(
+    # top is unhinted: the argmax filter leaves ~1 row in practice but
+    # its only PROVABLE bound is supplier cardinality (all-tie case),
+    # and top sits downstream of the suppkey exchange, so AQE sees its
+    # exact size and broadcasts it unforced at any SF (r10 hint-gate
+    # structural tightening).
+    return s.join(top, s.s_suppkey == F.col("l_suppkey")).select(
         "s_suppkey", "s_name", "total_rev"
     )
 
@@ -10288,9 +10293,12 @@ def benford_price_digits(spark, sf_dir):
     doc="CUSUM change-point detection on daily revenue in EXACT "
     "integer arithmetic: the textbook statistic cum_k - k*mean "
     "carries a non-integer mean, so both engines compute the "
-    "n-SCALED form n*cum_k - k*total — pure BIGINT, bit-identical, "
-    "zero float ops until nothing (headroom: n*cum <= days * total-"
-    "cents ~ 5.5e17 at x1000, thirty-fold under int64) — and flag "
+    "n-SCALED form n*cum_k - k*total — exact integer arithmetic, "
+    "bit-identical, zero float ops anywhere. The multiply runs in "
+    "DECIMAL(38,0) (days x total-cents crosses int64 well below "
+    "100 TB; the pinned non-ANSI session would wrap a long product "
+    "SILENTLY — the trend_slope lesson) with an assert_true "
+    "backstop before the BIGINT output cast — and flags "
     "the argmax |CUSUM| day, the changepoint a level-shift monitor "
     "alerts on. Plan: one orders-sized daily rollup (exact cents, "
     "map-side combine), then EVERYTHING downstream operates on the "
@@ -10317,11 +10325,32 @@ def cusum_changepoint_revenue(spark, sf_dir):
         F.sum("c").over(w).cast("long").alias("cumc"),
         F.row_number().over(wk).cast("long").alias("k"),
     )
-    scaled = cum.crossJoin(F.broadcast(st)).select(
-        "day",
-        (F.col("n") * F.col("cumc") - F.col("k") * F.col("tot"))
-        .cast("long")
-        .alias("cusum_scaled"),
+    # ADVICE r9: days × total-cents approaches int64 well below the
+    # 100 TB operating point, and the session pins ANSI off — plain
+    # long products would WRAP silently while DuckDB errors. The
+    # scaled statistic is therefore computed in DECIMAL(38,0)
+    # (exact to 1e38 ≫ any reachable n·tot), with a loud assert_true
+    # backstop before the contract-mandated BIGINT cast (non-ANSI
+    # decimal→long overflow yields NULL, another silent path).
+    d19 = "decimal(19,0)"
+    sd = F.col("n").cast(d19) * F.col("cumc").cast(d19) - F.col("k").cast(
+        d19
+    ) * F.col("tot").cast(d19)
+    i64max = F.lit("9223372036854775807").cast("decimal(38,0)")
+    scaled = (
+        cum.crossJoin(F.broadcast(st))
+        .select("day", sd.alias("__sd"))
+        .filter(
+            F.assert_true(
+                F.abs(F.col("__sd")) <= i64max,
+                F.lit(
+                    "cusum_changepoint_revenue: n*cumc - k*tot exceeds "
+                    "int64 — the BIGINT output contract cannot hold at "
+                    "this data scale; widen the column to DECIMAL"
+                ),
+            ).isNull()
+        )
+        .select("day", F.col("__sd").cast("long").alias("cusum_scaled"))
     )
     peak = scaled.agg(F.max(F.abs("cusum_scaled")).alias("mx"))
     return scaled.crossJoin(F.broadcast(peak)).select(
@@ -10775,9 +10804,15 @@ def user_day_entropy_profile(spark, sf_dir):
             else (F.col("event_type") == F.lit(t))
             for t in vocab
         ]
+        # when/otherwise (not cond.cast) so a NULL condition — every
+        # row of a pure-NULL-typed day, for each non-NULL column —
+        # contributes 0 instead of making the whole SUM NULL and
+        # poisoning tot/k/entropy for that (user, day)
         u = ev.groupBy("user_id", day).agg(
             *[
-                F.sum(cond.cast("long")).alias(f"__c{i}")
+                F.sum(
+                    F.when(cond, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"__c{i}")
                 for i, cond in enumerate(conds)
             ]
         )
@@ -10938,7 +10973,10 @@ def context_budget_truncation(spark, sf_dir):
     ),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+             CAST(SUM(CASE WHEN d % 2 = 0
+                           THEN CAST(FLOOR(d / 2) AS DECIMAL(19,0)) * (d - 1)
+                           ELSE CAST(FLOOR((d - 1) / 2) AS DECIMAL(19,0)) * d
+                      END) AS BIGINT) AS n_wedges
       FROM deg
     ),
     e2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
@@ -10963,8 +11001,12 @@ def context_budget_truncation(spark, sf_dir):
     "the edge set, degree groupBy, two edge-degree joins (AQE "
     "decides broadcast — deg is SF-proportional, never hinted), "
     "oriented wedge self-join, and a two-key SEMI join against the "
-    "canonical edge set to close triangles. All-integer counts; "
-    "the clustering ratio is the one double, consumed by ROUND 6. "
+    "canonical edge set to close triangles. All-integer counts — "
+    "the wedge sum halves the even factor of d*(d-1) and "
+    "accumulates DECIMAL(38,0) (never double division, which "
+    "drifts past 2^53 on hub-heavy graphs; probe-verified exact "
+    "beyond 2^53 cross-engine); the clustering ratio is the one "
+    "double, consumed by ROUND 6. "
     "Pinned against an unoriented brute-force triple join in tests "
     "and cross-engine (413,718 triangles at sf0.01). Measured: 3.3x "
     "behind DuckDB at x1, 1.3x AHEAD at x10 (37.2s vs 47.6s — the "
@@ -11023,9 +11065,19 @@ def copurchase_triangle_count(spark, sf_dir):
         "left_semi",
     )
     tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # Wedge counts stay INTEGRAL end to end (ADVICE r9): d*(d-1) is
+    # always even, so halve the even factor before a decimal-exact
+    # multiply-and-sum — Spark's / is double division and a double
+    # accumulation of per-hub d^2/2 terms drifts past 2^53 on a
+    # 100 TB graph; the CASE/FLOOR spelling is engine-shared and
+    # probe-verified exact beyond 2^53 in BOTH engines.
+    dd = F.col("d")
+    wedge = F.when(
+        dd % 2 == 0, F.floor(dd / 2).cast("decimal(19,0)") * (dd - 1)
+    ).otherwise(F.floor((dd - 1) / 2).cast("decimal(19,0)") * dd)
     s = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        F.sum(wedge).cast("long").alias("n_wedges"),
     )
     e2 = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (

@@ -114,3 +114,43 @@ def test_auditor_passes_bounded_shapes(spark):
     topk = c.orderBy("c_custkey").limit(5)
     assert violations(c.join(F.broadcast(topk), "c_custkey")) == []
     assert violations(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)) == []
+
+
+def test_auditor_ignores_scale_safe_strategy_hints(spark):
+    """ADVICE r9: only BROADCAST-strategy hints are audited. A
+    shuffle_hash or merge hint on an SF-proportional relation is the
+    convention's PREFERRED degradation and must not trip the gate."""
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    assert violations(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)) == []
+    assert violations(o.join(c.hint("merge"), o.o_custkey == c.c_custkey)) == []
+    # ...while the broadcast spelling variants all still fire
+    for h in ("broadcast", "broadcastjoin", "mapjoin"):
+        bad = violations(o.join(c.hint(h), o.o_custkey == c.c_custkey))
+        assert len(bad) == 1 and bad[0]["sf_tables"] == frozenset({"customer"}), h
+
+
+def test_auditor_requires_bound_at_subtree_root(spark):
+    """ADVICE r9: a bounding node buried INSIDE the hinted subtree must
+    not launder an SF-proportional broadcast. broadcast(customer x
+    one_row_agg) is customer-sized; the old any-descendant scan passed
+    it, the structural check must flag it."""
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    one_row = o.agg(F.count("*").alias("n"))
+    seeded = o.join(
+        F.broadcast(c.crossJoin(one_row)), o.o_custkey == c.c_custkey
+    )
+    bad = violations(seeded)
+    assert len(bad) == 1 and "customer" in bad[0]["sf_tables"], bad
+    # ...but a bound that structurally propagates to the root stays
+    # hintable: limit-then-project, and a semi-join whose LEFT side is
+    # the bounded one.
+    topk_proj = c.orderBy("c_custkey").limit(5).select("c_custkey", "c_name")
+    assert violations(c.join(F.broadcast(topk_proj), "c_custkey")) == []
+    semi = (
+        c.orderBy("c_custkey")
+        .limit(7)
+        .join(o, c.c_custkey == o.o_custkey, "left_semi")
+    )
+    assert violations(c.join(F.broadcast(semi), "c_custkey")) == []

@@ -280,15 +280,21 @@ def test_entropy_pivot_fast_path_equals_generic(spark, tmp_path):
 
     ev = pd.DataFrame(
         {
-            "event_id": range(10),
+            "event_id": range(12),
             "ts": pd.to_datetime(
                 ["2024-01-01 10:00"] * 4 + ["2024-01-02 09:00"] * 3
-                + ["2024-01-01 11:00"] * 3
+                + ["2024-01-01 11:00"] * 3 + ["2024-01-03 08:00"] * 2
             ).astype("datetime64[us]"),
-            "user_id": [1, 1, 1, 1, 1, 1, 1, 2, 2, 2],
-            "event_type": ["a", "b", None, "a", "c", "c", "c", "a", "a", "a"],
-            "value": [1.0] * 10,
-            "props": ["{}"] * 10,
+            "user_id": [1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 3, 3],
+            "event_type": [
+                "a", "b", None, "a", "c", "c", "c", "a", "a", "a",
+                # user 3's only day is PURE NULL event_type: every
+                # non-NULL type's conditional is NULL on every row —
+                # the case that poisoned the pivot path's sums to NULL
+                None, None,
+            ],
+            "value": [1.0] * 12,
+            "props": ["{}"] * 12,
         }
     )
     ev.to_parquet(tmp_path / "events.parquet")
@@ -300,11 +306,12 @@ def test_entropy_pivot_fast_path_equals_generic(spark, tmp_path):
     #   u1 d1: a=2, b=1, NULL=1  -> k=3, H = ln(4) - (2ln2)/4 ~ 1.0397 -> bin 4
     #   u1 d2: c=3              -> k=1, H = 0                          -> bin 0
     #   u2 d1: a=3              -> k=1, H = 0                          -> bin 0
+    #   u3 d3: NULL=2 (pure-NULL day) -> k=1, H = 0                    -> bin 0
     import math
 
     h = math.log(4) - (2 * math.log(2)) / 4
     assert int(h / 0.25) == 4
-    assert got == {0: (2, 1, 1), 4: (1, 3, 3)}, got
+    assert got == {0: (3, 1, 1), 4: (1, 3, 3)}, got
 
 
 def test_triangle_count_matches_unoriented_bruteforce(spark):
