@@ -171,6 +171,41 @@ def _q8_rows(spark: SparkSession, sf_dir: str, embeddings: DataFrame) -> list:
     return rows
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT co-purchase edge set (parts a < b sharing an
+    order) shared by the graph panel (triangle count, degree
+    structure): the co-keyed lineitem self-join (<= 7 items/order
+    keeps the pair fan-out constant; the two sides share ONE reused
+    orderkey exchange) then the one unavoidable pair-DISTINCT
+    exchange. Two alternatives were measured and REJECTED at x10
+    (BENCH_NOTES r10): (a) .persist() of the edge set makes the panel
+    ~2x slower in aggregate — the InMemoryRelation read displaces the
+    exchange-reuse path that lets each consumer skip the build's map
+    stages — so sharing stays at the PLAN level; (b) a groupBy-
+    collect_set + higher-order-function pair expansion (one exchange,
+    no sorts) loses to the self-join in steady state (21.6s vs 19.5s
+    triangle, 6.6 vs 5.5 degree) — the ObjectHashAggregate partials
+    cost more than the SMJ sorts they replace. ensure_min_partitions
+    spreads compact inputs (the x10 replica reads as a few coalesced
+    scan tasks at the default 128m split) across the cores — a no-op
+    once the input exceeds 256 MB."""
+    li = ensure_min_partitions(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    return (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+
+
 def _dec_sum(c, alias: str, scale: int = 2):
     """Exact money sum: accumulate the value scaled to an integer —
     a whole-stage-codegen long sum, measured ~3× faster than decimal
@@ -10996,10 +11031,11 @@ def context_budget_truncation(spark, sf_dir):
     "its lower-(degree, id) endpoint, so each triangle has exactly "
     "ONE source whose two out-edges form the wedge, and out-degrees "
     "are O(sqrt(m)) — the wedge join is bounded regardless of hub "
-    "skew. Plan: one co-keyed lineitem self-join (<=7 items/order "
-    "keeps the pair fan-out constant), one DISTINCT exchange for "
-    "the edge set, degree groupBy, two edge-degree joins (AQE "
-    "decides broadcast — deg is SF-proportional, never hinted), "
+    "skew. Plan: the shared _copurchase_edges build (co-keyed "
+    "lineitem self-join over one reused orderkey exchange + the "
+    "pair-DISTINCT exchange), degree groupBy, two edge-degree joins "
+    "(shuffle_hash on the node-scale deg side — scale-safe, never "
+    "broadcast), "
     "oriented wedge self-join, and a two-key SEMI join against the "
     "canonical edge set to close triangles. All-integer counts — "
     "the wedge sum halves the even factor of d*(d-1) and "
@@ -11016,28 +11052,24 @@ def context_budget_truncation(spark, sf_dir):
     "oracle: runs unmodified on Spark SQL (dual-green)",
 )
 def copurchase_triangle_count(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1 = li.alias("l1")
-    l2 = li.alias("l2")
-    pairs = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .select(
-            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
-        )
-        .distinct()
-    )
+    # shuffle_hash hints throughout (scale-SAFE per the hint
+    # convention — forcing a shuffle join is the preferred
+    # degradation; only forced BROADCASTS are gated): the planner's
+    # default SMJs SORT the pair stream twice per degree join and,
+    # fatally, sort the O(m^1.5) WEDGE stream before the closing semi
+    # join. Hashing the smaller side (deg is node-scale; pairs is
+    # edge-scale vs the wedge stream) and streaming the big side
+    # measured 44.8s -> 31.7s at x10 — from 1.1x to 1.5x AHEAD of
+    # DuckDB (BENCH_NOTES r10).
+    pairs = _copurchase_edges(spark, sf_dir)
     deg = (
         pairs.select(F.col("a").alias("node"))
         .unionAll(pairs.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    da = deg.alias("da")
-    db = deg.alias("db")
+    da = deg.hint("shuffle_hash").alias("da")
+    db = deg.hint("shuffle_hash").alias("db")
     a_first = (F.col("da.d") < F.col("db.d")) | (
         (F.col("da.d") == F.col("db.d")) & (F.col("a") < F.col("b"))
     )
@@ -11050,7 +11082,7 @@ def copurchase_triangle_count(spark, sf_dir):
         )
     )
     o1 = o.alias("o1")
-    o2 = o.alias("o2")
+    o2 = o.hint("shuffle_hash").alias("o2")
     w = (
         o1.join(
             o2,
@@ -11059,8 +11091,11 @@ def copurchase_triangle_count(spark, sf_dir):
         )
         .select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
     )
+    # hash the edge set (O(m)), STREAM the wedges (O(m^1.5)) — the
+    # asymmetry that makes the closing membership probe linear in
+    # wedges with no wedge sort
     closed = w.join(
-        pairs,
+        pairs.hint("shuffle_hash"),
         (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
         "left_semi",
     )
@@ -11154,50 +11189,58 @@ def copurchase_triangle_count(spark, sf_dir):
     "DECIMAL(38,0) — because the pinned non-ANSI session would "
     "silently WRAP an int64 sum of d*d on a hub-heavy 100 TB graph "
     "(the trend_slope_by_market lesson); the Pearson ratio is the "
-    "one double, consumed by ROUND 6. Plan: the same one-exchange "
-    "edge build and degree groupBy as copurchase_triangle_count, "
-    "two degree joins (AQE-decided, never hinted), ONE pass of "
-    "decimal sums to a 1-row relation, and a bucket-count groupBy "
-    "of deg — no wedge stream at all, so this stat stays cheap on "
-    "graphs whose triangle count is expensive. ANSI oracle: runs "
-    "unmodified on Spark SQL (dual-green)",
+    "one double, consumed by ROUND 6. Plan: the shared "
+    "_copurchase_edges build (co-keyed lineitem self-join over one "
+    "reused orderkey exchange + pair-DISTINCT), degree groupBy, then the "
+    "moment identities n2=SUM(d), s1=SUM(d^2), s2=SUM(d^3) straight "
+    "off the DEGREE table (a degree-d node contributes d rows of "
+    "du=d to the symmetrized list) so only the cross-moment "
+    "sp=2*SUM(du*dv) pays the edge-degree joins — shuffle_hash on "
+    "the node-scale deg side, no symmetrize branch, decimal sums "
+    "exact so the Pearson operands are bit-identical to the "
+    "oracle's symmetrized-CTE form. Measured x10 first-run 20.7s -> "
+    "12.4s (2.6x behind DuckDB, from 4.3x — see BENCH_NOTES r10). "
+    "Bucket histogram is a node-scale groupBy of deg. ANSI oracle: "
+    "runs unmodified on Spark SQL (dual-green)",
 )
 def copurchase_degree_structure(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("l1")
-        .join(
-            li.alias("l2"),
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .select(
-            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
-        )
-        .distinct()
-    )
+    pairs = _copurchase_edges(spark, sf_dir)
     deg = (
         pairs.select(F.col("a").alias("node"))
         .unionAll(pairs.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
+    # Moments over the SYMMETRIZED edge list, without materializing
+    # it: a node of degree d contributes d rows to the symmetrized
+    # list, each with du = d, so n2 = SUM(d), s1 = SUM(d^2) and
+    # s2 = SUM(d^3) come straight off the degree table — only the
+    # cross-moment sp = 2*SUM_edges(du*dv) needs the edge-degree
+    # joins (shuffle_hash: deg is the node-scale build side), and the
+    # old second union branch (which re-executed the double join) is
+    # gone entirely. Measured x10 first-run: 20.7s -> 12.4s
+    # (BENCH_NOTES r10). Same DECIMAL(12,0)-operand exactness
+    # contract as before.
+    dd = F.col("d").cast("decimal(12,0)")
+    mom = deg.agg(
+        F.sum(dd).cast("double").alias("n2"),
+        F.sum(dd * dd).cast("double").alias("s1"),
+        F.sum(dd * dd * dd).cast("double").alias("s2"),
+    )
     joined = (
-        pairs.join(deg.alias("da"), F.col("a") == F.col("da.node"))
-        .join(deg.alias("db"), F.col("b") == F.col("db.node"))
+        pairs.join(deg.hint("shuffle_hash").alias("da"), F.col("a") == F.col("da.node"))
+        .join(deg.hint("shuffle_hash").alias("db"), F.col("b") == F.col("db.node"))
         .select(
             F.col("da.d").cast("decimal(12,0)").alias("du"),
             F.col("db.d").cast("decimal(12,0)").alias("dv"),
         )
     )
-    ed = joined.unionAll(joined.select(F.col("dv").alias("du"), F.col("du").alias("dv")))
-    m = ed.agg(
-        F.count(F.lit(1)).cast("double").alias("n2"),
-        F.sum("du").cast("double").alias("s1"),
-        F.sum(F.col("du") * F.col("dv")).cast("double").alias("sp"),
-        F.sum(F.col("du") * F.col("du")).cast("double").alias("s2"),
+    spd = joined.agg(
+        (F.lit(2).cast("decimal(12,0)") * F.sum(F.col("du") * F.col("dv")))
+        .cast("double")
+        .alias("sp")
     )
-    r = m.select(
+    r = mom.crossJoin(F.broadcast(spd)).select(
         F.round(
             (F.col("n2") * F.col("sp") - F.col("s1") * F.col("s1"))
             / (F.col("n2") * F.col("s2") - F.col("s1") * F.col("s1")),
