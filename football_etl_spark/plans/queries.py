@@ -10179,6 +10179,12 @@ def streaming_fanout_two_sinks(spark, sf_dir):
 # structure (the co-purchase graph panel), per-source dedup rate,
 # one-pass BRR half-sample stderr, and tokenizer fertility by
 # language — the last ten all dual-green ANSI oracles.
+# PROMOTED in r10 (staged_query -> query): all fourteen entered
+# queries() emission after the round-10 re-plans (graph panel
+# shuffle_hash + degree moments, entropy/BPE acceptance notes, CUSUM
+# decimal guard, integral wedge sums) and a 214/214 local full sweep;
+# _emission_order surfaces them first, so the r10 driver sample is
+# 14 never-sampled + 36 r5-stale, exactly the rotation planned.
 # ===========================================================================
 
 
@@ -10265,7 +10271,7 @@ def bpe_pair_stats(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
-@staged_query(
+@query(
     "benford_price_digits",
     oracle="""
     WITH d AS (
@@ -10319,7 +10325,7 @@ def benford_price_digits(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "cusum_changepoint_revenue",
     oracle="""
     WITH daily AS (
@@ -10416,7 +10422,7 @@ def cusum_changepoint_revenue(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "vocab_growth_curve",
     oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
@@ -10475,7 +10481,7 @@ def vocab_growth_curve(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "dup_cluster_size_distribution",
     oracle=f"""
     WITH RECURSIVE {_minhash_cte_body(16, 4, 0.5)},
@@ -10527,7 +10533,7 @@ def dup_cluster_size_distribution(spark, sf_dir):
 
 
 
-@staged_query(
+@query(
     "kl_lang_drift",
     oracle="""
     WITH c AS (
@@ -10592,7 +10598,7 @@ def kl_lang_drift(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "lorenz_gini_order_value",
     oracle="""
     WITH v AS (
@@ -10713,7 +10719,7 @@ def lorenz_gini_order_value(spark, sf_dir):
     ).orderBy("decile")
 
 
-@staged_query(
+@query(
     "corpus_mass_by_length_bucket",
     oracle="""
     WITH b AS (
@@ -10778,7 +10784,7 @@ def corpus_mass_by_length_bucket(spark, sf_dir):
     ).orderBy("bucket")
 
 
-@staged_query(
+@query(
     "user_day_entropy_profile",
     oracle="""
     WITH c AS (
@@ -10943,7 +10949,7 @@ def user_day_entropy_profile(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "context_budget_truncation",
     oracle="""
     WITH n AS (
@@ -11015,7 +11021,7 @@ def context_budget_truncation(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "copurchase_triangle_count",
     oracle="""
     WITH pairs AS (
@@ -11173,7 +11179,7 @@ def copurchase_triangle_count(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "copurchase_degree_structure",
     oracle="""
     WITH pairs AS (
@@ -11309,7 +11315,7 @@ def copurchase_degree_structure(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "dedup_rate_by_source",
     oracle="""
     SELECT source,
@@ -11379,7 +11385,7 @@ def _brr_member_sql(b: int) -> str:
     return f"SUBSTRING(h, {b + 1}, 1) IN {_BRR_EVEN}"
 
 
-@staged_query(
+@query(
     "half_sample_stderr_revenue",
     oracle=f"""
     WITH x AS (
@@ -11461,7 +11467,7 @@ def half_sample_stderr_revenue(spark, sf_dir):
     )
 
 
-@staged_query(
+@query(
     "token_fertility_by_lang",
     oracle="""
     WITH n AS (

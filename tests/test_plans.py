@@ -531,11 +531,11 @@ def test_q12_pushdown_partial_agg_no_cartesian(spark):
     must not degrade the join to a nested loop."""
     from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    plan = plan_str((REGISTRY.get("q12_priority_shipping") or STAGED["q12_priority_shipping"]).fn(spark, SF_SMOKE))
+    plan = plan_str((REGISTRY.get("q12_priority_shipping") or REGISTRY["q12_priority_shipping"]).fn(spark, SF_SMOKE))
     assert "In(l_returnflag, [A,R])" in plan, plan
     assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, plan
     assert "LessThan(l_shipdate,1998-01-01" in plan, plan
-    simple = plan_str((REGISTRY.get("q12_priority_shipping") or STAGED["q12_priority_shipping"]).fn(spark, SF_SMOKE), "simple")
+    simple = plan_str((REGISTRY.get("q12_priority_shipping") or REGISTRY["q12_priority_shipping"]).fn(spark, SF_SMOKE), "simple")
     assert simple.count("HashAggregate") >= 2, simple
     assert "CartesianProduct" not in simple and "NestedLoop" not in simple, simple
 
@@ -547,7 +547,7 @@ def test_pq_serving_single_scan_no_joins(spark):
     plane, never a relation), and rank via a per-query window."""
     from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    plan = plan_str((REGISTRY.get("pq_adc_ann_topk") or STAGED["pq_adc_ann_topk"]).fn(spark, SF_SMOKE), "simple")
+    plan = plan_str((REGISTRY.get("pq_adc_ann_topk") or REGISTRY["pq_adc_ann_topk"]).fn(spark, SF_SMOKE), "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
@@ -569,7 +569,7 @@ def test_multi_band_counts_single_scan(spark):
     cross join of single-count subqueries."""
     from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    plan = plan_str((REGISTRY.get("multi_band_scan_counts") or STAGED["multi_band_scan_counts"]).fn(spark, SF_SMOKE), "simple")
+    plan = plan_str((REGISTRY.get("multi_band_scan_counts") or REGISTRY["multi_band_scan_counts"]).fn(spark, SF_SMOKE), "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Join" not in plan, plan
@@ -581,7 +581,7 @@ def test_point_in_time_join_equi_key_with_range_residual(spark):
     nested-loop scan of the SCD2 history per fact is unrunnable."""
     from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    plan = plan_str((REGISTRY.get("point_in_time_state_join") or STAGED["point_in_time_state_join"]).fn(spark, SF_SMOKE), "simple")
+    plan = plan_str((REGISTRY.get("point_in_time_state_join") or REGISTRY["point_in_time_state_join"]).fn(spark, SF_SMOKE), "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "Join" in plan and "user_id" in plan, plan
 
@@ -593,7 +593,7 @@ def test_rolling_median_single_exchange(spark):
     partitionBy — the r8 plan contract its docstring claims."""
     from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    qd = REGISTRY.get("rolling_median_spend") or STAGED["rolling_median_spend"]
+    qd = REGISTRY.get("rolling_median_spend") or REGISTRY["rolling_median_spend"]
     plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
@@ -605,7 +605,7 @@ def test_gram_matrix_shuffle_is_dim_bounded(spark):
     Python stage)."""
     from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    qd = REGISTRY.get("embedding_gram_matrix") or STAGED["embedding_gram_matrix"]
+    qd = REGISTRY.get("embedding_gram_matrix") or REGISTRY["embedding_gram_matrix"]
     plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "MapInPandas" in plan, plan
@@ -619,7 +619,7 @@ def test_join_skew_profile_take_ordered(spark):
     (per-partition heaps + driver merge), never a global sort."""
     from football_etl_spark.plans.queries import REGISTRY, STAGED
 
-    qd = REGISTRY.get("join_skew_profile") or STAGED["join_skew_profile"]
+    qd = REGISTRY.get("join_skew_profile") or REGISTRY["join_skew_profile"]
     plan = plan_str(qd.fn(spark, SF_SMOKE), "simple")
     assert "TakeOrderedAndProject" in plan, plan
 
@@ -630,7 +630,7 @@ def test_half_sample_stderr_single_aggregation_no_joins(spark):
     per-replicate re-read of the fact table."""
     from football_etl_spark.plans.queries import STAGED
 
-    plan = plan_str(STAGED["half_sample_stderr_revenue"].fn(spark, SF_SMOKE), "simple")
+    plan = plan_str(REGISTRY["half_sample_stderr_revenue"].fn(spark, SF_SMOKE), "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("HashAggregate") == 2, plan  # partial + final
@@ -642,7 +642,7 @@ def test_lorenz_gini_rank_is_bucket_partitioned(spark):
     exact shape the entry exists to avoid."""
     from football_etl_spark.plans.queries import STAGED
 
-    plan = plan_str(STAGED["lorenz_gini_order_value"].fn(spark, SF_SMOKE), "simple")
+    plan = plan_str(REGISTRY["lorenz_gini_order_value"].fn(spark, SF_SMOKE), "simple")
     rank_windows = [
         ln for ln in plan.splitlines()
         if "Window" in ln and "row_number" in ln
@@ -658,7 +658,7 @@ def test_entropy_pivot_never_shuffles_type_grain(spark):
     no (user, day, event_type) grouping anywhere in the plan."""
     from football_etl_spark.plans.queries import STAGED
 
-    plan = plan_str(STAGED["user_day_entropy_profile"].fn(spark, SF_SMOKE), "simple")
+    plan = plan_str(REGISTRY["user_day_entropy_profile"].fn(spark, SF_SMOKE), "simple")
     # the conditional sums may READ event_type, but no exchange may
     # ever PARTITION on it — that's the 22.5M-row intermediate the
     # pivot exists to remove

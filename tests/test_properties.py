@@ -432,7 +432,7 @@ def test_brr_stderr_tracks_classic_se_on_random_data(spark, seed, n):
     import numpy as np
     import pandas as pd
 
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
     rng = np.random.RandomState(seed)
     prices = np.round(rng.uniform(900.0, 500_000.0, size=n), 2)
@@ -450,7 +450,7 @@ def test_brr_stderr_tracks_classic_se_on_random_data(spark, seed, n):
     )
     tmp = tempfile.mkdtemp(prefix="brr_prop_")
     od.to_parquet(f"{tmp}/orders.parquet")
-    row = STAGED["half_sample_stderr_revenue"].fn(spark, tmp).collect()[0]
+    row = REGISTRY["half_sample_stderr_revenue"].fn(spark, tmp).collect()[0]
     cents = np.round(prices * 100).astype("int64")
     assert row["n"] == n
     assert abs(row["mean_price"] - cents.sum() / 100.0 / n) < 1e-9

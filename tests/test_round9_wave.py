@@ -192,7 +192,7 @@ def test_lorenz_gini_matches_bruteforce(spark, tmp_path):
     """Pin the radix-rank Gini against the textbook O(n log n)
     formula on a synthetic orders table with duplicate prices (rank
     ties broken by key) and values spanning several radix buckets."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
     vals = [1013.70, 499978.59, 250000.00, 250000.00, 99.99,
             75000.25, 75000.25, 310111.11, 12.00, 480000.00,
@@ -213,7 +213,7 @@ def test_lorenz_gini_matches_bruteforce(spark, tmp_path):
     got = {
         r["decile"]: (r["n_orders"], float(r["decile_value"]),
                       r["cum_share"], r["gini"])
-        for r in STAGED["lorenz_gini_order_value"].fn(spark, str(tmp_path)).collect()
+        for r in REGISTRY["lorenz_gini_order_value"].fn(spark, str(tmp_path)).collect()
     }
     # brute force: sort by (price, key) ascending, 1-based ranks
     from decimal import Decimal
@@ -246,7 +246,7 @@ def test_context_budget_token_count_is_field_count(spark, tmp_path):
     """The portable token count is LENGTH-REPLACE field arithmetic:
     consecutive spaces count as extra (empty) fields by contract —
     the cross-engine exactness trade documented in the entry doc."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
     docs = pd.DataFrame(
         {
@@ -262,7 +262,7 @@ def test_context_budget_token_count_is_field_count(spark, tmp_path):
     docs.to_parquet(tmp_path / "documents.parquet")
     got = {
         r["budget"]: (r["total_tokens"], r["tokens_lost"], r["docs_truncated"])
-        for r in STAGED["context_budget_truncation"].fn(spark, str(tmp_path)).collect()
+        for r in REGISTRY["context_budget_truncation"].fn(spark, str(tmp_path)).collect()
     }
     # field counts: 4, 1, 21 -> total 26
     assert got[16] == (26, 21 - 16, 1)
@@ -276,7 +276,7 @@ def test_entropy_pivot_fast_path_equals_generic(spark, tmp_path):
     rollup semantics (pinned by hand-computed entropies), including
     NULL event_type as its own grouping value and single-type days
     landing EXACTLY in bin 0."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
     ev = pd.DataFrame(
         {
@@ -300,7 +300,7 @@ def test_entropy_pivot_fast_path_equals_generic(spark, tmp_path):
     ev.to_parquet(tmp_path / "events.parquet")
     got = {
         r["entropy_bin"]: (r["n_user_days"], r["min_types"], r["max_types"])
-        for r in STAGED["user_day_entropy_profile"].fn(spark, str(tmp_path)).collect()
+        for r in REGISTRY["user_day_entropy_profile"].fn(spark, str(tmp_path)).collect()
     }
     # brute force (user, day) mixes:
     #   u1 d1: a=2, b=1, NULL=1  -> k=3, H = ln(4) - (2ln2)/4 ~ 1.0397 -> bin 4
@@ -319,9 +319,9 @@ def test_triangle_count_matches_unoriented_bruteforce(spark):
     once: pin against the naive unoriented triple join on the smoke-SF
     co-purchase graph."""
     from football_etl_spark.io.loader import load_table
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
-    row = STAGED["copurchase_triangle_count"].fn(spark, SF_SMOKE).collect()[0]
+    row = REGISTRY["copurchase_triangle_count"].fn(spark, SF_SMOKE).collect()[0]
     li = load_table(spark, SF_SMOKE, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -357,9 +357,9 @@ def test_assortativity_matches_numpy_pearson(spark):
     import numpy as np
 
     from football_etl_spark.io.loader import load_table
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
-    rows = STAGED["copurchase_degree_structure"].fn(spark, SF_SMOKE).collect()
+    rows = REGISTRY["copurchase_degree_structure"].fn(spark, SF_SMOKE).collect()
     got = rows[0]["assortativity"]
     assert all(r["assortativity"] == got for r in rows)
 
@@ -397,11 +397,11 @@ def test_dedup_rate_by_source_counts_injected_dups(spark, tmp_path):
         }
     )
     docs.to_parquet(tmp_path / "documents.parquet")
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
     got = {
         r["source"]: (r["n_docs"], r["n_unique"], r["n_dup_docs"], r["dup_rate"])
-        for r in STAGED["dedup_rate_by_source"].fn(spark, str(tmp_path)).collect()
+        for r in REGISTRY["dedup_rate_by_source"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {"a": (4, 2, 2, 0.5), "b": (2, 2, 0, 0.0)}, got
 
@@ -415,9 +415,9 @@ def test_half_sample_stderr_statistically_sane(spark):
     import math
 
     from football_etl_spark.io.loader import load_table
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
-    row = STAGED["half_sample_stderr_revenue"].fn(spark, SF_SMOKE).collect()[0]
+    row = REGISTRY["half_sample_stderr_revenue"].fn(spark, SF_SMOKE).collect()[0]
     pdf = load_table(spark, SF_SMOKE, "orders").select("o_totalprice").toPandas()
     n = len(pdf)
     assert row["n"] == n
@@ -434,7 +434,7 @@ def test_lorenz_gini_all_equal_prices_single_bucket(spark, tmp_path):
     every rank a tie broken by key, Gini exactly 0 (perfect
     equality), every decile's cum_share = (decile+1)/10 of the
     total."""
-    from football_etl_spark.plans.queries import STAGED
+    from football_etl_spark.plans.queries import REGISTRY
 
     n = 20
     od = pd.DataFrame(
@@ -450,7 +450,7 @@ def test_lorenz_gini_all_equal_prices_single_bucket(spark, tmp_path):
         }
     )
     od.to_parquet(tmp_path / "orders.parquet")
-    rows = STAGED["lorenz_gini_order_value"].fn(spark, str(tmp_path)).collect()
+    rows = REGISTRY["lorenz_gini_order_value"].fn(spark, str(tmp_path)).collect()
     assert [r["decile"] for r in rows] == list(range(10))
     assert all(r["n_orders"] == 2 for r in rows)
     assert all(abs(r["gini"]) < 1e-12 for r in rows)
