@@ -6689,12 +6689,12 @@ def fuzzy_name_matches(spark, sf_dir):
 @query(
     "streaming_sliding_counts",
     oracle="""
-    WITH w AS (
-      SELECT UNNEST(ARRAY[CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
-                          CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
-                            - INTERVAL 1 DAY]) AS win_start,
+    WITH offs AS (SELECT 0 AS o UNION ALL SELECT 1),
+    w AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
+               - o * INTERVAL 1 DAY AS win_start,
              event_type, value
-      FROM events
+      FROM events CROSS JOIN offs
     )
     SELECT win_start, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -7890,13 +7890,13 @@ def streaming_dedup_within_watermark(spark, sf_dir):
     oracle="""
     WITH f AS (
       SELECT user_id,
-             MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+             MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
                AS cohort_d
       FROM events GROUP BY user_id
     ),
     a AS (
       SELECT DISTINCT e.user_id, f.cohort_d,
-             date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+             CAST(CAST(e.ts AS DATE) - DATE '1970-01-01' AS BIGINT)
                - f.cohort_d AS period
       FROM events e JOIN f ON e.user_id = f.user_id
     )
@@ -8193,9 +8193,9 @@ def basket_item_pairs_lift(spark, sf_dir):
     )
     SELECT a.day,
            (CAST(SUM(b.rev_cents
-                     * CAST(POWER(2, 20 - DATE_DIFF('day', b.day, a.day))
+                     * CAST(POWER(2, 20 - CAST(a.day - b.day AS BIGINT))
                             AS BIGINT)) AS DOUBLE)
-            / CAST(SUM(CAST(POWER(2, 20 - DATE_DIFF('day', b.day, a.day))
+            / CAST(SUM(CAST(POWER(2, 20 - CAST(a.day - b.day AS BIGINT))
                             AS BIGINT)) AS DOUBLE)) / 100.0 AS ewma_rev
     FROM d a JOIN d b
       ON b.day BETWEEN a.day - INTERVAL 20 DAY AND a.day
@@ -9316,8 +9316,8 @@ def join_skew_profile(spark, sf_dir):
     oracle="""
     WITH b AS (
       SELECT n_name,
-             CAST(date_diff('day', DATE '1970-01-01',
-                            CAST(o_orderdate AS DATE)) AS DECIMAL(18,0)) AS x,
+             CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS DECIMAL(18,0)) AS x,
              CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
                   AS DECIMAL(18,0)) AS y
       FROM orders
@@ -9455,8 +9455,7 @@ def trend_slope_by_market(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT o_custkey,
-             date_diff('day', DATE '1970-01-01',
-                       CAST(o_orderdate AS DATE)) AS di,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
              CAST(o_orderdate AS DATE) AS day,
              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
       FROM orders GROUP BY 1, 2, 3

@@ -75,11 +75,6 @@ EXCLUDED = {
 # on Spark SQL or document exactly which dialect feature blocks them.
 DIALECT_SKIPS = {
     "ann_cosine_topk": "LAMBDA dot product + SERIES + QUALIFY",
-    "ewma_daily_revenue": (
-        "DATE_DIFF unit spelling: DuckDB requires the quoted string "
-        "'day', Spark 4 requires the bare keyword DAY — no common "
-        "3-arg form, and the 2-arg datediff exists only in Spark"
-    ),
     "audio_decode_wav": (
         "SERIES sample indexing — range(a,b) t(i) parses on BOTH "
         "engines (probed r9) but the per-row sample sum needs a "
@@ -95,11 +90,6 @@ DIALECT_SKIPS = {
     "dup_cluster_size_distribution": "TOKENS + LAMBDA + RECURSIVE CTE",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
     "chunked_documents": "TOKENS + SERIES + '//' integer division",
-    "cohort_retention": (
-        "DATE_DIFF unit spelling: DuckDB requires the quoted string "
-        "'day', Spark 4 requires the bare keyword DAY (same gap as "
-        "ewma_daily_revenue; TIMESTAMPDIFF probed — Spark-only)"
-    ),
     "duplicate_span_stats": "TOKENS + LAMBDA + SERIES window build",
     "pca_top_component": (
         "LAMBDA quantization + SERIES Gram fan-out + DuckDB "
@@ -109,15 +99,15 @@ DIALECT_SKIPS = {
         "LAMBDA quantization + SERIES index fan-out + DuckDB "
         "list-subscript qv[i]"
     ),
-    "rolling_median_spend": (
-        "DATE_DIFF unit spelling (day-number RANGE key — same gap as "
-        "cohort_retention/ewma_daily_revenue)"
-    ),
-    "trend_slope_by_market": (
-        "DATE_DIFF unit spelling (days-since-epoch regressor — same "
-        "gap as cohort_retention/ewma_daily_revenue)"
-    ),
     "doc_fingerprints": "TOKENS + LAMBDA rolling hash (list_reduce)",
+    "rolling_median_spend": (
+        "MEDIAN over a RANGE frame: the r10 date-subtraction port "
+        "fixed the old DATE_DIFF spelling gap, but Spark rejects an "
+        "aggregate MEDIAN with ORDER BY + frame in a window spec "
+        "(INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) while DuckDB "
+        "evaluates it natively; Spark's percentile_approx/median "
+        "window support has no frame form — probed"
+    ),
     "doc_repetition_stats": "TOKENS + LAMBDA + SERIES",
     "embedding_near_dups": "LAMBDA (list_sum over list comprehension)",
     "embedding_near_dups_exact": "LAMBDA (list_sum over list comprehension)",
@@ -153,7 +143,6 @@ DIALECT_SKIPS = {
     "retrieval_topk_docs": "LAMBDA + SERIES + QUALIFY",
     "semantic_dedup_docs": "LAMBDA + SERIES + QUALIFY",
     "simhash_near_dups": "TOKENS + UNNEST",
-    "streaming_sliding_counts": "UNNEST window replication",
     "text_quality_stats": "TOKENS + LAMBDA ratios",
     "tfidf_top_terms": "TOKENS + QUALIFY",
     "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
