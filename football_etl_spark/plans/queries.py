@@ -11092,11 +11092,18 @@ def context_budget_truncation(spark, sf_dir):
     "beyond 2^53 cross-engine); the clustering ratio is the one "
     "double, consumed by ROUND 6. "
     "Pinned against an unoriented brute-force triple join in tests "
-    "and cross-engine (413,718 triangles at sf0.01). Measured: 3.3x "
-    "behind DuckDB at x1, 1.3x AHEAD at x10 (37.2s vs 47.6s — the "
-    "crossover-with-depth pattern); x100 exceeds this box's disk on "
-    "BOTH engines because the synthetic graph is dense by "
-    "construction (avg degree ~110 — see BENCH_NOTES). ANSI "
+    "and cross-engine (413,718 triangles at sf0.01). Measured r10 "
+    "(paired, BENCH_NOTES waves 1+3): steady PARITY at x10 (23.7 vs "
+    "22.4), and at x30 Spark completes twice cleanly in 74.6s while "
+    "DuckDB DNFs ON DISK (its wedge join materializes into temp and "
+    "exceeds 55+ GiB; Spark's shuffle_hash semi streams the wedges "
+    "and spills per-partition) — the r9 'x100 wall on both engines' "
+    "is really DuckDB's wall at x30. SHJ sizing discipline: the "
+    "build sides (deg, edges) are memory-resident per task, so "
+    "shuffle.partitions must scale with the edge count (x30 local "
+    "needed 64 partitions where 32 OOM'd on an 8g heap) — on a "
+    "cluster the initial partition count covers this by orders of "
+    "magnitude. ANSI "
     "oracle: runs unmodified on Spark SQL (dual-green)",
 )
 def copurchase_triangle_count(spark, sf_dir):
@@ -11246,8 +11253,10 @@ def copurchase_triangle_count(spark, sf_dir):
     "sp=2*SUM(du*dv) pays the edge-degree joins — shuffle_hash on "
     "the node-scale deg side, no symmetrize branch, decimal sums "
     "exact so the Pearson operands are bit-identical to the "
-    "oracle's symmetrized-CTE form. Measured x10 first-run 20.7s -> "
-    "12.4s (2.6x behind DuckDB, from 4.3x — see BENCH_NOTES r10). "
+    "oracle's symmetrized-CTE form. Measured r10 paired: x10 "
+    "first/steady 7.1/5.0s vs DuckDB 3.9/2.8 (1.8x, from 4.3x); at "
+    "x30 Spark 12.6-19.8s vs DuckDB 55.8 — 2.8-4.4x AHEAD, DuckDB "
+    "super-linear at that size (BENCH_NOTES r10 waves 1+3). "
     "Bucket histogram is a node-scale groupBy of deg. ANSI oracle: "
     "runs unmodified on Spark SQL (dual-green)",
 )
