@@ -10341,7 +10341,13 @@ def bpe_pair_stats(spark, sf_dir):
     "the bpe_pair_stats exchange — per-iteration cost flat in "
     "rounds, vocabulary-sized driver state, no corpus state on the "
     "driver. Rules cached per (session, sf) so repeated plan "
-    "construction runs the training jobs once",
+    "construction runs the training jobs once. Measured paired "
+    "x1000 (1M docs, 26.5M tokens): Spark 64.9-74.3s vs DuckDB "
+    "238.9-243.8s — 3.3-3.8x AHEAD, identical rules. The single-"
+    "round pair count is DuckDB's win (bpe_pair_stats, 2.7x); "
+    "the ITERATED train loop flips it: each round re-tokenizes "
+    "after a corpus-wide REPLACE, and those string-heavy scans "
+    "parallelize (the text-family pattern where Spark wins 4-8x)",
 )
 def bpe_train_merges(spark, sf_dir):
     from ..operators.similarity import _literal_rows_df as _lit_rows
