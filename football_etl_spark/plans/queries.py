@@ -1084,12 +1084,27 @@ def lang_id_counts(spark, sf_dir):
     oracle="""
     SELECT doc_id FROM (
       SELECT doc_id, ROW_NUMBER() OVER (
-        PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+        PARTITION BY MD5(
+          REPLACE(REPLACE(REPLACE(
+            TRANSLATE(LOWER(TRIM(text)),
+                      CHR(9) || CHR(10) || CHR(11) || CHR(12) || CHR(13),
+                      '     '),
+            ' ', CHR(30) || CHR(31)), CHR(31) || CHR(30), ''),
+            CHR(30) || CHR(31), ' '))
         ORDER BY doc_id) AS rn
       FROM documents) WHERE rn = 1
     """,
     doc="exact dedup on content fingerprint, deterministic survivor "
-    "(hash-groupBy; uniform 128-bit key → no skew at 100 TB)",
+    "(hash-groupBy; uniform 128-bit key → no skew at 100 TB). The "
+    "oracle's whitespace collapse is the engine-PORTABLE spelling of "
+    "regexp '\\s+'->' ' (r10): TRANSLATE the four non-space ASCII "
+    "whitespace chars to space, then the sentinel sandwich — each "
+    "space -> RS·US, delete interior US·RS pairs, RS·US -> space — "
+    "which collapses runs with plain global REPLACEs both engines "
+    "share (DuckDB's 4-arg REGEXP_REPLACE 'g' flag reads as a "
+    "1-based POSITION on Spark: the silent-wrong class that kept "
+    "this entry off the dual surface until now). Probed equal to "
+    "the regex on tab/newline/run/edge strings in both engines",
 )
 def dedup_exact_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

@@ -45,14 +45,16 @@ TABLES = (
 
 EXCLUDED = {
     # escapedStringLiterals=true (see _views) retired the backslash
-    # half of these reasons in r9 — json_extract_events runs dual now;
-    # the two below remain excluded on the 'g'-flag gap alone:
-    # DuckDB's 4-arg REGEXP_REPLACE(str, pat, rep, 'g') does global
-    # replacement, Spark's 4th arg is a 1-based POSITION (the string
-    # 'g' would cast to NULL position under the pinned non-ANSI
-    # session and return NULL rows — a silent-wrong, not a parse
-    # error, so they cannot ride the DIALECT_SKIPS parse gate).
-    "dedup_exact_documents": "DuckDB 4-arg REGEXP_REPLACE('g') vs Spark position arg",
+    # half of these reasons in r9 — json_extract_events runs dual now —
+    # and r10's TRANSLATE + sentinel-sandwich whitespace collapse
+    # ported dedup_exact_documents off the 'g'-flag gap entirely.
+    # pii remains excluded on it: DuckDB's 4-arg
+    # REGEXP_REPLACE(str, pat, rep, 'g') does global replacement,
+    # Spark's 4th arg is a 1-based POSITION (the string 'g' would
+    # cast to NULL position under the pinned non-ANSI session and
+    # return NULL rows — a silent-wrong, not a parse error, so it
+    # cannot ride the DIALECT_SKIPS parse gate), and pii's patterns
+    # are REAL regexes with no REPLACE equivalent.
     "pii_redacted_docs": "DuckDB 4-arg REGEXP_REPLACE('g') vs Spark position arg",
     "league_table": "ROUND(AVG(double)) boundary vs plan accumulation order",
 }
