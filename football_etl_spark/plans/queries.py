@@ -3404,7 +3404,14 @@ def order_percentrank_deciles(spark, sf_dir):
     "gap_filled_daily_totals",
     oracle="""
     WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
-    spine AS (SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+    dig AS (SELECT 0 AS x UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+            UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+            UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9),
+    nums AS (SELECT d1.x * 1000 + d2.x * 100 + d3.x * 10 + d4.x AS n
+             FROM dig d1 CROSS JOIN dig d2 CROSS JOIN dig d3 CROSS JOIN dig d4),
+    spine AS (SELECT CAST(b.d0 + nums.n * INTERVAL 1 DAY AS DATE) AS day
+              FROM b CROSS JOIN nums
+              WHERE nums.n <= CAST(b.d1 - b.d0 AS BIGINT)),
     grid AS (SELECT t.event_type, spine.day
              FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
     daily AS (
@@ -3412,14 +3419,18 @@ def order_percentrank_deciles(spark, sf_dir):
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM events WHERE user_id % 997 = 0
       GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grid.event_type AS event_type, grid.day AS day,
+             COALESCE(daily.n, 0) AS n, daily.total AS total,
+             COUNT(daily.total) OVER (PARTITION BY grid.event_type
+               ORDER BY grid.day ROWS UNBOUNDED PRECEDING) AS grp
+      FROM grid LEFT JOIN daily
+        ON grid.event_type = daily.event_type AND grid.day = daily.day
     )
-    SELECT grid.event_type AS event_type, grid.day AS day,
-           COALESCE(daily.n, 0) AS n,
-           LAST_VALUE(daily.total IGNORE NULLS) OVER (
-             PARTITION BY grid.event_type ORDER BY grid.day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
-    FROM grid LEFT JOIN daily
-      ON grid.event_type = daily.event_type AND grid.day = daily.day
+    SELECT event_type, day, n,
+           MAX(total) OVER (PARTITION BY event_type, grp) AS filled_total
+    FROM g
     """,
     doc="time-series densify + forward-fill: (type × day) grid from a "
     "date spine crossed with the broadcast-sized type dimension, "
@@ -3427,7 +3438,16 @@ def order_percentrank_deciles(spark, sf_dir):
     "real gaps), then last-observation-carried-forward via "
     "last(IGNORE NULLS) over an unbounded-preceding row frame — one "
     "window shuffle on the (small) grid, never on raw events; days "
-    "before the first observation stay null by design",
+    "before the first observation stay null by design. The ORACLE "
+    "(r10) spells both DuckDB-only pieces in the shared subset: the "
+    "date spine as a 4-digit cross join (0..9999 days ~ 27 years, "
+    "filtered to the observed span; DATE + n * INTERVAL 1 DAY is "
+    "engine-shared arithmetic), and LOCF as the classic "
+    "frame-counted group trick — grp = COUNT(total) OVER (... ROWS "
+    "UNBOUNDED PRECEDING) increments only at observations (COUNT "
+    "skips NULLs in both engines), so MAX(total) OVER (PARTITION BY "
+    "type, grp) IS the carried-forward value, with no IGNORE NULLS "
+    "placement dialect at all. Dual-green",
 )
 def gap_filled_daily_totals(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")

@@ -15,12 +15,13 @@ bare-keyword INTERVAL comparisons parse on BOTH engines as of Spark
 skip — but ONLY with an individual justification in DIALECT_SKIPS
 below; an unlisted skip fails the suite, and a listed entry that
 starts parsing fails too (stale justification). Two entries are
-excluded with cause:
+excluded with cause (see EXCLUDED):
 
-- ``json_extract_events``: Spark SQL escapes backslashes inside
-  single-quoted literals ('\\s' is not the regex \\s DuckDB sees) —
-  a string-literal dialect difference, not an engine-semantics one;
-  the DataFrame form uses the Python literal and is driver-green.
+- ``pii_redacted_docs``: DuckDB's 4-arg REGEXP_REPLACE 'g' flag
+  reads as a 1-based POSITION on Spark — silent-wrong, not a parse
+  error, and the PII patterns are real regexes with no REPLACE
+  equivalent (unlike dedup_exact's whitespace collapse, ported in
+  r10 via TRANSLATE + the sentinel sandwich).
 - ``league_table``: ROUND(AVG(double), 6) sits on a rounding
   boundary for a handful of groups, and the SQL and DataFrame plans
   accumulate partitions in different orders — exactly the last-bit
@@ -114,7 +115,6 @@ DIALECT_SKIPS = {
     "doc_repetition_stats": "TOKENS + LAMBDA + SERIES",
     "embedding_near_dups": "LAMBDA (list_sum over list comprehension)",
     "embedding_near_dups_exact": "LAMBDA (list_sum over list comprehension)",
-    "gap_filled_daily_totals": "SERIES date spine",
     "gopher_quality_filter": "TOKENS + LAMBDA stopword ratios",
     "incremental_corpus_dedup": "TOKENS + LAMBDA + SERIES",
     "ivf_ann_topk": "LAMBDA + SERIES + QUALIFY",
