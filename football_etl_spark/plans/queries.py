@@ -11428,7 +11428,9 @@ def copurchase_triangle_count(spark, sf_dir):
     "oracle's symmetrized-CTE form. Measured r10 paired: x10 "
     "first/steady 7.1/5.0s vs DuckDB 3.9/2.8 (1.8x, from 4.3x); at "
     "x30 Spark 12.6-19.8s vs DuckDB 55.8 — 2.8-4.4x AHEAD, DuckDB "
-    "super-linear at that size (BENCH_NOTES r10 waves 1+3). "
+    "super-linear at that size; at x100 Spark 58.7s CLEAN while "
+    "DuckDB DNFs at a 50 GiB temp cap — the only engine that "
+    "completes the fourth decade (BENCH_NOTES r10 waves 1+3+6). "
     "Bucket histogram is a node-scale groupBy of deg. ANSI oracle: "
     "runs unmodified on Spark SQL (dual-green)",
 )
