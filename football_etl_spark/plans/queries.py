@@ -11270,7 +11270,12 @@ def context_budget_truncation(spark, sf_dir):
     "DuckDB DNFs ON DISK (its wedge join materializes into temp and "
     "exceeds 55+ GiB; Spark's shuffle_hash semi streams the wedges "
     "and spills per-partition) — the r9 'x100 wall on both engines' "
-    "is really DuckDB's wall at x30. SHJ sizing discipline: the "
+    "is really DuckDB's wall at x30 — and Spark's own x100 run "
+    "COMPLETES in 572s once spark.io.compression.codec=zstd halves "
+    "the 14.8B-wedge exchange's spill footprint (188.4M triangles, "
+    "peak ~30 GB of 63 free; the lz4 run died on the same budget — "
+    "the documented per-query lever for shuffle-volume-bound jobs). "
+    "SHJ sizing discipline: the "
     "build sides (deg, edges) are memory-resident per task, so "
     "shuffle.partitions must scale with the edge count (x30 local "
     "needed 64 partitions where 32 OOM'd on an 8g heap) — on a "
