@@ -58,3 +58,58 @@ def test_bpe_train_ties_break_pair_asc(tmp_path, spark):
     sf = _docs(tmp_path, ["m n", "m n", "k z", "k z"])
     rows = REGISTRY["bpe_train_merges"].fn.__wrapped__(spark, sf).collect()
     assert (rows[0]["pair"], rows[0]["n_occurrences"]) == ("k z", 2)
+
+
+def _reference_bpe(docs: list[list[str]], rounds: int = 3):
+    """15-line reference BPE trainer: count adjacent pairs, adopt the
+    (count DESC, pair ASC) winner, apply it with a greedy left-to-right
+    fold, repeat. Shares no code or representation with the entry
+    (token LISTS here; double-space strings there)."""
+    out = []
+    cur = [list(d) for d in docs]
+    for rnd in range(1, rounds + 1):
+        counts: dict = {}
+        for d in cur:
+            for a, b in zip(d, d[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (w1, w2), n = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        out.append((rnd, f"{w1} {w2}", n))
+        nxt = []
+        for d in cur:
+            merged, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == w1 and d[i + 1] == w2:
+                    merged.append(d[i] + "\x1f" + d[i + 1])
+                    i += 2
+                else:
+                    merged.append(d[i])
+                    i += 1
+            nxt.append(merged)
+        cur = nxt
+    return out
+
+
+def test_bpe_train_matches_reference_on_random_corpora(tmp_path, spark):
+    """Seeded random corpora over a tiny alphabet (forcing heavy pair
+    collisions, ties, overlapping runs, and re-merges of already-merged
+    tokens across rounds) must train the exact same 3 rules as the
+    reference list-fold trainer."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        docs = [
+            [rng.choice("ab c dd e".split()) for _ in range(rng.randint(0, 12))]
+            for _ in range(rng.randint(3, 14))
+        ]
+        want = _reference_bpe(docs)
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        sf = _docs(d, [" ".join(doc) for doc in docs])
+        got = [
+            (r["merge_round"], r["pair"], r["n_occurrences"])
+            for r in REGISTRY["bpe_train_merges"].fn.__wrapped__(spark, sf).collect()
+        ]
+        assert got == want, (seed, got, want)
