@@ -10793,7 +10793,7 @@ def kl_lang_drift(spark, sf_dir):
       FROM d
     )
     SELECT d.decile, d.n_orders,
-           CAST(d.decile_value AS DECIMAL(18,2)) AS decile_value,
+           CAST(d.decile_value AS DOUBLE) AS decile_value,
            ROUND(CAST(SUM(d.decile_value) OVER (ORDER BY d.decile)
                       AS DOUBLE) / t2.sx, 6) AS cum_share,
            ROUND((2.0 * t2.srx - (CAST(t2.n AS DOUBLE) + 1.0) * t2.sx)
@@ -10814,7 +10814,14 @@ def kl_lang_drift(spark, sf_dir):
     "within bucket. (x, o_orderkey) is a unique total order, so "
     "ranks are layout-independent and the decile/Gini sums are "
     "exact DECIMAL arithmetic — srx caps at rank*price*N ~ 1e28 at "
-    "100 TB, inside DECIMAL(38,2). Gini = (2*SUM(rk*x) - (n+1)*"
+    "100 TB, inside DECIMAL(38,2). The FINAL decile_value is cast "
+    "DOUBLE on both sides (r11): the interior sums stay exact "
+    "decimals, but a decimal-typed final column is driver-hash-"
+    "hostile — Spark's toPandas keeps object Decimal('x.40') while "
+    "DuckDB's fetchdf emits float64 x.4, the r10 hash red; decimal->"
+    "nearest-double of the same exact sum is identical on both "
+    "engines (gated registry-wide by tests/test_driver_schema_gate"
+    ".py). Gini = (2*SUM(rk*x) - (n+1)*"
     "SUM(x)) / (n*SUM(x)) on ascending ranks; the division is the "
     "only double, consumed by ROUND 6. Totals come from the 10 "
     "decile partials (sum of sums), NOT a second pass over the "
@@ -10882,7 +10889,7 @@ def lorenz_gini_order_value(spark, sf_dir):
     return d.select(
         "decile",
         "n_orders",
-        F.col("dv").cast("decimal(18,2)").alias("decile_value"),
+        F.col("dv").cast("double").alias("decile_value"),
         F.round(F.sum("dv").over(wcum).cast("double") / sx, 6).alias("cum_share"),
         F.round(
             (F.lit(2.0) * srx - (n + F.lit(1.0)) * sx) / (n * sx), 6

@@ -69,6 +69,17 @@ def _driver_compat_problems(spark_df, oracle_sql: str, sf_dir: str) -> list[str]
     2. Array-typed result columns crash the driver's sort/hash
        (pandas ``sort_values`` → "unhashable type: 'list'"). Detected
        by flagging any list/ndarray cell on either side.
+    3. (CORRECTNESS_r10, ``lorenz_gini_order_value``) Decimal-typed
+       result columns: Spark's ``toPandas`` keeps DECIMAL as object
+       cells of ``Decimal('339624801.40')`` while DuckDB's ``fetchdf``
+       converts its identical DECIMAL to float64 ``339624801.4`` — the
+       driver's stringified value-hash diverges even though every
+       value is numerically exact. This harness normalizes Decimal→
+       float (``_norm``) so plain ``compare`` stays green — the exact
+       blind spot the r10 driver red slipped through. Detected by
+       flagging ANY ``Decimal`` cell on either side: the only safe
+       final schema for the driver is to CAST to DOUBLE (or a string)
+       on both sides.
     """
     import numpy as np
 
@@ -94,12 +105,20 @@ def _driver_compat_problems(spark_df, oracle_sql: str, sf_dir: str) -> list[str]
             )
     for name, pdf in (("spark", s_pdf), ("duckdb", d_pdf)):
         for c in pdf.columns:
-            if pdf[c].dtype.kind == "O" and any(
-                isinstance(v, (list, np.ndarray)) for v in pdf[c].head(5)
-            ):
+            if pdf[c].dtype.kind != "O":
+                continue
+            head = pdf[c].head(5)
+            if any(isinstance(v, (list, np.ndarray)) for v in head):
                 problems.append(
                     f"driver-compat: {name} column {c!r} holds arrays — the "
                     "driver canonicalizer cannot sort/hash lists; emit long form"
+                )
+            if any(isinstance(v, Decimal) for v in head):
+                problems.append(
+                    f"driver-compat: {name} column {c!r} holds Decimal cells — "
+                    "the driver value-hash stringifies Decimal('1.40') != "
+                    "float64 1.4 (the r10 lorenz red); CAST to DOUBLE on both "
+                    "sides"
                 )
     return problems
 
