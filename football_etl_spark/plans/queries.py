@@ -10309,13 +10309,14 @@ def bpe_pair_stats(spark, sf_dir):
     "bpe_train_merges",
     oracle=r"""
     WITH d0 AS (
-      SELECT REGEXP_REPLACE(TRIM(text), '\s+', '  ', 'g') AS s
-      FROM documents WHERE LENGTH(TRIM(text)) > 0
+      SELECT STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+      WHERE LENGTH(TRIM(text)) > 0 AND NOT CONTAINS(text, CHR(31))
     ),
     c1 AS (
-      SELECT UNNEST(CASE WHEN LEN(STRING_SPLIT(s, '  ')) >= 2
-             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(STRING_SPLIT(s, '  '))),
-                    i -> STRING_SPLIT(s, '  ')[i-1] || ' ' || STRING_SPLIT(s, '  ')[i])
+      SELECT UNNEST(CASE WHEN LEN(toks) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(toks)),
+                    i -> toks[i-1] || ' ' || toks[i])
              ELSE [] END) AS pair
       FROM d0
     ),
@@ -10323,13 +10324,31 @@ def bpe_pair_stats(spark, sf_dir):
                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
            FROM c1 GROUP BY pair
            ORDER BY n_occurrences DESC, pair ASC LIMIT 1),
-    d1 AS (SELECT REPLACE(s, REPLACE(t1.pair, ' ', '  '),
-                          REPLACE(t1.pair, ' ', CHR(31))) AS s
-           FROM d0 CROSS JOIN t1),
+    r1 AS (SELECT STRING_SPLIT(pair, ' ')[1] AS w1,
+                  STRING_SPLIT(pair, ' ')[2] AS w2 FROM t1),
+    d1 AS (
+      SELECT LIST_FILTER(
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 CASE WHEN strt[i] THEN w1 || CHR(31) || w2
+                      WHEN i > 1 AND strt[i-1] THEN NULL
+                      ELSE toks[i] END),
+               t -> t IS NOT NULL) AS toks
+      FROM (
+        SELECT toks, r1.w1, r1.w2,
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 i < LEN(toks) AND toks[i] = r1.w1
+                 AND toks[i+1] = r1.w2) AS occ,
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 occ[i] AND (i - 1 - COALESCE(LIST_MAX(LIST_FILTER(
+                   GENERATE_SERIES(1, i-1), j -> NOT occ[j])), 0)) % 2 = 0
+               ) AS strt
+        FROM d0 CROSS JOIN r1
+      )
+    ),
     c2 AS (
-      SELECT UNNEST(CASE WHEN LEN(STRING_SPLIT(s, '  ')) >= 2
-             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(STRING_SPLIT(s, '  '))),
-                    i -> STRING_SPLIT(s, '  ')[i-1] || ' ' || STRING_SPLIT(s, '  ')[i])
+      SELECT UNNEST(CASE WHEN LEN(toks) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(toks)),
+                    i -> toks[i-1] || ' ' || toks[i])
              ELSE [] END) AS pair
       FROM d1
     ),
@@ -10337,13 +10356,31 @@ def bpe_pair_stats(spark, sf_dir):
                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
            FROM c2 GROUP BY pair
            ORDER BY n_occurrences DESC, pair ASC LIMIT 1),
-    d2 AS (SELECT REPLACE(s, REPLACE(t2.pair, ' ', '  '),
-                          REPLACE(t2.pair, ' ', CHR(31))) AS s
-           FROM d1 CROSS JOIN t2),
+    r2 AS (SELECT STRING_SPLIT(pair, ' ')[1] AS w1,
+                  STRING_SPLIT(pair, ' ')[2] AS w2 FROM t2),
+    d2 AS (
+      SELECT LIST_FILTER(
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 CASE WHEN strt[i] THEN w1 || CHR(31) || w2
+                      WHEN i > 1 AND strt[i-1] THEN NULL
+                      ELSE toks[i] END),
+               t -> t IS NOT NULL) AS toks
+      FROM (
+        SELECT toks, r2.w1, r2.w2,
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 i < LEN(toks) AND toks[i] = r2.w1
+                 AND toks[i+1] = r2.w2) AS occ,
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 occ[i] AND (i - 1 - COALESCE(LIST_MAX(LIST_FILTER(
+                   GENERATE_SERIES(1, i-1), j -> NOT occ[j])), 0)) % 2 = 0
+               ) AS strt
+        FROM d1 CROSS JOIN r2
+      )
+    ),
     c3 AS (
-      SELECT UNNEST(CASE WHEN LEN(STRING_SPLIT(s, '  ')) >= 2
-             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(STRING_SPLIT(s, '  '))),
-                    i -> STRING_SPLIT(s, '  ')[i-1] || ' ' || STRING_SPLIT(s, '  ')[i])
+      SELECT UNNEST(CASE WHEN LEN(toks) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(toks)),
+                    i -> toks[i-1] || ' ' || toks[i])
              ELSE [] END) AS pair
       FROM d2
     ),
@@ -10357,32 +10394,44 @@ def bpe_pair_stats(spark, sf_dir):
     doc="Iterative BPE tokenizer TRAINING, three merge rounds end to "
     "end — the loop bpe_pair_stats is one iteration of: count every "
     "adjacent pair, adopt the most frequent as a merge rule "
-    "(pair-ASC tie-break), APPLY it corpus-wide, recount on the "
-    "merged corpus. Greedy left-to-right merge application is the "
-    "subtle cross-engine contract: both engines express it as "
-    "non-overlapping string REPLACE over the double-space-joined "
-    "token string ('a  b' -> 'a<US>b', US = CHR(31), a byte no "
-    "whitespace token contains), which consumes matches exactly the "
-    "way a BPE trainer folds a token list ([A,A,A] -> [AA, A]; "
-    "[A,B,A,B] -> [AB, AB]) — verified equivalent by construction "
-    "since tokens are space-free and delimiters are exactly two "
-    "spaces. Plan per round: map-side tokenize+zip_with bigrams, "
-    "ONE pair-keyed count with map-side combine, top-1 via "
-    "TakeOrdered, the 1-row rule collected to the driver (the "
-    "control-plane pattern — a real trainer holds the rule table "
-    "driver-side too) and folded back in as a literal REPLACE; "
-    "round N+1 recomputes the chain lazily (3 scans total, no "
-    "caching needed at 3 rounds). At 100 TB each round is exactly "
-    "the bpe_pair_stats exchange — per-iteration cost flat in "
+    "(pair-ASC tie-break on the space-joined form), APPLY it "
+    "corpus-wide, recount on the merged corpus. Merge application "
+    "is an EXACT greedy left-to-right token-list fold on both "
+    "engines (r11, the r10 ADVICE-high fix): the corpus stays an "
+    "array<string> and each round folds it with a struct "
+    "accumulator (out-list, merged-last flag) — Spark F.aggregate, "
+    "DuckDB LIST_REDUCE over {'o','m'} structs — merging last==w1, "
+    "next==w2 only when the last token was not itself produced by "
+    "the immediately preceding step, i.e. [A,A,A]->[AA,A], "
+    "[A,B,A,B]->[AB,AB], [A,A,A,A,A]->[AA,AA,A]. The r10 "
+    "string-REPLACE application matched PARTIAL tokens (pair "
+    "('a','b') on [a,bc] produced 'a<US>bc'; ('a','a') on [xa,a] "
+    "produced 'xa<US>a') and even an anchored replace-to-fixpoint "
+    "deviates from the greedy fold on odd self-pair runs "
+    "([A]x5 -> [AA,A,AA], not [AA,AA,A]); only the token-boundary "
+    "fold IS the trainer semantics, now pinned vs a reference "
+    "list-fold trainer on prefix/suffix-collision alphabets. "
+    "PRECONDITION (stated, enforced): merged tokens are sealed with "
+    "US = CHR(31); docs whose raw text carries a literal US byte "
+    "are excluded identically on both engines, so a raw token can "
+    "never conflate with a merged one. Plan per round: map-side "
+    "zip_with bigrams over the token array, ONE pair-keyed count "
+    "with map-side combine, top-1 via TakeOrdered, the 1-row rule "
+    "collected to the driver (the control-plane pattern — a real "
+    "trainer holds the rule table driver-side too) and folded back "
+    "in as a literal in the aggregate lambda; round N+1 recomputes "
+    "the chain lazily (3 scans total, no caching needed at 3 "
+    "rounds). At 100 TB each round is exactly the bpe_pair_stats "
+    "exchange plus a map-only fold — per-iteration cost flat in "
     "rounds, vocabulary-sized driver state, no corpus state on the "
     "driver. Rules cached per (session, sf) so repeated plan "
     "construction runs the training jobs once. Measured paired "
-    "x1000 (1M docs, 26.5M tokens): Spark 64.9-74.3s vs DuckDB "
-    "238.9-243.8s — 3.3-3.8x AHEAD, identical rules. The single-"
-    "round pair count is DuckDB's win (bpe_pair_stats, 2.7x); "
-    "the ITERATED train loop flips it: each round re-tokenizes "
-    "after a corpus-wide REPLACE, and those string-heavy scans "
-    "parallelize (the text-family pattern where Spark wins 4-8x)",
+    "x1000 (1M docs, 26.5M tokens), r11 fold semantics: see "
+    "BENCH_NOTES r11 wave; the r10 string-REPLACE build measured "
+    "Spark 64.9-74.3s vs DuckDB 238.9-243.8s (3.3-3.8x AHEAD) — "
+    "the ITERATED train loop is Spark's win because each round "
+    "re-tokenizes after a corpus-wide rewrite and those scans "
+    "parallelize (the text-family pattern)",
 )
 def bpe_train_merges(spark, sf_dir):
     from ..operators.similarity import _literal_rows_df as _lit_rows
@@ -10392,20 +10441,64 @@ def bpe_train_merges(spark, sf_dir):
     rules = _CONTROL_CACHE.get(key)
     if rules is None:
         _evict_dead_sessions(_CONTROL_CACHE, app_id)
-        d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
-        cur = d.select(
-            F.array_join(text.tokens("text"), "  ").alias("s")
-        ).filter(F.col("s") != "")
         sep = "\x1f"
+        d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+        # sentinel precondition (r10 ADVICE): a raw token carrying a
+        # literal US byte would conflate with a merged token on both
+        # engines; exclude such docs identically on both sides.
+        cur = (
+            d.filter(~F.col("text").contains(sep))
+            .select(text.tokens("text").alias("t"))
+            .filter(F.size("t") > 0)
+        )
+
+        def apply_merge(col, w1, w2):
+            # Exact greedy left-to-right BPE merge fold: accumulator
+            # struct (o = merged-so-far, m = last step merged). The
+            # m flag keeps a just-produced merge from being consumed
+            # again, which is what makes [A,A,A] -> [AA, A] and
+            # [A]x5 -> [AA, AA, A] — the token-list semantics a real
+            # trainer has and string REPLACE does not (r10 ADVICE).
+            merged_lit = F.lit(w1 + sep + w2)
+
+            def step(acc, x):
+                hit = (
+                    (~acc["m"])
+                    & (F.size(acc["o"]) > 0)
+                    & (F.element_at(acc["o"], -1) == F.lit(w1))
+                    & (x == F.lit(w2))
+                )
+                return F.struct(
+                    F.when(
+                        hit,
+                        F.concat(
+                            F.slice(acc["o"], 1, F.size(acc["o"]) - 1),
+                            F.array(merged_lit),
+                        ),
+                    )
+                    .otherwise(F.concat(acc["o"], F.array(x)))
+                    .alias("o"),
+                    hit.alias("m"),
+                )
+
+            return F.aggregate(
+                col,
+                F.struct(
+                    F.array().cast("array<string>").alias("o"),
+                    F.lit(False).alias("m"),
+                ),
+                step,
+                lambda acc: acc["o"],
+            )
+
         rules = []
         for rnd in range(1, 4):
-            toks = F.split(F.col("s"), "  ")
-            k = F.size(toks)
+            k = F.size("t")
             bigrams = F.when(
                 k >= 2,
                 F.zip_with(
-                    F.slice(toks, 1, k - 1),
-                    F.slice(toks, 2, k - 1),
+                    F.slice(F.col("t"), 1, k - 1),
+                    F.slice(F.col("t"), 2, k - 1),
                     lambda x, y: F.concat_ws(" ", x, y),
                 ),
             ).otherwise(F.array().cast("array<string>"))
@@ -10423,13 +10516,11 @@ def bpe_train_merges(spark, sf_dir):
             rules.append(
                 {"merge_round": rnd, "pair": pair, "n_occurrences": n}
             )
-            cur = cur.select(
-                F.replace(
-                    F.col("s"),
-                    F.lit(pair.replace(" ", "  ")),
-                    F.lit(pair.replace(" ", sep)),
-                ).alias("s")
-            )
+            # tokens are whitespace-split (no spaces) and merged
+            # tokens are US-joined, so the first space is exactly the
+            # pair separator
+            w1, w2 = pair.split(" ", 1)
+            cur = cur.select(apply_merge(F.col("t"), w1, w2).alias("t"))
         _CONTROL_CACHE[key] = rules
     if not rules:
         return spark.range(0).select(

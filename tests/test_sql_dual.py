@@ -89,7 +89,7 @@ DIALECT_SKIPS = {
     "bm25_topk_docs": "TOKENS + QUALIFY",
     "boilerplate_chunk_stats": "TOKENS + SERIES n-gram windows",
     "bpe_pair_stats": "TOKENS + SERIES bigram build",
-    "bpe_train_merges": "TOKENS + SERIES per-round bigram build",
+    "bpe_train_merges": "DuckDB LIST_* lambda greedy-fold merge apply + SERIES bigrams",
     "vocab_growth_curve": "TOKENS per-token expansion",
     "dup_cluster_size_distribution": "TOKENS + LAMBDA + RECURSIVE CTE",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
