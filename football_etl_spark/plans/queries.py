@@ -10217,8 +10217,10 @@ def streaming_fanout_two_sinks(spark, sf_dir):
 # queries() emission after the round-10 re-plans (graph panel
 # shuffle_hash + degree moments, entropy/BPE acceptance notes, CUSUM
 # decimal guard, integral wedge sums) and a 214/214 local full sweep;
-# _emission_order surfaces them first, so the r10 driver sample is
-# 14 never-sampled + 36 r5-stale, exactly the rotation planned.
+# with the new bpe_train_merges that makes 15 never-sampled entries.
+# _emission_order surfaces them first, so the r10 driver sample was
+# 15 never-sampled + 35 r5-stale, exactly the rotation planned
+# (tally aligned with BENCH_NOTES r10 per the r10 ADVICE).
 # ===========================================================================
 
 
@@ -11440,9 +11442,32 @@ def copurchase_triangle_count(spark, sf_dir):
     wedge = F.when(
         dd % 2 == 0, F.floor(dd / 2).cast("decimal(19,0)") * (dd - 1)
     ).otherwise(F.floor((dd - 1) / 2).cast("decimal(19,0)") * dd)
-    s = deg.agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(wedge).cast("long").alias("n_wedges"),
+    # ADVICE r10: SUM(decimal) -> long under the pinned non-ANSI
+    # session yields NULL silently on overflow (and would poison
+    # global_clustering downstream); the docstring itself says the
+    # wedge sum can exceed 2^53 on hub-heavy 100 TB graphs, so give
+    # it the same loud assert_true backstop as
+    # cusum_changepoint_revenue before the BIGINT output cast.
+    i64max = F.lit("9223372036854775807").cast("decimal(38,0)")
+    s = (
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(wedge).alias("__w"),
+        )
+        .filter(
+            F.assert_true(
+                # NULL __w (empty graph) is fine — only a real
+                # overflow may fire the assert
+                F.coalesce(F.col("__w"), F.lit(0).cast("decimal(38,0)"))
+                <= i64max,
+                F.lit(
+                    "copurchase_triangle_count: wedge sum exceeds int64 "
+                    "— the BIGINT output contract cannot hold at this "
+                    "graph scale; widen n_wedges to DECIMAL"
+                ),
+            ).isNull()
+        )
+        .select("n_nodes", F.col("__w").cast("long").alias("n_wedges"))
     )
     e2 = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
