@@ -171,6 +171,50 @@ def _q8_rows(spark: SparkSession, sf_dir: str, embeddings: DataFrame) -> list:
     return rows
 
 
+def _graph_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Auto-size the graph panel's big exchanges from scan metadata —
+    the r10 verdict's ask: the x100 triangle/degree runs needed a
+    hand-set spark.sql.shuffle.partitions=256 to keep the pair-
+    DISTINCT dedup map and the closing SHJ's per-task EDGE hash map
+    inside task memory (BENCH_NOTES r10 waves 6-7); this derives that
+    number instead of knobbing it. Pre-distinct pairs are bounded by
+    3x lineitem rows (<= 7 items/order => C(7,2) = 21 pairs per 7
+    rows), and 500k edges/partition keeps the build map ~16 MB
+    (119.6M edges / 240 parts reproduces the proven 256 within
+    rounding). The row count comes from parquet FOOTER metadata via
+    pyarrow — no Spark job, the same control-plane-only discipline as
+    ensure_min_partitions' file-size probe. The session's
+    shuffle.partitions is the FLOOR, so small-scale plans (bench pins
+    8 at sf0.1) are byte-identical to before; the estimate only ever
+    RAISES the count, and the 4096 cap bounds task-scheduling
+    overhead at any scale. Cached per (session, sf)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "graph_parts")
+    n = _CONTROL_CACHE.get(key)
+    if n is None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        path = os.path.join(sf_dir, "lineitem.parquet")
+        if os.path.isdir(path):
+            rows = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            rows = pq.ParquetFile(path).metadata.num_rows
+        est_edges = 3 * rows
+        floor_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        n = max(floor_parts, min(4096, -(-est_edges // 500_000)))
+        _CONTROL_CACHE[key] = n
+    return n
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTINCT co-purchase edge set (parts a < b sharing an
     order) shared by the graph panel (triangle count, degree
@@ -202,7 +246,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
         )
-        .distinct()
+        # pair-DISTINCT at the auto-sized width: the dedup hash map is
+        # the panel's first spill wall (450M pre-distinct pairs at
+        # x100 / 32 parts = ~14M-entry maps per task); repartition on
+        # the full key satisfies the dedup's required distribution, so
+        # this REPLACES the implicit exchange rather than adding one,
+        # and downstream consumers co-partition on (a, b) at the same
+        # width for free (the closing semi join's build side)
+        .repartition(_graph_shuffle_partitions(spark, sf_dir), "a", "b")
+        .dropDuplicates()
     )
 
 
@@ -11413,6 +11465,14 @@ def copurchase_triangle_count(spark, sf_dir):
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
     )
+    # the wedge self-join and the closing probe run at the auto-sized
+    # width (r11, the r10 verdict ask): orientation loses the incoming
+    # partitioning (u is conditional), so without the explicit
+    # repartition both exchanges fall back to session
+    # shuffle.partitions — the hand-set 256 the x100 run needed; the
+    # estimate derives it from the lineitem footer instead
+    n_parts = _graph_shuffle_partitions(spark, sf_dir)
+    o = o.repartition(n_parts, "u")
     o1 = o.alias("o1")
     o2 = o.hint("shuffle_hash").alias("o2")
     w = (
@@ -11425,8 +11485,9 @@ def copurchase_triangle_count(spark, sf_dir):
     )
     # hash the edge set (O(m)), STREAM the wedges (O(m^1.5)) — the
     # asymmetry that makes the closing membership probe linear in
-    # wedges with no wedge sort
-    closed = w.join(
+    # wedges with no wedge sort; wedge stream and edge build side are
+    # co-partitioned on the pair key at the same auto-sized width
+    closed = w.repartition(n_parts, "x", "y").join(
         pairs.hint("shuffle_hash"),
         (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
         "left_semi",

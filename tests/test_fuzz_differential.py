@@ -1316,3 +1316,119 @@ def test_random_bitmask_dayset_matches_duckdb(spark, pred, span, anchor):
     assert not problems, (
         f"pred={pred!r} span={span} anchor={anchor}\n" + "\n".join(problems)
     )
+
+
+# ---- dimension 23 (r11, VERDICT r10 ask #5): final-schema kinds ------------
+# The r10 driver red (lorenz_gini decile_value DECIMAL) was a SCHEMA-
+# POLICY divergence, not a value one: Spark's toPandas and DuckDB's
+# fetchdf land the same type on different pandas kinds, and the
+# driver's stringified value-hash diverges on numerically identical
+# results. This dimension fuzzes random FINAL-projection type
+# combinations through tests/oracle_harness._driver_compat_problems
+# and asserts the probe's verdict matches the type policy exactly:
+# driver-safe kinds (double/bigint/int/string/date/timestamp) must
+# pass the probe AND the full value compare; driver-hostile kinds
+# (DECIMAL -> object-Decimal-vs-float64, LIST -> unhashable cells)
+# must be FLAGGED — the probe itself is the fuzz target, so the r10
+# blind-spot class (a probe that waves a hostile schema through)
+# cannot silently regrow.
+
+_FINAL_TYPES = [
+    # (name, hostile?, spark column builder, sql snippet)
+    (
+        "double",
+        False,
+        lambda: F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("double")
+        .alias("c_double"),
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " AS c_double",
+    ),
+    (
+        "bigint",
+        False,
+        lambda: F.count(F.lit(1)).cast("long").alias("c_bigint"),
+        "CAST(COUNT(*) AS BIGINT) AS c_bigint",
+    ),
+    (
+        "int",
+        False,
+        lambda: F.count(F.lit(1)).cast("int").alias("c_int"),
+        "CAST(COUNT(*) AS INT) AS c_int",
+    ),
+    (
+        "string",
+        False,
+        lambda: F.max("o_orderpriority").alias("c_string"),
+        "MAX(o_orderpriority) AS c_string",
+    ),
+    (
+        "date",
+        False,
+        lambda: F.min("o_orderdate").alias("c_date"),
+        "MIN(CAST(o_orderdate AS DATE)) AS c_date",
+    ),
+    (
+        "timestamp",
+        False,
+        lambda: F.min("o_orderdate").cast("timestamp").alias("c_ts"),
+        "CAST(MIN(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS c_ts",
+    ),
+    (
+        "decimal",
+        True,
+        lambda: F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("c_dec"),
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+        " AS c_dec",
+    ),
+    (
+        "array",
+        True,
+        lambda: F.array_sort(F.collect_set("o_orderstatus")).alias("c_arr"),
+        "LIST_SORT(LIST(DISTINCT o_orderstatus)) AS c_arr",
+    ),
+]
+
+
+@given(
+    pred=_predicate,
+    picks=st.lists(
+        st.sampled_from(range(len(_FINAL_TYPES))),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_random_final_schema_kinds_through_compat_probe(spark, pred, picks):
+    from .oracle_harness import _driver_compat_problems
+
+    chosen = [_FINAL_TYPES[i] for i in sorted(picks)]
+    o = load_table(spark, SF_SMOKE, "orders").filter(_pred_col(pred))
+    got = o.groupBy(F.col("o_orderstatus").alias("k")).agg(
+        *[c[2]() for c in chosen]
+    )
+    sql = (
+        "SELECT o_orderstatus AS k, "
+        + ", ".join(c[3] for c in chosen)
+        + f" FROM orders WHERE {_pred_sql(pred)} GROUP BY o_orderstatus"
+    )
+    assume(got.count() > 0)  # empty selections have no cells to kind-check
+    probs = _driver_compat_problems(got, sql, SF_SMOKE)
+    hostile = [c[0] for c in chosen if c[1]]
+    if hostile:
+        assert probs, (
+            f"probe waved through hostile final kinds {hostile} "
+            f"(pred={pred!r}) — the r10 lorenz blind-spot class"
+        )
+    else:
+        assert not probs, f"pred={pred!r} kinds={[c[0] for c in chosen]}\n" + "\n".join(
+            probs
+        )
+        problems = compare(got, sql, SF_SMOKE)
+        assert not problems, (
+            f"pred={pred!r} kinds={[c[0] for c in chosen]}\n"
+            + "\n".join(problems)
+        )
