@@ -1365,13 +1365,14 @@ _FINAL_TYPES = [
     (
         "date",
         False,
-        lambda: F.min("o_orderdate").alias("c_date"),
+        lambda: F.min(F.col("o_orderdate").cast("date")).alias("c_date"),
         "MIN(CAST(o_orderdate AS DATE)) AS c_date",
     ),
     (
         "timestamp",
         False,
-        lambda: F.min("o_orderdate").cast("timestamp").alias("c_ts"),
+        lambda: F.min(F.col("o_orderdate").cast("date")).cast("timestamp")
+        .alias("c_ts"),
         "CAST(MIN(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS c_ts",
     ),
     (
