@@ -11932,20 +11932,73 @@ def _driver_history(root=None) -> dict[str, int]:
     return latest
 
 
+def _row_is_red(row) -> bool:
+    """A driver correctness row that demands re-certification: any
+    explicit match False, or a real error. ``err == 'no_oracle'`` is
+    the EXPECTED shape of rows-only entries (approx sketches with
+    bound-certificate twins), not a failure."""
+    if any(
+        row.get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    ):
+        return True
+    err = row.get("err")
+    return bool(err) and err != "no_oracle"
+
+
+def _driver_red_latest(root=None) -> set[str]:
+    """Names whose LATEST driver row is red (per ``_row_is_red``).
+    Red entries must LEAD emission (r10 verdict ask #2): a fix shipped
+    this round gets its hard external re-certification immediately
+    instead of waiting a full staleness rotation — r10's
+    lorenz_gini_order_value hash-red is the motivating case."""
+    import json
+    import re
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    else:
+        root = Path(root)
+    latest: dict[str, tuple[int, bool]] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name, row in rows.items():
+                if not isinstance(row, dict):
+                    continue
+                prev = latest.get(name)
+                if prev is None or rnd >= prev[0]:
+                    latest[name] = (rnd, _row_is_red(row))
+    return {n for n, (_, red) in latest.items() if red}
+
+
 def _emission_order() -> list[str]:
     """Registry names ordered for the driver's ~50-entry per-round
-    correctness sample: never-sampled entries first, then ascending by
-    the round of each entry's LATEST driver row (stalest-first
-    rotation), ties broken by registry order. This rotates the hard
-    external signal across the whole registry — after every round the
-    driver re-certifies the entries whose last check predates the most
-    code churn — with zero hand-maintained bookkeeping (all entries
-    pass the identical Spark-vs-DuckDB comparison locally in
-    tests/test_oracle.py regardless of emission order)."""
+    correctness sample: entries whose LATEST driver row is RED first
+    (fixes get re-certified the round they ship), then never-sampled
+    entries, then ascending by the round of each entry's latest driver
+    row (stalest-first rotation), ties broken by registry order. This
+    rotates the hard external signal across the whole registry — after
+    every round the driver re-certifies the entries whose last check
+    predates the most code churn — with zero hand-maintained
+    bookkeeping (all entries pass the identical Spark-vs-DuckDB
+    comparison locally in tests/test_oracle.py regardless of emission
+    order)."""
     latest = _driver_history()
+    reds = _driver_red_latest()
     names = list(REGISTRY)
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (latest.get(n, -1), idx[n]))
+    return sorted(
+        names, key=lambda n: (n not in reds, latest.get(n, -1), idx[n])
+    )
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

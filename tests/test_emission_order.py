@@ -11,25 +11,28 @@ from football_etl_spark.plans import queries as Q
 
 def test_emission_order_policy(monkeypatch):
     names = list(Q.REGISTRY)
-    # synthetic history: three cohorts — never sampled, old round, new
-    never, old, new = names[0], names[1], names[2]
+    # synthetic history: four cohorts — red, never sampled, old, new
+    never, old, new, red = names[0], names[1], names[2], names[3]
     hist = {n: 4 for n in names}
     hist.pop(never)
     hist[old] = 1
     hist[new] = 5
     monkeypatch.setattr(Q, "_driver_history", lambda: hist)
+    monkeypatch.setattr(Q, "_driver_red_latest", lambda: {red})
     order = Q._emission_order()
     assert set(order) == set(names)
-    assert order[0] == never  # never-sampled leads
-    assert order[1] == old  # then the stalest
+    assert order[0] == red  # red latest row leads EVERYTHING (r10 ask #2)
+    assert order[1] == never  # then never-sampled
+    assert order[2] == old  # then the stalest
     assert order[-1] == new  # freshest round goes last
     # ties keep registry order (stable rotation, no reshuffling)
-    r4_block = [n for n in order if hist.get(n) == 4]
-    assert r4_block == [n for n in names if hist.get(n) == 4]
+    r4_block = [n for n in order if hist.get(n) == 4 and n != red]
+    assert r4_block == [n for n in names if hist.get(n) == 4 and n != red]
 
 
 def test_emission_order_degrades_to_registry_order_without_history(monkeypatch):
     monkeypatch.setattr(Q, "_driver_history", lambda: {})
+    monkeypatch.setattr(Q, "_driver_red_latest", lambda: set())
     assert Q._emission_order() == list(Q.REGISTRY)
 
 
@@ -58,16 +61,68 @@ def test_history_reads_fixture_rounds(tmp_path):
 
 def test_live_emission_order_invariants():
     """The invariants that actually matter on the live tree, phrased so
-    they hold for ANY committed history: every never-sampled name
-    precedes every sampled one, latest-round is non-decreasing along
-    the order, and ties keep registry order."""
+    they hold for ANY committed history: red-latest entries lead, then
+    every never-sampled name precedes every sampled one, latest-round
+    is non-decreasing along the non-red suffix, and ties keep registry
+    order."""
     hist = Q._driver_history()
     assert hist, "no CORRECTNESS history found at repo root"
+    reds = Q._driver_red_latest()
     order = Q._emission_order()
     assert set(order) == set(Q.REGISTRY)
-    rounds = [hist.get(n, -1) for n in order]
+    n_red = len([n for n in order if n in reds])
+    assert set(order[:n_red]) == reds, "red entries must lead emission"
+    tail = order[n_red:]
+    rounds = [hist.get(n, -1) for n in tail]
     assert rounds == sorted(rounds), "latest-round must be non-decreasing"
     idx = {n: i for i, n in enumerate(Q.REGISTRY)}
-    for a, b in zip(order, order[1:]):
+    for a, b in zip(tail, tail[1:]):
         if hist.get(a, -1) == hist.get(b, -1):
             assert idx[a] < idx[b], f"tie ({a},{b}) must keep registry order"
+
+
+def test_red_latest_classification(tmp_path):
+    """_row_is_red semantics pinned: explicit False on any match is
+    red; a real err is red; err='no_oracle' (the EXPECTED rows-only
+    shape) is NOT; a later green row clears an earlier red."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps(
+            {
+                "healed": {"hash_match": False},
+                "stillred": {"hash_match": False},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps(
+            {
+                "healed": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                },
+                "rowsonly": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": 5,
+                    "err": "no_oracle",
+                },
+                "crashed": {"err": "Py4JJavaError: boom"},
+                "schemared": {
+                    "rows_match": True,
+                    "schema_match": False,
+                    "hash_match": True,
+                    "err": None,
+                },
+            }
+        )
+    )
+    assert Q._driver_red_latest(tmp_path) == {
+        "stillred",
+        "crashed",
+        "schemared",
+    }
