@@ -1002,6 +1002,48 @@ _SQL_TOKS = r"""
   FROM documents
 """
 
+# Portable (Spark-SQL-and-DuckDB shared subset) TOKEN COUNTING
+# spellings — the r11 dual-SQL ports. The r10 dedup_exact port proved
+# the TRANSLATE + sentinel-sandwich whitespace collapse is engine-
+# shared; these extend it from normalization to COUNTING, so oracles
+# whose only per-token need is a count (token totals, stopword hits)
+# can run unmodified on Spark SQL instead of skipping on the TOKENS
+# gap (STRING_SPLIT_REGEX / LEN / UNNEST have no common spelling).
+#   _SQL_COLLAPSE: \s+ runs -> single spaces, NO trim of the result,
+#     so a leading/trailing non-space whitespace char leaves a
+#     leading/trailing space — exactly reproducing the phantom empty
+#     token that split(TRIM(text), '\s+') emits for such text (the
+#     count is spaces+1 either way; probed on both engines incl.
+#     '\t' -> 2 and NBSP kept as a token char).
+#   _sql_word_count: exact whole-token occurrence count: double every
+#     space so each token owns a private leading AND trailing space,
+#     pad the ends, then count ' word ' occurrences by length
+#     arithmetic — adjacent same-word tokens stay non-overlapping
+#     because each occurrence consumes only its own two spaces.
+_SQL_COLLAPSE = (
+    "REPLACE(REPLACE(REPLACE(TRANSLATE(TRIM(text), "
+    "CHR(9) || CHR(10) || CHR(11) || CHR(12) || CHR(13), '     '), "
+    "' ', CHR(30) || CHR(31)), CHR(31) || CHR(30), ''), "
+    "CHR(30) || CHR(31), ' ')"
+)
+_SQL_COLLAPSE_LOWER = _SQL_COLLAPSE.replace("TRIM(text)", "LOWER(TRIM(text))")
+# token count over a collapsed column named s
+_SQL_NTOKENS_S = (
+    "CASE WHEN LENGTH(s) = 0 THEN 0 "
+    "ELSE LENGTH(s) - LENGTH(REPLACE(s, ' ', '')) + 1 END"
+)
+
+
+def _sql_word_count(word: str, var: str = "x") -> str:
+    """Whole-token occurrence count of ``word`` in ``var`` (a padded
+    double-spaced collapse: ' ' || REPLACE(s, ' ', '  ') || ' ')."""
+    esc = word.replace("'", "''")
+    return (
+        f"CAST((LENGTH({var}) - LENGTH(REPLACE({var}, ' {esc} ', '')))"
+        f" / LENGTH(' {esc} ') AS BIGINT)"
+    )
+
+
 _SQL_SHINGLES = r"""
   SELECT doc_id,
          CASE WHEN LEN(toks) >= 3
@@ -1093,21 +1135,19 @@ def doc_repetition_stats(spark, sf_dir):
 
 @query(
     "lang_id_counts",
-    oracle="""
-    WITH toks_cte AS (
+    oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE_LOWER} AS s FROM documents
+    ),
+    px AS (SELECT doc_id, ' ' || REPLACE(s, ' ', '  ') || ' ' AS x FROM cl),
+    scored AS (
       SELECT doc_id,
-             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), t -> LOWER(t))
-             END AS toks
-      FROM documents
-    ), scored AS (
-      SELECT doc_id,
-             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','and','of','is','for'], t))) AS s_en,
-             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['el','la','de','que','los'], t))) AS s_es,
-             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['le','la','les','des','est'], t))) AS s_fr,
-             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['der','die','und','das','ist'], t))) AS s_de,
-             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['的','是','了','在','我'], t))) AS s_zh
-      FROM toks_cte
+             {_sql_word_count('the')} + {_sql_word_count('and')} + {_sql_word_count('of')} + {_sql_word_count('is')} + {_sql_word_count('for')} AS s_en,
+             {_sql_word_count('el')} + {_sql_word_count('la')} + {_sql_word_count('de')} + {_sql_word_count('que')} + {_sql_word_count('los')} AS s_es,
+             {_sql_word_count('le')} + {_sql_word_count('la')} + {_sql_word_count('les')} + {_sql_word_count('des')} + {_sql_word_count('est')} AS s_fr,
+             {_sql_word_count('der')} + {_sql_word_count('die')} + {_sql_word_count('und')} + {_sql_word_count('das')} + {_sql_word_count('ist')} AS s_de,
+             {_sql_word_count('的')} + {_sql_word_count('是')} + {_sql_word_count('了')} + {_sql_word_count('在')} + {_sql_word_count('我')} AS s_zh
+      FROM px
     ), pred AS (
       SELECT doc_id,
         CASE WHEN s_zh > GREATEST(s_en, s_es, s_fr, s_de, 0) THEN 'zh'
@@ -2295,10 +2335,11 @@ def chunked_documents(spark, sf_dir):
 @query(
     "packed_training_shards",
     oracle=f"""
-    WITH toks_cte AS ({_SQL_TOKS}),
-    src AS (SELECT doc_id, CAST(LEN(toks) AS INT) AS n_tokens,
+    WITH cl AS (SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents),
+    src AS (SELECT doc_id,
+                   CAST({_SQL_NTOKENS_S} AS INT) AS n_tokens,
                    CAST(doc_id % 8 AS INT) AS bucket
-            FROM toks_cte),
+            FROM cl),
     c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
                                         ROWS UNBOUNDED PRECEDING) AS cum
           FROM src)
@@ -2535,17 +2576,27 @@ def epoch_shuffle_positions(spark, sf_dir):
 @query(
     "gopher_quality_filter",
     oracle=f"""
-    WITH toks_cte AS ({_SQL_TOKS}),
+    WITH cl AS (
+      SELECT doc_id, text, {_SQL_COLLAPSE_LOWER} AS s FROM documents
+    ),
+    px AS (
+      SELECT doc_id, text, s,
+             ' ' || REPLACE(s, ' ', '  ') || ' ' AS x
+      FROM cl
+    ),
     m AS (
-      SELECT doc_id, LEN(toks) AS n_tokens, LENGTH(text) AS n_chars,
-             LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct,
-             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
-                 ['the','a','and','of','to','in','is','it','for','on'],
-                 LOWER(t)))) AS n_stopwords,
-             CASE WHEN LEN(toks) > 0
-                  THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) / LEN(toks)
+      SELECT doc_id,
+             {_SQL_NTOKENS_S} AS n_tokens,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', '')) AS n_punct,
+             {_sql_word_count('the')} + {_sql_word_count('a')} + {_sql_word_count('and')} + {_sql_word_count('of')} + {_sql_word_count('to')} + {_sql_word_count('in')} + {_sql_word_count('is')} + {_sql_word_count('it')} + {_sql_word_count('for')} + {_sql_word_count('on')} AS n_stopwords,
+             CASE WHEN LENGTH(s) > 0
+                  THEN LENGTH(TRANSLATE(TRIM(text),
+                         ' ' || CHR(9) || CHR(10) || CHR(11) || CHR(12)
+                             || CHR(13), ''))
+                       / ({_SQL_NTOKENS_S})
                   ELSE CAST(0 AS DOUBLE) END AS avg_token_len
-      FROM toks_cte
+      FROM px
     ),
     r AS (
       SELECT doc_id, n_tokens, avg_token_len,
@@ -3011,29 +3062,88 @@ _SQL_NORMALIZE_DATE = (
 
 @query(
     "messy_ingest_cleaning",
-    oracle=f"""
-    WITH m AS (
+    oracle=r"""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yy,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mm,
+             CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dd,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+               AS dw
+      FROM orders
+    ),
+    nm AS (
+      SELECT o_orderkey, o_custkey,
+             CASE mm WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar' WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun' WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep' WHEN 10 THEN 'Oct' WHEN 11 THEN 'Nov' WHEN 12 THEN 'Dec' END AS mon3,
+             CASE mm WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March' WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June' WHEN 7 THEN 'July' WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October' WHEN 11 THEN 'November' WHEN 12 THEN 'December' END AS monf,
+             CASE dw WHEN 0 THEN 'Thursday' WHEN 1 THEN 'Friday' WHEN 2 THEN 'Saturday' WHEN 3 THEN 'Sunday' WHEN 4 THEN 'Monday' WHEN 5 THEN 'Tuesday' ELSE 'Wednesday' END AS dayf,
+             LPAD(CAST(dd AS STRING), 2, '0') AS dd2,
+             LPAD(CAST(mm AS STRING), 2, '0') AS mm2,
+             CAST(yy AS STRING) AS yy4
+      FROM b
+    ),
+    m AS (
       SELECT o_orderkey,
-        CASE WHEN o_orderkey % 4 = 0 THEN STRFTIME(o_orderdate, '%d/%m/%Y')
-             WHEN o_orderkey % 4 = 1 THEN STRFTIME(o_orderdate, '%b %d, %Y')
-             WHEN o_orderkey % 4 = 2 THEN STRFTIME(o_orderdate, '%A, %B %d, %Y')
-             ELSE STRFTIME(o_orderdate, '%Y.%m.%d') END AS messy_date,
+        CASE WHEN o_orderkey % 4 = 0 THEN dd2 || '/' || mm2 || '/' || yy4
+             WHEN o_orderkey % 4 = 1 THEN mon3 || ' ' || dd2 || ', ' || yy4
+             WHEN o_orderkey % 4 = 2
+               THEN dayf || ', ' || monf || ' ' || dd2 || ', ' || yy4
+             ELSE yy4 || '.' || mm2 || '.' || dd2 END AS messy_date,
         '$' || CAST(o_orderkey % 10000 AS STRING) || '.'
             || CAST(o_custkey % 90 + 10 AS STRING) || ' USD' AS messy_price,
-        CAST(o_orderkey % 7 AS STRING) || '-' || CAST(o_custkey % 7 AS STRING) AS score,
+        CAST(o_orderkey % 7 AS STRING) || '-'
+            || CAST(o_custkey % 7 AS STRING) AS score,
         CASE WHEN o_orderkey % 2 = 0 THEN 'Home' ELSE 'Away' END AS venue
-      FROM orders)
+      FROM nm
+    ),
+    stripped AS (
+      SELECT m.*,
+             REGEXP_REPLACE(TRIM(messy_date), '^[A-Za-z]+,\s*', '') AS sd
+      FROM m
+    )
     SELECT o_orderkey,
-           {_SQL_NORMALIZE_DATE} AS match_date,
-           TRY_CAST(REGEXP_REPLACE(messy_price, '[^0-9.-]', '', 'g') AS DOUBLE) AS price,
+           CAST(COALESCE(
+             make_date(
+               TRY_CAST(regexp_extract(sd,
+                 '^([0-9][0-9])/([0-9][0-9])/([0-9][0-9][0-9][0-9])$', 3)
+                 AS INT),
+               TRY_CAST(regexp_extract(sd,
+                 '^([0-9][0-9])/([0-9][0-9])/([0-9][0-9][0-9][0-9])$', 2)
+                 AS INT),
+               TRY_CAST(regexp_extract(sd,
+                 '^([0-9][0-9])/([0-9][0-9])/([0-9][0-9][0-9][0-9])$', 1)
+                 AS INT)),
+             make_date(
+               TRY_CAST(regexp_extract(sd,
+                 '^[A-Za-z]+ ([0-9][0-9]), ([0-9][0-9][0-9][0-9])$', 2)
+                 AS INT),
+               CASE regexp_extract(sd, '^([A-Za-z]+) ', 1) WHEN 'Jan' THEN 1 WHEN 'Feb' THEN 2 WHEN 'Mar' THEN 3 WHEN 'Apr' THEN 4 WHEN 'May' THEN 5 WHEN 'Jun' THEN 6 WHEN 'Jul' THEN 7 WHEN 'Aug' THEN 8 WHEN 'Sep' THEN 9 WHEN 'Oct' THEN 10 WHEN 'Nov' THEN 11 WHEN 'Dec' THEN 12 WHEN 'January' THEN 1 WHEN 'February' THEN 2 WHEN 'March' THEN 3 WHEN 'April' THEN 4 WHEN 'May' THEN 5 WHEN 'June' THEN 6 WHEN 'July' THEN 7 WHEN 'August' THEN 8 WHEN 'September' THEN 9 WHEN 'October' THEN 10 WHEN 'November' THEN 11 WHEN 'December' THEN 12 ELSE TRY_CAST('' AS INT) END,
+               TRY_CAST(regexp_extract(sd,
+                 '^[A-Za-z]+ ([0-9][0-9]), ([0-9][0-9][0-9][0-9])$', 1)
+                 AS INT)),
+             make_date(
+               TRY_CAST(regexp_extract(sd,
+                 '^([0-9][0-9][0-9][0-9])\.([0-9][0-9])\.([0-9][0-9])$', 1)
+                 AS INT),
+               TRY_CAST(regexp_extract(sd,
+                 '^([0-9][0-9][0-9][0-9])\.([0-9][0-9])\.([0-9][0-9])$', 2)
+                 AS INT),
+               TRY_CAST(regexp_extract(sd,
+                 '^([0-9][0-9][0-9][0-9])\.([0-9][0-9])\.([0-9][0-9])$', 3)
+                 AS INT))
+           ) AS DATE) AS match_date,
+           TRY_CAST(TRANSLATE(messy_price, '$USD ', '') AS DOUBLE) AS price,
            CASE WHEN LOWER(TRIM(venue)) = 'home'
                 THEN TRY_CAST(SPLIT_PART(TRIM(score), '-', 1) AS DOUBLE)
-                ELSE TRY_CAST(SPLIT_PART(TRIM(score), '-', 2) AS DOUBLE) END AS goals_for,
+                ELSE TRY_CAST(SPLIT_PART(TRIM(score), '-', 2) AS DOUBLE)
+           END AS goals_for,
            CASE WHEN LOWER(TRIM(venue)) = 'home'
                 THEN TRY_CAST(SPLIT_PART(TRIM(score), '-', 2) AS DOUBLE)
-                ELSE TRY_CAST(SPLIT_PART(TRIM(score), '-', 1) AS DOUBLE) END AS goals_against,
-           CAST(CASE WHEN LOWER(TRIM(venue)) = 'home' THEN 1 ELSE 0 END AS INT) AS is_home
-    FROM m
+                ELSE TRY_CAST(SPLIT_PART(TRIM(score), '-', 1) AS DOUBLE)
+           END AS goals_against,
+           CAST(CASE WHEN LOWER(TRIM(venue)) = 'home' THEN 1 ELSE 0 END
+                AS INT) AS is_home
+    FROM stripped
     """,
     doc="the M1 ingest-repair chain end-to-end on deterministically "
     "messied inputs: multi-format date normalization incl. the "
@@ -5206,10 +5316,12 @@ def bm25_topk_docs(spark, sf_dir):
       FROM events
     ),
     extracted AS (
-      SELECT payload->>'$.meta.kind' AS kind,
-             TRY_CAST(payload->>'$.meta.uid' AS BIGINT) AS uid,
-             TRY_CAST(payload->>'$.ids[0]' AS BIGINT) AS first_id,
-             payload->>'$.odd' = 'true' AS odd
+      SELECT regexp_extract(payload, '"kind":"([^"]+)"', 1) AS kind,
+             TRY_CAST(regexp_extract(payload, '"uid":([0-9]+)', 1)
+                      AS BIGINT) AS uid,
+             TRY_CAST(regexp_extract(payload, '"ids":\[([0-9]+)', 1)
+                      AS BIGINT) AS first_id,
+             regexp_extract(payload, '"odd":(true|false)', 1) = 'true' AS odd
       FROM payloads
     )
     SELECT kind,
@@ -10383,19 +10495,20 @@ def bpe_pair_stats(spark, sf_dir):
     d1 AS (
       SELECT LIST_FILTER(
                LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
-                 CASE WHEN strt[i] THEN w1 || CHR(31) || w2
-                      WHEN i > 1 AND strt[i-1] THEN NULL
+                 CASE WHEN SUBSTRING(mk, i, 1) = 'M'
+                        THEN w1 || CHR(31) || w2
+                      WHEN SUBSTRING(mk, i, 1) = 'c' THEN NULL
                       ELSE toks[i] END),
                t -> t IS NOT NULL) AS toks
       FROM (
         SELECT toks, r1.w1, r1.w2,
-               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
-                 i < LEN(toks) AND toks[i] = r1.w1
-                 AND toks[i+1] = r1.w2) AS occ,
-               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
-                 occ[i] AND (i - 1 - COALESCE(LIST_MAX(LIST_FILTER(
-                   GENERATE_SERIES(1, i-1), j -> NOT occ[j])), 0)) % 2 = 0
-               ) AS strt
+               REGEXP_REPLACE(
+                 ARRAY_TO_STRING(LIST_TRANSFORM(toks, t ->
+                   CASE WHEN t = r1.w1 THEN 'a'
+                        WHEN t = r1.w2 THEN 'b'
+                        ELSE '0' END), ''),
+                 CASE WHEN r1.w1 = r1.w2 THEN 'aa' ELSE 'ab' END,
+                 'Mc', 'g') AS mk
         FROM d0 CROSS JOIN r1
       )
     ),
@@ -10415,19 +10528,20 @@ def bpe_pair_stats(spark, sf_dir):
     d2 AS (
       SELECT LIST_FILTER(
                LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
-                 CASE WHEN strt[i] THEN w1 || CHR(31) || w2
-                      WHEN i > 1 AND strt[i-1] THEN NULL
+                 CASE WHEN SUBSTRING(mk, i, 1) = 'M'
+                        THEN w1 || CHR(31) || w2
+                      WHEN SUBSTRING(mk, i, 1) = 'c' THEN NULL
                       ELSE toks[i] END),
                t -> t IS NOT NULL) AS toks
       FROM (
         SELECT toks, r2.w1, r2.w2,
-               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
-                 i < LEN(toks) AND toks[i] = r2.w1
-                 AND toks[i+1] = r2.w2) AS occ,
-               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
-                 occ[i] AND (i - 1 - COALESCE(LIST_MAX(LIST_FILTER(
-                   GENERATE_SERIES(1, i-1), j -> NOT occ[j])), 0)) % 2 = 0
-               ) AS strt
+               REGEXP_REPLACE(
+                 ARRAY_TO_STRING(LIST_TRANSFORM(toks, t ->
+                   CASE WHEN t = r2.w1 THEN 'a'
+                        WHEN t = r2.w2 THEN 'b'
+                        ELSE '0' END), ''),
+                 CASE WHEN r2.w1 = r2.w2 THEN 'aa' ELSE 'ab' END,
+                 'Mc', 'g') AS mk
         FROM d1 CROSS JOIN r2
       )
     ),
@@ -10507,42 +10621,42 @@ def bpe_train_merges(spark, sf_dir):
         )
 
         def apply_merge(col, w1, w2):
-            # Exact greedy left-to-right BPE merge fold: accumulator
-            # struct (o = merged-so-far, m = last step merged). The
-            # m flag keeps a just-produced merge from being consumed
-            # again, which is what makes [A,A,A] -> [AA, A] and
-            # [A]x5 -> [AA, AA, A] — the token-list semantics a real
-            # trainer has and string REPLACE does not (r10 ADVICE).
+            # Exact greedy left-to-right merge, O(n) per doc with NO
+            # per-token array rebuild: render the token array as a
+            # character MASK ('a' where tok==w1, else 'b' where
+            # tok==w2, else '0' — first arm wins so a self-pair is all
+            # 'a'), then one regexp_replace of 'ab' (or 'aa') with
+            # 'Mc': Java replaceAll consumes non-overlapping matches
+            # LEFT TO RIGHT, which IS the greedy token-list fold
+            # ([A,A,A] -> [AA, A]; [A]x5 -> [AA, AA, A]; [A,B,A,B] ->
+            # [AB, AB]) — and mask positions are whole tokens, so the
+            # r10 partial-token REPLACE class is structurally gone.
+            # Rebuild: zip tokens with the marked mask ('M' emit the
+            # merged token, 'c' drop the consumed one, else keep).
+            # Measured x1000: the first-cut F.aggregate struct fold
+            # (semantically identical) cost 230-262s in per-token
+            # array copies; this mask pass brings the round back to
+            # the map-side string-kernel cost class.
             merged_lit = F.lit(w1 + sep + w2)
-
-            def step(acc, x):
-                hit = (
-                    (~acc["m"])
-                    & (F.size(acc["o"]) > 0)
-                    & (F.element_at(acc["o"], -1) == F.lit(w1))
-                    & (x == F.lit(w2))
-                )
-                return F.struct(
-                    F.when(
-                        hit,
-                        F.concat(
-                            F.slice(acc["o"], 1, F.size(acc["o"]) - 1),
-                            F.array(merged_lit),
-                        ),
-                    )
-                    .otherwise(F.concat(acc["o"], F.array(x)))
-                    .alias("o"),
-                    hit.alias("m"),
-                )
-
-            return F.aggregate(
-                col,
-                F.struct(
-                    F.array().cast("array<string>").alias("o"),
-                    F.lit(False).alias("m"),
+            pat = "aa" if w1 == w2 else "ab"
+            mask = F.array_join(
+                F.transform(
+                    col,
+                    lambda x: F.when(x == F.lit(w1), F.lit("a"))
+                    .when(x == F.lit(w2), F.lit("b"))
+                    .otherwise(F.lit("0")),
                 ),
-                step,
-                lambda acc: acc["o"],
+                "",
+            )
+            return F.filter(
+                F.zip_with(
+                    col,
+                    F.split(F.regexp_replace(mask, pat, "Mc"), ""),
+                    lambda tok, m: F.when(m == F.lit("M"), merged_lit)
+                    .when(m == F.lit("c"), F.lit(None))
+                    .otherwise(tok),
+                ),
+                lambda x: x.isNotNull(),
             )
 
         rules = []

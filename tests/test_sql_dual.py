@@ -115,18 +115,15 @@ DIALECT_SKIPS = {
     "doc_repetition_stats": "TOKENS + LAMBDA + SERIES",
     "embedding_near_dups": "LAMBDA (list_sum over list comprehension)",
     "embedding_near_dups_exact": "LAMBDA (list_sum over list comprehension)",
-    "gopher_quality_filter": "TOKENS + LAMBDA stopword ratios",
     "incremental_corpus_dedup": "TOKENS + LAMBDA + SERIES",
     "ivf_ann_topk": "LAMBDA + SERIES + QUALIFY",
     "ivf_trained_ann_topk": "LAMBDA + SERIES + QUALIFY",
     "kmeans_embedding_clusters": "SERIES + QUALIFY + UNNEST",
     "label_centroids": "UNNEST per-component expansion",
-    "lang_id_counts": "TOKENS + LAMBDA stopword hits",
     "lsh_ann_topk": "LAMBDA + SERIES + QUALIFY",
     "lsh_banded_ann_topk": "LAMBDA + SERIES + QUALIFY",
     "lsh_banded_recall": "LAMBDA + SERIES + QUALIFY",
     "lsh_recall_at_k": "LAMBDA + SERIES + QUALIFY",
-    "messy_ingest_cleaning": "STRFTIME (four messy formats)",
     "minhash_clusters": "TOKENS + LAMBDA + RECURSIVE CTE",
     "minhash_near_dups": "TOKENS + LAMBDA minhash",
     "minhash_near_dups_capped": "TOKENS + LAMBDA minhash",
@@ -134,7 +131,6 @@ DIALECT_SKIPS = {
     "nested_event_flatten": "EPOCH + '//' + printf",
     "ngram_jaccard_pairs": "TOKENS + LAMBDA + SERIES",
     "ngram_jaccard_pairs_capped": "TOKENS + LAMBDA + SERIES",
-    "packed_training_shards": "TOKENS (LEN of split list)",
     "pq_adc_ann_topk": "SERIES + QUALIFY + '//' integer division",
     "purchase_asof_login": (
         "EPOCH (epoch_us gap) + IGNORE NULLS placement: DuckDB only "
@@ -149,7 +145,6 @@ DIALECT_SKIPS = {
     "text_quality_stats": "TOKENS + LAMBDA ratios",
     "tfidf_top_terms": "TOKENS + QUALIFY",
     "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
-    "variant_event_facts": "JSON '->>' extraction + printf",
     "video_frame_scan": (
         "SERIES frame indexing — same probed blocker as "
         "audio_decode_wav (shared range() TVF exists, but the "
