@@ -10594,12 +10594,16 @@ def bpe_pair_stats(spark, sf_dir):
     "rounds, vocabulary-sized driver state, no corpus state on the "
     "driver. Rules cached per (session, sf) so repeated plan "
     "construction runs the training jobs once. Measured paired "
-    "x1000 (1M docs, 26.5M tokens), r11 fold semantics: see "
-    "BENCH_NOTES r11 wave; the r10 string-REPLACE build measured "
-    "Spark 64.9-74.3s vs DuckDB 238.9-243.8s (3.3-3.8x AHEAD) — "
-    "the ITERATED train loop is Spark's win because each round "
-    "re-tokenizes after a corpus-wide rewrite and those scans "
-    "parallelize (the text-family pattern)",
+    "x1000 (1M docs, 26.5M tokens), r11 mask semantics on BOTH "
+    "engines: Spark 56.2-77.2s vs DuckDB 37.7-42.3s — ~1.4x behind, "
+    "ACCEPTED at the same token-explode floor as bpe_pair_stats "
+    "(the per-round bigram explode dominates; the mask apply is "
+    "map-only). The r10 standing (string-REPLACE both sides: Spark "
+    "64.9-74.3s vs DuckDB 238.9-243.8s, 3.3-3.8x AHEAD) is retired "
+    "as an artifact of DuckDB paying a corpus-string REPLACE the "
+    "exact semantics does not require; the interim F.aggregate "
+    "struct fold (same semantics) measured 230-262s and was "
+    "replaced by the mask pass (BENCH_NOTES r11 wave 2)",
 )
 def bpe_train_merges(spark, sf_dir):
     from ..operators.similarity import _literal_rows_df as _lit_rows
