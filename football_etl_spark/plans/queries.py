@@ -2212,14 +2212,37 @@ _SQL_QUALITY = """
 @query(
     "quality_weighted_sample",
     oracle=f"""
-    WITH toks_cte AS ({_SQL_TOKS}),
+    WITH cl AS (
+      SELECT doc_id, text, {_SQL_COLLAPSE_LOWER} AS s FROM documents
+    ),
+    px AS (
+      SELECT doc_id, text, s,
+             ' ' || REPLACE(s, ' ', '  ') || ' ' AS x
+      FROM cl
+    ),
+    m AS (
+      SELECT doc_id,
+             {_SQL_NTOKENS_S} AS n_tokens,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', '')) AS n_punct,
+             {_sql_word_count('the')} + {_sql_word_count('a')} + {_sql_word_count('and')} + {_sql_word_count('of')} + {_sql_word_count('to')} + {_sql_word_count('in')} + {_sql_word_count('is')} + {_sql_word_count('it')} + {_sql_word_count('for')} + {_sql_word_count('on')} AS n_stopwords
+      FROM px
+    ),
     weighted AS (
-      SELECT doc_id, {_SQL_QUALITY} AS w FROM toks_cte
+      SELECT doc_id,
+  (LEAST(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+   + (CAST(1 AS DOUBLE) - LEAST(CASE WHEN n_chars > 0
+          THEN n_punct / n_chars
+          ELSE CAST(0 AS DOUBLE) END * 5, CAST(1 AS DOUBLE)))
+   + LEAST(CASE WHEN n_tokens > 0
+       THEN n_stopwords / n_tokens
+       ELSE CAST(0 AS DOUBLE) END * 4, CAST(1 AS DOUBLE))) / 3
+ AS w FROM m
     )
     SELECT doc_id, ROUND(w, 6) AS weight
     FROM weighted
     WHERE SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 4)
-          < LPAD(LOWER(TO_HEX(CAST(LEAST(FLOOR(w * 65536), 65535) AS BIGINT))), 4, '0')
+          < LPAD(LOWER(HEX(CAST(LEAST(FLOOR(w * 65536), 65535) AS BIGINT))), 4, '0')
     """,
     doc="quality-weighted deterministic corpus sampling (operators/"
     "sampling.weighted_hash_sample): each doc kept with probability ≈ "

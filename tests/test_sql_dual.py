@@ -137,12 +137,16 @@ DIALECT_SKIPS = {
         "parses last_value(x IGNORE NULLS), Spark only "
         "last_value(x) IGNORE NULLS — probed, no common spelling"
     ),
-    "quality_weighted_sample": "TOKENS + LAMBDA quality terms",
     "quantized_embeddings": "LAMBDA (list_sum over list comprehension)",
     "retrieval_topk_docs": "LAMBDA + SERIES + QUALIFY",
     "semantic_dedup_docs": "LAMBDA + SERIES + QUALIFY",
     "simhash_near_dups": "TOKENS + UNNEST",
-    "text_quality_stats": "TOKENS + LAMBDA ratios",
+    "text_quality_stats": (
+        "n_bpe_tokens = LEN(REGEXP_EXTRACT_ALL(..)): DuckDB v1.0 has "
+        "no regexp_count and LEN(list) has no Spark spelling — the "
+        "stopword/token-count terms ported fine (see "
+        "quality_weighted_sample), this one column is the blocker"
+    ),
     "tfidf_top_terms": "TOKENS + QUALIFY",
     "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
     "video_frame_scan": (
