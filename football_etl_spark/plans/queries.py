@@ -10494,6 +10494,103 @@ def bpe_pair_stats(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+_BPE_SEP = "\x1f"
+
+
+def _bpe_corpus(spark, sf_dir) -> DataFrame:
+    """The trainer's corpus: whitespace tokens, empty docs dropped,
+    docs carrying a literal US byte excluded (sentinel precondition —
+    a raw token containing the merge separator would conflate with a
+    merged token; identical filter on the oracle side)."""
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return (
+        d.filter(~F.col("text").contains(_BPE_SEP))
+        .select(text.tokens("text").alias("t"))
+        .filter(F.size("t") > 0)
+    )
+
+
+def _bpe_apply_mask(col, w1: str, w2: str):
+    """Exact greedy left-to-right merge, O(n) per doc with NO
+    per-token array rebuild: render the token array as a character
+    MASK ('a' where tok==w1, else 'b' where tok==w2, else '0' — first
+    arm wins so a self-pair is all 'a'), then one regexp_replace of
+    'ab' (or 'aa') with 'Mc': Java replaceAll consumes non-overlapping
+    matches LEFT TO RIGHT, which IS the greedy token-list fold
+    ([A,A,A] -> [AA, A]; [A]x5 -> [AA, AA, A]; [A,B,A,B] -> [AB, AB])
+    — and mask positions are whole tokens, so the r10 partial-token
+    REPLACE class is structurally gone. Rebuild: zip tokens with the
+    marked mask ('M' emit the merged token, 'c' drop the consumed one,
+    else keep). Measured x1000: the first-cut F.aggregate struct fold
+    (semantically identical) cost 230-262s in per-token array copies;
+    this mask pass brings the round back to the map-side
+    string-kernel cost class."""
+    merged_lit = F.lit(w1 + _BPE_SEP + w2)
+    pat = "aa" if w1 == w2 else "ab"
+    mask = F.array_join(
+        F.transform(
+            col,
+            lambda x: F.when(x == F.lit(w1), F.lit("a"))
+            .when(x == F.lit(w2), F.lit("b"))
+            .otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    return F.filter(
+        F.zip_with(
+            col,
+            F.split(F.regexp_replace(mask, pat, "Mc"), ""),
+            lambda tok, m: F.when(m == F.lit("M"), merged_lit)
+            .when(m == F.lit("c"), F.lit(None))
+            .otherwise(tok),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def _bpe_train(spark, sf_dir, rounds: int = 3) -> list[dict]:
+    """Train ``rounds`` BPE merge rules (count -> adopt top pair ->
+    greedy corpus-wide apply -> recount); cached per (session, sf) so
+    the trainer and the encode entry share one training run."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), f"bpe_merge_rules_{rounds}")
+    rules = _CONTROL_CACHE.get(key)
+    if rules is not None:
+        return rules
+    _evict_dead_sessions(_CONTROL_CACHE, app_id)
+    cur = _bpe_corpus(spark, sf_dir)
+    rules = []
+    for rnd in range(1, rounds + 1):
+        k = F.size("t")
+        bigrams = F.when(
+            k >= 2,
+            F.zip_with(
+                F.slice(F.col("t"), 1, k - 1),
+                F.slice(F.col("t"), 2, k - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select(F.explode(bigrams).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        rules.append({"merge_round": rnd, "pair": pair, "n_occurrences": n})
+        # tokens are whitespace-split (no spaces) and merged tokens
+        # are US-joined, so the first space is exactly the separator
+        w1, w2 = pair.split(" ", 1)
+        cur = cur.select(_bpe_apply_mask(F.col("t"), w1, w2).alias("t"))
+    _CONTROL_CACHE[key] = rules
+    return rules
+
+
+
 @query(
     "bpe_train_merges",
     oracle=r"""
@@ -10631,92 +10728,7 @@ def bpe_pair_stats(spark, sf_dir):
 def bpe_train_merges(spark, sf_dir):
     from ..operators.similarity import _literal_rows_df as _lit_rows
 
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir.rstrip("/"), "bpe_merge_rules")
-    rules = _CONTROL_CACHE.get(key)
-    if rules is None:
-        _evict_dead_sessions(_CONTROL_CACHE, app_id)
-        sep = "\x1f"
-        d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
-        # sentinel precondition (r10 ADVICE): a raw token carrying a
-        # literal US byte would conflate with a merged token on both
-        # engines; exclude such docs identically on both sides.
-        cur = (
-            d.filter(~F.col("text").contains(sep))
-            .select(text.tokens("text").alias("t"))
-            .filter(F.size("t") > 0)
-        )
-
-        def apply_merge(col, w1, w2):
-            # Exact greedy left-to-right merge, O(n) per doc with NO
-            # per-token array rebuild: render the token array as a
-            # character MASK ('a' where tok==w1, else 'b' where
-            # tok==w2, else '0' — first arm wins so a self-pair is all
-            # 'a'), then one regexp_replace of 'ab' (or 'aa') with
-            # 'Mc': Java replaceAll consumes non-overlapping matches
-            # LEFT TO RIGHT, which IS the greedy token-list fold
-            # ([A,A,A] -> [AA, A]; [A]x5 -> [AA, AA, A]; [A,B,A,B] ->
-            # [AB, AB]) — and mask positions are whole tokens, so the
-            # r10 partial-token REPLACE class is structurally gone.
-            # Rebuild: zip tokens with the marked mask ('M' emit the
-            # merged token, 'c' drop the consumed one, else keep).
-            # Measured x1000: the first-cut F.aggregate struct fold
-            # (semantically identical) cost 230-262s in per-token
-            # array copies; this mask pass brings the round back to
-            # the map-side string-kernel cost class.
-            merged_lit = F.lit(w1 + sep + w2)
-            pat = "aa" if w1 == w2 else "ab"
-            mask = F.array_join(
-                F.transform(
-                    col,
-                    lambda x: F.when(x == F.lit(w1), F.lit("a"))
-                    .when(x == F.lit(w2), F.lit("b"))
-                    .otherwise(F.lit("0")),
-                ),
-                "",
-            )
-            return F.filter(
-                F.zip_with(
-                    col,
-                    F.split(F.regexp_replace(mask, pat, "Mc"), ""),
-                    lambda tok, m: F.when(m == F.lit("M"), merged_lit)
-                    .when(m == F.lit("c"), F.lit(None))
-                    .otherwise(tok),
-                ),
-                lambda x: x.isNotNull(),
-            )
-
-        rules = []
-        for rnd in range(1, 4):
-            k = F.size("t")
-            bigrams = F.when(
-                k >= 2,
-                F.zip_with(
-                    F.slice(F.col("t"), 1, k - 1),
-                    F.slice(F.col("t"), 2, k - 1),
-                    lambda x, y: F.concat_ws(" ", x, y),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-            top = (
-                cur.select(F.explode(bigrams).alias("pair"))
-                .groupBy("pair")
-                .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                .orderBy(F.desc("n"), F.asc("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            pair, n = top[0]["pair"], int(top[0]["n"])
-            rules.append(
-                {"merge_round": rnd, "pair": pair, "n_occurrences": n}
-            )
-            # tokens are whitespace-split (no spaces) and merged
-            # tokens are US-joined, so the first space is exactly the
-            # pair separator
-            w1, w2 = pair.split(" ", 1)
-            cur = cur.select(apply_merge(F.col("t"), w1, w2).alias("t"))
-        _CONTROL_CACHE[key] = rules
+    rules = _bpe_train(spark, sf_dir)
     if not rules:
         return spark.range(0).select(
             F.col("id").cast("int").alias("merge_round"),
@@ -10726,6 +10738,308 @@ def bpe_train_merges(spark, sf_dir):
     return _lit_rows(
         spark, rules, "merge_round: int, pair: string, n_occurrences: long"
     ).orderBy("merge_round")
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=r"""
+    WITH d0 AS (
+      SELECT STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+      WHERE LENGTH(TRIM(text)) > 0 AND NOT CONTAINS(text, CHR(31))
+    ),
+    c1 AS (
+      SELECT UNNEST(CASE WHEN LEN(toks) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(toks)),
+                    i -> toks[i-1] || ' ' || toks[i])
+             ELSE [] END) AS pair
+      FROM d0
+    ),
+    t1 AS (SELECT 1 AS merge_round, pair,
+                  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM c1 GROUP BY pair
+           ORDER BY n_occurrences DESC, pair ASC LIMIT 1),
+    r1 AS (SELECT STRING_SPLIT(pair, ' ')[1] AS w1,
+                  STRING_SPLIT(pair, ' ')[2] AS w2 FROM t1),
+    d1 AS (
+      SELECT LIST_FILTER(
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 CASE WHEN SUBSTRING(mk, i, 1) = 'M'
+                        THEN w1 || CHR(31) || w2
+                      WHEN SUBSTRING(mk, i, 1) = 'c' THEN NULL
+                      ELSE toks[i] END),
+               t -> t IS NOT NULL) AS toks
+      FROM (
+        SELECT toks, r1.w1, r1.w2,
+               REGEXP_REPLACE(
+                 ARRAY_TO_STRING(LIST_TRANSFORM(toks, t ->
+                   CASE WHEN t = r1.w1 THEN 'a'
+                        WHEN t = r1.w2 THEN 'b'
+                        ELSE '0' END), ''),
+                 CASE WHEN r1.w1 = r1.w2 THEN 'aa' ELSE 'ab' END,
+                 'Mc', 'g') AS mk
+        FROM d0 CROSS JOIN r1
+      )
+    ),
+    c2 AS (
+      SELECT UNNEST(CASE WHEN LEN(toks) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(toks)),
+                    i -> toks[i-1] || ' ' || toks[i])
+             ELSE [] END) AS pair
+      FROM d1
+    ),
+    t2 AS (SELECT 2 AS merge_round, pair,
+                  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM c2 GROUP BY pair
+           ORDER BY n_occurrences DESC, pair ASC LIMIT 1),
+    r2 AS (SELECT STRING_SPLIT(pair, ' ')[1] AS w1,
+                  STRING_SPLIT(pair, ' ')[2] AS w2 FROM t2),
+    d2 AS (
+      SELECT LIST_FILTER(
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 CASE WHEN SUBSTRING(mk, i, 1) = 'M'
+                        THEN w1 || CHR(31) || w2
+                      WHEN SUBSTRING(mk, i, 1) = 'c' THEN NULL
+                      ELSE toks[i] END),
+               t -> t IS NOT NULL) AS toks
+      FROM (
+        SELECT toks, r2.w1, r2.w2,
+               REGEXP_REPLACE(
+                 ARRAY_TO_STRING(LIST_TRANSFORM(toks, t ->
+                   CASE WHEN t = r2.w1 THEN 'a'
+                        WHEN t = r2.w2 THEN 'b'
+                        ELSE '0' END), ''),
+                 CASE WHEN r2.w1 = r2.w2 THEN 'aa' ELSE 'ab' END,
+                 'Mc', 'g') AS mk
+        FROM d1 CROSS JOIN r2
+      )
+    ),
+    c3 AS (
+      SELECT UNNEST(CASE WHEN LEN(toks) >= 2
+             THEN LIST_TRANSFORM(GENERATE_SERIES(2, LEN(toks)),
+                    i -> toks[i-1] || ' ' || toks[i])
+             ELSE [] END) AS pair
+      FROM d2
+    ),
+    t3 AS (SELECT 3 AS merge_round, pair,
+                  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM c3 GROUP BY pair
+           ORDER BY n_occurrences DESC, pair ASC LIMIT 1),
+    r3 AS (SELECT STRING_SPLIT(pair, ' ')[1] AS w1,
+                  STRING_SPLIT(pair, ' ')[2] AS w2 FROM t3),
+    d3 AS (
+      SELECT LIST_FILTER(
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)), i ->
+                 CASE WHEN SUBSTRING(mk, i, 1) = 'M'
+                        THEN w1 || CHR(31) || w2
+                      WHEN SUBSTRING(mk, i, 1) = 'c' THEN NULL
+                      ELSE toks[i] END),
+               t -> t IS NOT NULL) AS toks
+      FROM (
+        SELECT toks, r3.w1, r3.w2,
+               REGEXP_REPLACE(
+                 ARRAY_TO_STRING(LIST_TRANSFORM(toks, t ->
+                   CASE WHEN t = r3.w1 THEN 'a'
+                        WHEN t = r3.w2 THEN 'b'
+                        ELSE '0' END), ''),
+                 CASE WHEN r3.w1 = r3.w2 THEN 'aa' ELSE 'ab' END,
+                 'Mc', 'g') AS mk
+        FROM d2 CROSS JOIN r3
+      )
+    ),
+    tot AS (
+      SELECT 0 AS stage, CAST(SUM(LEN(toks)) AS BIGINT) AS n FROM d0
+      UNION ALL SELECT 1, CAST(SUM(LEN(toks)) AS BIGINT) FROM d1
+      UNION ALL SELECT 2, CAST(SUM(LEN(toks)) AS BIGINT) FROM d2
+      UNION ALL SELECT 3, CAST(SUM(LEN(toks)) AS BIGINT) FROM d3
+    ),
+    rules AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+              UNION ALL SELECT * FROM t3)
+    SELECT r.merge_round, r.pair,
+           CAST(p.n - c.n AS BIGINT) AS n_merges_applied,
+           c.n AS tokens_after_round,
+           CAST(c.n AS DOUBLE) / b.n AS compression_vs_raw
+    FROM rules r
+    JOIN tot p ON p.stage = r.merge_round - 1
+    JOIN tot c ON c.stage = r.merge_round
+    CROSS JOIN (SELECT n FROM tot WHERE stage = 0) b
+    ORDER BY r.merge_round
+    """,
+    doc="BPE ENCODING statistics — apply the 3 trained merge rules "
+    "corpus-wide (the trainer's inference half) and report, per "
+    "round, the number of merges actually APPLIED, the token total "
+    "after the round, and the running compression ratio vs the raw "
+    "corpus. n_merges_applied is a genuinely different statistic "
+    "from the trainer's n_occurrences: greedy left-to-right "
+    "application merges FEWER than the occurrence count whenever "
+    "occurrences overlap ([A,A,A] has 2 occurrences of (A,A) but 1 "
+    "applied merge) — pinned by a corpus where the two diverge. "
+    "Plan: shares the trainer's control-plane rule cache (one "
+    "training run per session+sf), then per round ONE map-side mask "
+    "apply plus a 1-row token-total aggregate — 4 corpus scans "
+    "total, no new exchanges beyond the trainer's pair counts; at "
+    "100 TB the applied counts come from the same flat per-round "
+    "cost the trainer pays. compression_vs_raw is a raw int/int->"
+    "double division per the float policy (no ROUND: Python's "
+    "banker's rounding differs from SQL ROUND at exact-tie "
+    "doubles, and both engines divide the identical exact longs). "
+    "Cached per (session, sf)",
+)
+def bpe_encode_corpus(spark, sf_dir):
+    from ..operators.similarity import _literal_rows_df as _lit_rows
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "bpe_encode_stats")
+    rows = _CONTROL_CACHE.get(key)
+    if rows is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        rules = _bpe_train(spark, sf_dir)
+        cur = _bpe_corpus(spark, sf_dir)
+
+        def total(df):
+            v = df.agg(F.sum(F.size("t")).cast("long").alias("n")).collect()
+            return int(v[0]["n"] or 0)
+
+        totals = [total(cur)]
+        for r in rules:
+            w1, w2 = r["pair"].split(" ", 1)
+            cur = cur.select(_bpe_apply_mask(F.col("t"), w1, w2).alias("t"))
+            totals.append(total(cur))
+        base = totals[0]
+        rows = [
+            {
+                "merge_round": r["merge_round"],
+                "pair": r["pair"],
+                "n_merges_applied": totals[i] - totals[i + 1],
+                "tokens_after_round": totals[i + 1],
+                "compression_vs_raw": totals[i + 1] / base,
+            }
+            for i, r in enumerate(rules)
+        ]
+        _CONTROL_CACHE[key] = rows
+    schema = (
+        "merge_round: int, pair: string, n_merges_applied: long, "
+        "tokens_after_round: long, compression_vs_raw: double"
+    )
+    if not rows:
+        return spark.range(0).select(
+            F.col("id").cast("int").alias("merge_round"),
+            F.lit("").alias("pair"),
+            F.col("id").alias("n_merges_applied"),
+            F.col("id").alias("tokens_after_round"),
+            F.col("id").cast("double").alias("compression_vs_raw"),
+        )
+    return _lit_rows(spark, rows, schema).orderBy("merge_round")
+
+
+@query(
+    "bigram_lm_surprisal_topk",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    bg AS (
+      SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2
+      FROM toks_cte, UNNEST(GENERATE_SERIES(2, LEN(toks))) AS u(i)
+      WHERE LEN(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT UNNEST(toks) AS w FROM toks_cte)),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(ROUND(LOG2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM bg f JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   SUM(lp) AS slp
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           ROUND(CAST(-slp AS DOUBLE) / n_bigrams, 6) AS avg_surprisal_bits
+    FROM per
+    ORDER BY avg_surprisal_bits DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Bigram language-model SURPRISAL scoring — train an add-1-"
+    "smoothed bigram LM on the corpus itself and rank the 10 most "
+    "surprising documents by mean bits per bigram: the perplexity-"
+    "filter shape every pre-training data pipeline runs (docs the "
+    "corpus LM finds improbable are boilerplate, noise, or wrong-"
+    "language) — the conditional-model upgrade of "
+    "unigram_logprob_scores. P(w2|w1) = (c(w1,w2)+1)/(c(w1_)+V) with "
+    "c(w1_) the left-context count (sum of bigram counts, NOT raw "
+    "unigram frequency — the final token of each doc conditions "
+    "nothing) and V the corpus vocabulary. Cross-engine float "
+    "discipline: each libm log2 is ROUND(.,6)-quantized then summed "
+    "as DECIMAL(18,6) — exact, ORDER-INDEPENDENT summation, so the "
+    "per-doc aggregate cannot drift on partition accumulation order "
+    "(the summation-order class the float policy exists for); the "
+    "only raw double ops are the identical-integer divisions and "
+    "the final ROUND 6. Plan: one bigram explode feeding a pair-"
+    "keyed count (map-side combine), c1 derived from c2 by a second "
+    "vocab-scale groupBy (never a second corpus scan), V a 1-row "
+    "broadcast, then the scoring joins co-key the bigram stream "
+    "with c2/c1 and a doc-keyed avg ends it — every exchange is "
+    "pair- or vocab-scale, TakeOrdered bounds the output at 10. At "
+    "100 TB the LM tables are vocabulary-sized (shuffle volume "
+    "independent of corpus growth per distinct bigram) and the "
+    "stream joins stay co-partitioned; no driver-side corpus state",
+)
+def bigram_lm_surprisal_topk(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", text.tokens("text").alias("t"))
+    k = F.size("t")
+    bigrams = F.when(
+        k >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), 1, k - 1),
+            F.slice(F.col("t"), 2, k - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    bg = toked.select("doc_id", F.explode(bigrams).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    v = toked.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").cast("long").alias("v")
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log2(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp").alias("slp"),
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                (-F.col("slp")).cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_surprisal_bits"),
+        )
+        .orderBy(F.desc("avg_surprisal_bits"), F.asc("doc_id"))
+        .limit(10)
+    )
 
 
 @query(

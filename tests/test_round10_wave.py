@@ -158,3 +158,57 @@ def test_bpe_train_sentinel_docs_excluded(tmp_path, spark):
     rows = REGISTRY["bpe_train_merges"].fn.__wrapped__(spark, sf).collect()
     # the sentinel doc must not contribute: (p,q) counts 2, not 3
     assert (rows[0]["pair"], rows[0]["n_occurrences"]) == ("p q", 2)
+
+
+def test_bpe_encode_applied_diverges_from_occurrences(tmp_path, spark):
+    """r11 encode entry: n_merges_applied is greedy-APPLICATION count,
+    which is strictly less than the trainer's occurrence count when
+    occurrences overlap. Corpus: two [a,a,a] docs -> rule 1 is (a,a)
+    with 4 occurrences but only 2 applied merges (each doc folds to
+    [aa, a]); totals pin the whole compression chain."""
+    from football_etl_spark.plans.queries import REGISTRY as R
+
+    sf = _docs(tmp_path, ["a a a", "a a a", "b c", "b c"])
+    train = {r["merge_round"]: r for r in R["bpe_train_merges"].fn.__wrapped__(spark, sf).collect()}
+    enc = {r["merge_round"]: r for r in R["bpe_encode_corpus"].fn.__wrapped__(spark, sf).collect()}
+    assert train[1]["pair"] == "a a" and train[1]["n_occurrences"] == 4
+    assert enc[1]["n_merges_applied"] == 2  # NOT 4: [a,a,a] -> [aa, a]
+    assert enc[1]["tokens_after_round"] == 8  # 10 raw - 2 applied
+    assert enc[1]["compression_vs_raw"] == 8 / 10
+    # rounds 2+3 merge the two non-overlapping pair classes fully
+    assert enc[3]["tokens_after_round"] == 4
+
+
+def test_bigram_lm_surprisal_matches_bruteforce(tmp_path, spark):
+    """r11 bigram-LM entry pinned against a 12-line reference model:
+    add-1-smoothed P(w2|w1) with left-context counts and corpus vocab,
+    per-doc mean of ROUND(log2(p), 6) quantized terms."""
+    import math
+
+    texts = ["a b a b c", "a b a", "c c c a", "b c", "z a b"]
+    docs = [t.split() for t in texts]
+    c2: dict = {}
+    for d in docs:
+        for x, y in zip(d, d[1:]):
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+    c1: dict = {}
+    for (x, _), n in c2.items():
+        c1[x] = c1.get(x, 0) + n
+    vocab = {w for d in docs for w in d}
+    want = []
+    for i, d in enumerate(docs):
+        terms = [
+            round(math.log2((c2[(x, y)] + 1) / (c1[x] + len(vocab))), 6)
+            for x, y in zip(d, d[1:])
+        ]
+        want.append((i, len(terms), round(-sum(terms) / len(terms), 6)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+
+    from football_etl_spark.plans.queries import REGISTRY as R
+
+    sf = _docs(tmp_path, texts)
+    got = [
+        (r["doc_id"], r["n_bigrams"], r["avg_surprisal_bits"])
+        for r in R["bigram_lm_surprisal_topk"].fn.__wrapped__(spark, sf).collect()
+    ]
+    assert got == want[:10], (got, want)

@@ -86,10 +86,12 @@ DIALECT_SKIPS = {
         "REFERENCES); the lateral-explode spelling is Spark-only"
     ),
     "benchmark_decontamination": "TOKENS + LAMBDA shingle set",
+    "bigram_lm_surprisal_topk": "TOKENS + SERIES bigram build + lateral UNNEST",
     "bm25_topk_docs": "TOKENS + QUALIFY",
     "boilerplate_chunk_stats": "TOKENS + SERIES n-gram windows",
     "bpe_pair_stats": "TOKENS + SERIES bigram build",
     "bpe_train_merges": "DuckDB LIST_* lambda greedy-fold merge apply + SERIES bigrams",
+    "bpe_encode_corpus": "same trainer chain (LIST_* lambdas + SERIES bigrams)",
     "vocab_growth_curve": "TOKENS per-token expansion",
     "dup_cluster_size_distribution": "TOKENS + LAMBDA + RECURSIVE CTE",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
