@@ -11043,6 +11043,115 @@ def bigram_lm_surprisal_topk(spark, sf_dir):
 
 
 @query(
+    "semantic_diversity_by_label",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             {_SQL_NORM.format(a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, vec_id, i AS k,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / nrm * 1000000 + 0.5)
+                  AS BIGINT) AS vq
+      FROM base, UNNEST(GENERATE_SERIES(1, LEN(embedding))) u(i)
+      WHERE nrm > 0
+    ),
+    sk AS (SELECT label, k, CAST(SUM(vq) AS DECIMAL(18,0)) AS sv
+           FROM comp GROUP BY label, k),
+    s2 AS (SELECT label, SUM(CAST(sv AS DECIMAL(19,0)) * sv) AS s2
+           FROM sk GROUP BY label),
+    qq AS (SELECT label, SUM(CAST(vq AS DECIMAL(19,0)) * vq) AS q
+           FROM comp GROUP BY label),
+    nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+           FROM base WHERE nrm > 0 GROUP BY label)
+    SELECT nn.label, nn.n_vectors,
+           ROUND(CAST(s2.s2 - qq.q AS DOUBLE)
+                 / (1000000000000.0 * nn.n_vectors * (nn.n_vectors - 1)), 6)
+             AS mean_pairwise_cosine
+    FROM nn JOIN s2 USING (label) JOIN qq USING (label)
+    WHERE nn.n_vectors >= 2
+    ORDER BY nn.label
+    """,
+    doc="Per-label semantic DIVERSITY — the mean pairwise cosine "
+    "similarity among all C(n,2) normalized embedding pairs — "
+    "computed WITHOUT materializing a single pair: mean_ij cos = "
+    "(||SUM v||^2 - SUM ||v||^2) / (n(n-1)) for unit vectors, so one "
+    "component-sum pass replaces the O(n^2) self-join (at 1M vectors "
+    "per label that is 5e11 avoided pairs; SemDeDup-style dedup asks "
+    "the pairwise question — this entry answers its aggregate form "
+    "linearly). Cross-engine exactness: normalized components land "
+    "on an integer grid via the proven floor(x*1e6 + 0.5) halfway "
+    "rule (quantize_int8's spelling — round() half-even vs half-away "
+    "differs across engines, floor(+0.5) does not), and every "
+    "aggregate downstream is exact BIGINT/DECIMAL arithmetic — "
+    "order-independent, immune to partition accumulation order; the "
+    "only doubles are the per-row norm (array-order fold, "
+    "deterministic both engines) and the final division consumed by "
+    "ROUND 6. Plan: one posexplode (map-side), a (label, k)-keyed "
+    "partial-agg exchange of labels x dim cells, two label-keyed "
+    "1-exchange rollups, broadcast-sized label joins — shuffle "
+    "volume is vocabulary-shaped (labels x dim), INDEPENDENT of "
+    "corpus row count after map-side combine. At 100 TB this is the "
+    "only shape that survives: the pairwise formulation is "
+    "quadratic-dead at any scale",
+)
+def semantic_diversity_by_label(spark, sf_dir):
+    from ..functions import vectors
+
+    e = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    q_grid = 1_000_000
+    base = e.select(
+        "vec_id", "label", "embedding",
+        vectors.norm(F.col("embedding")).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    comp = base.select(
+        "label",
+        "vec_id",
+        "nrm",
+        F.posexplode("embedding").alias("k", "x"),
+    ).select(
+        "label",
+        "vec_id",
+        "k",
+        F.floor(
+            F.col("x").cast("double") / F.col("nrm") * q_grid + 0.5
+        ).cast("long").alias("vq"),
+    )
+    sk = comp.groupBy("label", "k").agg(
+        F.sum("vq").cast("decimal(18,0)").alias("sv")
+    )
+    s2 = sk.groupBy("label").agg(
+        F.sum(F.col("sv").cast("decimal(19,0)") * F.col("sv")).alias("s2")
+    )
+    qq = comp.groupBy("label").agg(
+        F.sum(F.col("vq").cast("decimal(19,0)") * F.col("vq")).alias("q")
+    )
+    nn = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        nn.join(s2, "label")
+        .join(qq, "label")
+        .filter(F.col("n_vectors") >= 2)
+        .select(
+            "label",
+            "n_vectors",
+            F.round(
+                (F.col("s2") - F.col("q")).cast("double")
+                / (
+                    F.lit(1_000_000_000_000.0)
+                    * F.col("n_vectors")
+                    * (F.col("n_vectors") - 1)
+                ),
+                6,
+            ).alias("mean_pairwise_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "benford_price_digits",
     oracle="""
     WITH d AS (

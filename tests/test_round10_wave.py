@@ -212,3 +212,65 @@ def test_bigram_lm_surprisal_matches_bruteforce(tmp_path, spark):
         for r in R["bigram_lm_surprisal_topk"].fn.__wrapped__(spark, sf).collect()
     ]
     assert got == want[:10], (got, want)
+
+
+def test_semantic_diversity_matches_bruteforce_pairwise(tmp_path, spark):
+    """r11 diversity entry: the linear sum-of-vectors identity must
+    equal the O(n^2) brute force on the same quantized grid EXACTLY,
+    and approximate the TRUE (unquantized) mean pairwise cosine to
+    grid precision."""
+    import itertools
+    import math
+    import pandas as pd
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        rows.append(
+            {
+                "vec_id": vid,
+                "embedding": [rng.uniform(-1, 1) for _ in range(16)],
+                "label": vid % 3,
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet")
+
+    def quant(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [math.floor(x / n * 1_000_000 + 0.5) for x in v]
+
+    want, true = {}, {}
+    for lab in (0, 1, 2):
+        vs = [r["embedding"] for r in rows if r["label"] == lab]
+        qs = [quant(v) for v in vs]
+        pair_q = [
+            sum(a * b for a, b in zip(qi, qj)) / 1e12
+            for qi, qj in itertools.combinations(qs, 2)
+        ]
+        # the identity divides by n(n-1), i.e. ordered pairs — mean
+        # over unordered pairs is identical because dot is symmetric
+        want[lab] = round(sum(pair_q) / len(pair_q), 6)
+        pair_t = [
+            sum(a * b for a, b in zip(vi, vj))
+            / (
+                math.sqrt(sum(x * x for x in vi))
+                * math.sqrt(sum(x * x for x in vj))
+            )
+            for vi, vj in itertools.combinations(vs, 2)
+        ]
+        true[lab] = sum(pair_t) / len(pair_t)
+
+    from football_etl_spark.plans.queries import REGISTRY as R
+
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_pairwise_cosine"])
+        for r in R["semantic_diversity_by_label"]
+        .fn.__wrapped__(spark, str(tmp_path))
+        .collect()
+    }
+    for lab in (0, 1, 2):
+        n, mc = got[lab]
+        assert n == len([r for r in rows if r["label"] == lab])
+        assert abs(mc - want[lab]) < 2e-6, (lab, mc, want[lab])
+        assert abs(mc - true[lab]) < 5e-4, (lab, mc, true[lab])

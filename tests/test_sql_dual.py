@@ -142,6 +142,7 @@ DIALECT_SKIPS = {
     "quantized_embeddings": "LAMBDA (list_sum over list comprehension)",
     "retrieval_topk_docs": "LAMBDA + SERIES + QUALIFY",
     "semantic_dedup_docs": "LAMBDA + SERIES + QUALIFY",
+    "semantic_diversity_by_label": "LAMBDA norm + SERIES + lateral UNNEST",
     "simhash_near_dups": "TOKENS + UNNEST",
     "text_quality_stats": (
         "n_bpe_tokens = LEN(REGEXP_EXTRACT_ALL(..)): DuckDB v1.0 has "
