@@ -1,4 +1,7 @@
-"""Round-10 additions: iterative BPE trainer semantics pins."""
+"""Round-10/11 additions: iterative BPE trainer semantics pins
+(r10), the r11 greedy-fold collision-alphabet + sentinel pins, and
+the r11 entries' brute-force pins (bpe_encode divergence, bigram-LM
+reference model, semantic-diversity pairwise identity)."""
 
 from __future__ import annotations
 
