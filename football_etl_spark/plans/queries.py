@@ -10976,9 +10976,14 @@ def bpe_encode_corpus(spark, sf_dir):
     "per-doc aggregate cannot drift on partition accumulation order "
     "(the summation-order class the float policy exists for); the "
     "only raw double ops are the identical-integer divisions and "
-    "the final ROUND 6. Plan: one bigram explode feeding a pair-"
-    "keyed count (map-side combine), c1 derived from c2 by a second "
-    "vocab-scale groupBy (never a second corpus scan), V a 1-row "
+    "the final ROUND 6. Plan: a bigram explode feeding a pair-"
+    "keyed count (map-side combine); c1 is LOGICALLY a vocab-scale "
+    "rollup of c2 (the physical plan re-derives its subtree — "
+    "Spark's exchange reuse does not fire across the unhinted "
+    "branches, so the corpus pays extra tokenize passes; a persist "
+    "was deliberately NOT added per the graph panel's measured "
+    "2x-worse persist finding, and each pass is the same explode-"
+    "floor constant); V a 1-row "
     "broadcast, then the scoring joins co-key the bigram stream "
     "with c2/c1 and a doc-keyed avg ends it — every exchange is "
     "pair- or vocab-scale, TakeOrdered bounds the output at 10. At "
