@@ -197,19 +197,27 @@ def _graph_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
         import pyarrow.parquet as pq
 
         _evict_dead_sessions(_CONTROL_CACHE, app_id)
-        path = os.path.join(sf_dir, "lineitem.parquet")
-        if os.path.isdir(path):
-            rows = sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-        else:
-            rows = pq.ParquetFile(path).metadata.num_rows
-        est_edges = 3 * rows
         floor_parts = int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
+        # local-probe fallback mirrors ensure_min_partitions
+        # (scale.py:42-46): strip the file: scheme, and on any
+        # unreadable path (remote FS, missing table) degrade to the
+        # session floor instead of failing plan construction — the
+        # estimate is an OPTIMIZATION, never a correctness gate.
+        path = os.path.join(sf_dir.removeprefix("file:"), "lineitem.parquet")
+        try:
+            if os.path.isdir(path):
+                rows = sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                rows = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            rows = 0
+        est_edges = 3 * rows
         n = max(floor_parts, min(4096, -(-est_edges // 500_000)))
         _CONTROL_CACHE[key] = n
     return n
@@ -1015,6 +1023,14 @@ _SQL_TOKS = r"""
 #     token that split(TRIM(text), '\s+') emits for such text (the
 #     count is spaces+1 either way; probed on both engines incl.
 #     '\t' -> 2 and NBSP kept as a token char).
+#   PRECONDITION: consuming oracles exclude docs whose text carries a
+#     literal RS (CHR 30) or US (CHR 31) byte — the sandwich bytes —
+#     identically on both engines (the BPE entries' precedent); a doc
+#     like 'x\\x1f \\x1ey' would otherwise collapse to one token here
+#     while split() sees two. (dedup_exact_documents, the r10 origin of
+#     the sandwich, predates this guard: excluding docs from DEDUP
+#     would silently drop them, the worse failure — its exposure is a
+#     wrong fingerprint for control-byte docs, noted, not guarded.)
 #   _sql_word_count: exact whole-token occurrence count: double every
 #     space so each token owns a private leading AND trailing space,
 #     pad the ends, then count ' word ' occurrences by length
@@ -1138,6 +1154,7 @@ def doc_repetition_stats(spark, sf_dir):
     oracle=f"""
     WITH cl AS (
       SELECT doc_id, {_SQL_COLLAPSE_LOWER} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))
     ),
     px AS (SELECT doc_id, ' ' || REPLACE(s, ' ', '  ') || ' ' AS x FROM cl),
     scored AS (
@@ -1163,7 +1180,10 @@ def doc_repetition_stats(spark, sf_dir):
     doc="language-ID heuristic (marker-token argmax; earlier language wins ties)",
 )
 def lang_id_counts(spark, sf_dir):
-    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    # RS/US sentinel precondition — see packed_training_shards
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents")).filter(
+        ~F.col("text").contains("\x1e") & ~F.col("text").contains("\x1f")
+    )
     return (
         d.select(text.lang_id("text").alias("lang_pred"))
         .groupBy("lang_pred")
@@ -2194,26 +2214,12 @@ def hash_sampled_docs(spark, sf_dir):
     )
 
 
-# DuckDB twin of functions/text.quality_score — identical operand
-# order, so the double is bit-identical (same expression as the
-# text_quality_stats oracle's `quality` column, inlined over `text`).
-_SQL_QUALITY = """
-  (LEAST(LEN(toks) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
-   + (CAST(1 AS DOUBLE) - LEAST(CASE WHEN LENGTH(text) > 0
-          THEN LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) / LENGTH(text)
-          ELSE CAST(0 AS DOUBLE) END * 5, CAST(1 AS DOUBLE)))
-   + LEAST(CASE WHEN LEN(toks) > 0
-       THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
-           ['the','a','and','of','to','in','is','it','for','on'], LOWER(t)))) / LEN(toks)
-       ELSE CAST(0 AS DOUBLE) END * 4, CAST(1 AS DOUBLE))) / 3
-"""
-
-
 @query(
     "quality_weighted_sample",
     oracle=f"""
     WITH cl AS (
       SELECT doc_id, text, {_SQL_COLLAPSE_LOWER} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))
     ),
     px AS (
       SELECT doc_id, text, s,
@@ -2252,7 +2258,10 @@ _SQL_QUALITY = """
     "the predicate engine-portable",
 )
 def quality_weighted_sample(spark, sf_dir):
-    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    # RS/US sentinel precondition — see packed_training_shards
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents")).filter(
+        ~F.col("text").contains("\x1e") & ~F.col("text").contains("\x1f")
+    )
     weighted = d.select("doc_id", text.quality_score("text").alias("w"))
     kept = sampling.weighted_hash_sample(weighted, F.col("doc_id"), F.col("w"))
     return kept.select("doc_id", F.round("w", 6).alias("weight"))
@@ -2358,7 +2367,8 @@ def chunked_documents(spark, sf_dir):
 @query(
     "packed_training_shards",
     oracle=f"""
-    WITH cl AS (SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents),
+    WITH cl AS (SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
     src AS (SELECT doc_id,
                    CAST({_SQL_NTOKENS_S} AS INT) AS n_tokens,
                    CAST(doc_id % 8 AS INT) AS bucket
@@ -2379,7 +2389,13 @@ def chunked_documents(spark, sf_dir):
 def packed_training_shards(spark, sf_dir):
     from ..operators import corpus
 
-    d = _t(spark, sf_dir, "documents")
+    # sentinel precondition (r11, shared with the BPE entries): the
+    # oracle's TRANSLATE+sandwich token count conflates on literal
+    # RS/US bytes, so such docs are excluded identically on BOTH
+    # engines and the precondition is part of the entry contract
+    d = _t(spark, sf_dir, "documents").filter(
+        ~F.col("text").contains("\x1e") & ~F.col("text").contains("\x1f")
+    )
     out = corpus.pack_shards(d, budget_tokens=2048, n_buckets=8)
     return out.select(
         "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"), "bucket", "shard_id"
@@ -2601,6 +2617,7 @@ def epoch_shuffle_positions(spark, sf_dir):
     oracle=f"""
     WITH cl AS (
       SELECT doc_id, text, {_SQL_COLLAPSE_LOWER} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))
     ),
     px AS (
       SELECT doc_id, text, s,
@@ -2643,7 +2660,10 @@ def epoch_shuffle_positions(spark, sf_dir):
     "the scan, no shuffle at all",
 )
 def gopher_quality_filter(spark, sf_dir):
-    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    # RS/US sentinel precondition — see packed_training_shards
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents")).filter(
+        ~F.col("text").contains("\x1e") & ~F.col("text").contains("\x1f")
+    )
     toked = d.select("doc_id", "text", text.tokens("text").alias("toks"))
     m = text.profile_columns(F.col("text"), F.col("toks"))
     stats = toked.select(
@@ -3051,36 +3071,6 @@ def intersect_active_buyers(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "purchase").select("user_id")
     b = ev.filter(F.col("event_type") == "signup").select("user_id")
     return a.intersect(b)
-
-
-# DuckDB strptime twins of scalars.DATE_FORMATS, same order — the
-# coalesce chain must try formats identically for ambiguous strings
-# (e.g. 02/03/1996) to resolve the same way in both engines.
-_DUCKDB_DATE_FORMATS = (
-    "%Y-%m-%d",
-    "%d/%m/%Y",
-    "%m/%d/%Y",
-    "%d-%m-%Y",
-    "%Y/%m/%d",
-    "%d.%m.%Y",
-    "%Y.%m.%d",
-    "%d %b %Y",
-    "%b %d %Y",
-    "%b %d, %Y",
-    "%B %d, %Y",
-)
-
-# mirrors scalars.normalize_date: trim → weekday-prefix strip → the
-# same format-coalesce chain in the same order
-_SQL_NORMALIZE_DATE = (
-    "CAST(COALESCE("
-    + ", ".join(
-        "try_strptime(REGEXP_REPLACE(TRIM(messy_date), '^[A-Za-z]+,\\s*', ''), "
-        f"'{f}')"
-        for f in _DUCKDB_DATE_FORMATS
-    )
-    + ") AS DATE)"
-)
 
 
 @query(
@@ -10685,13 +10675,17 @@ def _bpe_train(spark, sf_dir, rounds: int = 3) -> list[dict]:
     "(pair-ASC tie-break on the space-joined form), APPLY it "
     "corpus-wide, recount on the merged corpus. Merge application "
     "is an EXACT greedy left-to-right token-list fold on both "
-    "engines (r11, the r10 ADVICE-high fix): the corpus stays an "
-    "array<string> and each round folds it with a struct "
-    "accumulator (out-list, merged-last flag) — Spark F.aggregate, "
-    "DuckDB LIST_REDUCE over {'o','m'} structs — merging last==w1, "
-    "next==w2 only when the last token was not itself produced by "
-    "the immediately preceding step, i.e. [A,A,A]->[AA,A], "
-    "[A,B,A,B]->[AB,AB], [A,A,A,A,A]->[AA,AA,A]. The r10 "
+    "engines (r11, the r10 ADVICE-high fix), SHIPPED as the "
+    "mask-regex pass on BOTH engines: the corpus stays an "
+    "array<string>, each token renders to one mask char ('a' if "
+    "tok==w1 else 'b' if tok==w2 else '0'), and ONE "
+    "regexp_replace('ab'|'aa' -> 'Mc') applies every merge — "
+    "left-to-right non-overlapping replacement IS the greedy fold: "
+    "[A,A,A]->[AA,A], [A,B,A,B]->[AB,AB], [A,A,A,A,A]->[AA,AA,A]. "
+    "(A semantically identical F.aggregate struct fold was the "
+    "first cut and was replaced for cost — see the perf note; "
+    "DuckDB v1.0 LIST_REDUCE is broken with struct accumulators "
+    "and was never usable.) The r10 "
     "string-REPLACE application matched PARTIAL tokens (pair "
     "('a','b') on [a,bc] produced 'a<US>bc'; ('a','a') on [xa,a] "
     "produced 'xa<US>a') and even an anchored replace-to-fixpoint "
@@ -10707,7 +10701,7 @@ def _bpe_train(spark, sf_dir, rounds: int = 3) -> list[dict]:
     "with map-side combine, top-1 via TakeOrdered, the 1-row rule "
     "collected to the driver (the control-plane pattern — a real "
     "trainer holds the rule table driver-side too) and folded back "
-    "in as a literal in the aggregate lambda; round N+1 recomputes "
+    "in as literals in the mask pass; round N+1 recomputes "
     "the chain lazily (3 scans total, no caching needed at 3 "
     "rounds). At 100 TB each round is exactly the bpe_pair_stats "
     "exchange plus a map-only fold — per-iteration cost flat in "
@@ -12086,14 +12080,23 @@ def copurchase_triangle_count(spark, sf_dir):
         )
         .filter(
             F.assert_true(
-                # NULL __w (empty graph) is fine — only a real
-                # overflow may fire the assert
-                F.coalesce(F.col("__w"), F.lit(0).cast("decimal(38,0)"))
-                <= i64max,
+                # NULL __w is fine ONLY for an empty graph (SUM of
+                # zero rows); on a non-empty graph a NULL sum is a
+                # DECIMAL(38,0) overflow under the pinned non-ANSI
+                # session — the silent path this guard exists for —
+                # so it must fire, not coalesce to 0 and pass
+                (
+                    F.col("__w").isNotNull() | (F.col("n_nodes") == 0)
+                )
+                & (
+                    F.coalesce(F.col("__w"), F.lit(0).cast("decimal(38,0)"))
+                    <= i64max
+                ),
                 F.lit(
                     "copurchase_triangle_count: wedge sum exceeds int64 "
-                    "— the BIGINT output contract cannot hold at this "
-                    "graph scale; widen n_wedges to DECIMAL"
+                    "(or overflowed DECIMAL(38,0) to NULL) — the BIGINT "
+                    "output contract cannot hold at this graph scale; "
+                    "widen n_wedges to DECIMAL"
                 ),
             ).isNull()
         )
@@ -12467,16 +12470,13 @@ def token_fertility_by_lang(spark, sf_dir):
     )
 
 
-def _driver_history(root=None) -> dict[str, int]:
-    """Latest driver round that sampled each entry, read from the
-    committed ``CORRECTNESS_r*.json`` files at the repo root (or the
-    explicit ``root`` — tests pass a fixture dir so the live driver
-    artifact, which is rewritten every round, can't break them). An
-    entry counts as sampled in round N if it has ANY row there (green
-    or not) — red rows still mean the driver exercised it, and the
-    emission order below will naturally resurface a red entry because
-    its round is old. Missing/garbled files are skipped, so a checkout
-    without correctness history degrades to plain registry order."""
+def _correctness_rows(root=None):
+    """Yield (round, name, row) from every committed
+    ``CORRECTNESS_r*.json`` at the repo root (or ``root`` — tests pass
+    a fixture dir so the live driver artifact, rewritten every round,
+    cannot break them). ONE scanner feeds both the staleness history
+    and the red-latest set so their file/row handling can never drift.
+    Missing/garbled files are skipped; non-dict rows are ignored."""
     import json
     import re
     from pathlib import Path
@@ -12485,7 +12485,6 @@ def _driver_history(root=None) -> dict[str, int]:
         root = Path(__file__).resolve().parents[2]
     else:
         root = Path(root)
-    latest: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)", p.name)
         if not m:
@@ -12496,8 +12495,17 @@ def _driver_history(root=None) -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
-                latest[name] = max(latest.get(name, 0), rnd)
+            for name, row in rows.items():
+                yield rnd, name, (row if isinstance(row, dict) else {})
+
+
+def _driver_history(root=None) -> dict[str, int]:
+    """Latest driver round that sampled each entry. An entry counts as
+    sampled in round N if it has ANY row there (green or not) — red
+    rows still mean the driver exercised it."""
+    latest: dict[str, int] = {}
+    for rnd, name, _row in _correctness_rows(root):
+        latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
 
@@ -12521,31 +12529,11 @@ def _driver_red_latest(root=None) -> set[str]:
     this round gets its hard external re-certification immediately
     instead of waiting a full staleness rotation — r10's
     lorenz_gini_order_value hash-red is the motivating case."""
-    import json
-    import re
-    from pathlib import Path
-
-    if root is None:
-        root = Path(__file__).resolve().parents[2]
-    else:
-        root = Path(root)
     latest: dict[str, tuple[int, bool]] = {}
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)", p.name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            rows = json.loads(p.read_text())
-        except (OSError, ValueError):
-            continue
-        if isinstance(rows, dict):
-            for name, row in rows.items():
-                if not isinstance(row, dict):
-                    continue
-                prev = latest.get(name)
-                if prev is None or rnd >= prev[0]:
-                    latest[name] = (rnd, _row_is_red(row))
+    for rnd, name, row in _correctness_rows(root):
+        prev = latest.get(name)
+        if prev is None or rnd >= prev[0]:
+            latest[name] = (rnd, _row_is_red(row))
     return {n for n, (_, red) in latest.items() if red}
 
 

@@ -67,10 +67,13 @@ def test_live_emission_order_invariants():
     order."""
     hist = Q._driver_history()
     assert hist, "no CORRECTNESS history found at repo root"
-    reds = Q._driver_red_latest()
+    # intersect with the live registry: a red-latest name from the
+    # committed history may have been retired/renamed since — the
+    # emission order only ranks registry names
+    reds = Q._driver_red_latest() & set(Q.REGISTRY)
     order = Q._emission_order()
     assert set(order) == set(Q.REGISTRY)
-    n_red = len([n for n in order if n in reds])
+    n_red = len(reds)
     assert set(order[:n_red]) == reds, "red entries must lead emission"
     tail = order[n_red:]
     rounds = [hist.get(n, -1) for n in tail]

@@ -277,3 +277,44 @@ def test_semantic_diversity_matches_bruteforce_pairwise(tmp_path, spark):
         assert n == len([r for r in rows if r["label"] == lab])
         assert abs(mc - want[lab]) < 2e-6, (lab, mc, want[lab])
         assert abs(mc - true[lab]) < 5e-4, (lab, mc, true[lab])
+
+
+def test_counting_oracles_agree_on_sentinel_docs(tmp_path, spark):
+    """r11 review finding: the TRANSLATE+sandwich token count conflates
+    on literal RS/US bytes ('x\\x1f \\x1ey' collapses to one token while
+    split() sees two). The four counting-port entries exclude such docs
+    identically on BOTH engines — seeded adversarial corpus must stay
+    oracle-green AND visibly exclude the control-byte docs."""
+    from football_etl_spark.plans.queries import REGISTRY as R
+
+    from .oracle_harness import compare
+
+    import shutil
+
+    from .conftest import SF_SMOKE
+
+    texts = [
+        "the cat sat on the mat for a while it is fine " * 3,
+        "x\x1f \x1ey the the",          # excluded: US + RS bytes
+        "plain words here and there the a of to in is it for on " * 2,
+        "ctrl\x1eonly doc the the the",  # excluded: RS byte
+    ]
+    # the harness registers every table as a view, so give the fixture
+    # dir the full smoke layout and overwrite documents with the
+    # adversarial corpus
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", tmp_path / f"{t}.parquet")
+    sf = _docs(tmp_path, texts)
+    for name in (
+        "packed_training_shards",
+        "gopher_quality_filter",
+        "lang_id_counts",
+        "quality_weighted_sample",
+    ):
+        probs = compare(R[name].fn.__wrapped__(spark, sf), R[name].oracle, sf)
+        assert not probs, (name, probs)
+    packed = R["packed_training_shards"].fn.__wrapped__(spark, sf).collect()
+    assert {r["doc_id"] for r in packed} == {0, 2}
