@@ -5,6 +5,38 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sum_i64_checked(x, what: str, w=None):
+    """Σx on the long fast path with a LOUD int64-overflow backstop —
+    the cusum/wedge assert_true idiom centralized (r11 VERDICT #1,
+    closing the silent-wrap class registry-wide): ``try_sum`` uses
+    checked adds and yields NULL on an int64 breach instead of
+    wrapping under a non-ANSI session; the coalesce arm then runs
+    ``assert_true``, which ERRORS unless the NULL is the legitimate
+    empty-or-all-null-group sum (count(x) == 0). Non-breach plans are
+    value-identical to plain F.sum, so every oracle stays hash-exact.
+    The guard is structurally un-foldable: coalesce only evaluates
+    the assert arm when the sum is NULL (try_sum is nullable, so no
+    rule drops the arm), and assert_true is side-effecting. Pass
+    ``w`` to apply the same contract over a window frame. Works in
+    Structured Streaming aggregations too (try_sum/count are ordinary
+    declarative aggregates)."""
+    s, n = F.try_sum(x), F.count(x)
+    if w is not None:
+        s, n = s.over(w), n.over(w)
+    return F.coalesce(
+        s,
+        F.assert_true(
+            n == 0,
+            F.lit(
+                f"{what}: int64 sum overflow — the scaled-long "
+                "accumulator breached 2^63; widen this aggregate to "
+                "DECIMAL at this data scale"
+            ),
+        ).cast("long"),
+    )
 
 # Inputs bigger than this are already split into plenty of scan tasks
 # by spark.sql.files.maxPartitionBytes; only compact inputs need help.

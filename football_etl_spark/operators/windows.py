@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 from ..functions.scalars import result_to_points
+from .scale import sum_i64_checked
 
 SECONDS_PER_DAY = 86_400
 
@@ -237,7 +238,9 @@ def winsorized_stats(
     )
     clamped = F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), v))
     factor = float(10**scale)
-    scaled = F.sum(F.round(clamped * factor).cast("long"))
+    scaled = sum_i64_checked(
+        F.round(clamped * factor).cast("long"), "winsorized_stats[mean]"
+    )
     return bounded.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("p_lo").alias("p_lo"),

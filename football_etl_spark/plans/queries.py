@@ -52,6 +52,7 @@ from ..operators import (
     windows,
 )
 from ..operators.scale import ensure_min_partitions
+from ..operators.scale import sum_i64_checked as scale_sum_i64_checked
 
 
 @dataclass(frozen=True)
@@ -185,9 +186,13 @@ def _graph_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
     pyarrow — no Spark job, the same control-plane-only discipline as
     ensure_min_partitions' file-size probe. The session's
     shuffle.partitions is the FLOOR, so small-scale plans (bench pins
-    8 at sf0.1) are byte-identical to before; the estimate only ever
-    RAISES the count, and the 4096 cap bounds task-scheduling
-    overhead at any scale. Cached per (session, sf)."""
+    8 at sf0.1) keep the same exchange WIDTH as before (the explicit
+    repartition is a user-specified exchange AQE won't coalesce, so
+    the physical plan differs in kind, not width); the estimate only
+    ever RAISES the count, and the 4096 cap bounds task-scheduling
+    overhead at any scale. Cached per (session, sf) — the floor is
+    snapshotted at first use, so a later in-session change to
+    spark.sql.shuffle.partitions is intentionally ignored."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir.rstrip("/"), "graph_parts")
     n = _CONTROL_CACHE.get(key)
@@ -266,6 +271,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the checked-sum idiom lives in operators/scale.py so the streaming
+# module can share it without an import cycle
+_sum_i64_checked = scale_sum_i64_checked
+
+
 def _dec_sum(c, alias: str, scale: int = 2):
     """Exact money sum: accumulate the value scaled to an integer —
     a whole-stage-codegen long sum, measured ~3× faster than decimal
@@ -277,11 +287,15 @@ def _dec_sum(c, alias: str, scale: int = 2):
     1e5-sized 2dp values) — past that the long→double conversion
     rounds before the /10^scale division and double-rounding can
     diverge from the decimal-cast result. The long accumulator itself
-    overflows later, at ~9.2e18/10^scale. A pipeline beyond the 2^53
-    bound switches the accumulator back to decimal (or sums
+    overflows later, at ~9.2e18/10^scale — since r12 that breach is
+    LOUD (_sum_i64_checked), not a silent wrap. A pipeline beyond the
+    2^53 bound switches the accumulator back to decimal (or sums
     per-partition into decimal)."""
     f = float(10**scale)
-    return (F.sum(F.round(c * f).cast("long")) / F.lit(f)).alias(alias)
+    return (
+        _sum_i64_checked(F.round(c * f).cast("long"), f"_dec_sum[{alias}]")
+        / F.lit(f)
+    ).alias(alias)
 
 
 # ===========================================================================
@@ -508,7 +522,7 @@ def rolling_customer_metrics(spark, sf_dir):
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0).alias("r90_total_spend"),
+        (_sum_i64_checked(F.round(F.col("o_totalprice") * 100).cast("long"), "rolling_customer_metrics[r90_total_spend]", w) / 100.0).alias("r90_total_spend"),
         F.round(F.avg("o_totalprice").over(w), 6).alias("r90_avg_spend"),
         F.count("*").over(w).alias("r90_n_orders"),
     )
@@ -856,7 +870,9 @@ def json_extract_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).try_cast("long")
     return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
+        # extracted-payload magnitudes are unbounded by schema, so the
+        # sum rides the checked contract (r12 overflow-class sweep)
+        _sum_i64_checked(k, "json_extract_events[sum_k]").alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
         F.count("*").alias("n"),
     )
@@ -1003,10 +1019,17 @@ def first_event_dedup(spark, sf_dir):
 # ===========================================================================
 
 # Shared DuckDB fragments mirroring functions/text.py semantics exactly.
+# CHR(11) rule (r12, ADVICE fix): DuckDB's RE2 '\s' is [\t\n\f\r ] —
+# it does NOT match vertical tab — while the Spark side's Java '\s'
+# does. Every RE2-'\s'-based oracle therefore TRANSLATEs CHR(11) to a
+# space first (AFTER TRIM, which strips only spaces on both engines,
+# so trim behavior stays identical); a literal space then behaves
+# under RE2 exactly as \x0B does under Java. Probed + pinned by
+# tests/test_round12_wave.py::test_vertical_tab_tokenization_agrees.
 _SQL_TOKS = r"""
   SELECT doc_id, text,
          CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-              ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS toks
+              ELSE STRING_SPLIT_REGEX(TRANSLATE(TRIM(text), CHR(11), ' '), '\s+') END AS toks
   FROM documents
 """
 
@@ -1080,7 +1103,7 @@ _SQL_SHINGLES = r"""
            LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct,
            LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
                ['the','a','and','of','to','in','is','it','for','on'], LOWER(t)))) AS n_stopwords,
-           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
+           LEN(REGEXP_EXTRACT_ALL(TRANSLATE(text, CHR(11), ' '), '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
            CASE WHEN LEN(toks) > 0
                 THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) / LEN(toks)
                 ELSE CAST(0 AS DOUBLE) END AS avg_token_len,
@@ -1112,7 +1135,7 @@ def text_quality_stats(spark, sf_dir):
     WITH toks_cte AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS toks
+                  ELSE STRING_SPLIT_REGEX(TRANSLATE(TRIM(text), CHR(11), ' '), '\s+') END AS toks
       FROM documents
     ),
     sh AS (
@@ -1413,7 +1436,7 @@ def ngram_jaccard_pairs_capped(spark, sf_dir):
     WITH toks_cte AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS toks
+                  ELSE STRING_SPLIT_REGEX(TRANSLATE(TRIM(text), CHR(11), ' '), '\s+') END AS toks
       FROM documents
     ),
     sh AS (
@@ -1817,7 +1840,7 @@ def simhash_near_dups(spark, sf_dir):
     oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS})
     SELECT doc_id,
-           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS content_fp,
+           MD5(REGEXP_REPLACE(TRANSLATE(LOWER(TRIM(text)), CHR(11), ' '), '\\s+', ' ', 'g')) AS content_fp,
            LIST_REDUCE(
              LIST_PREPEND(CAST(0 AS BIGINT),
                LIST_TRANSFORM(toks,
@@ -2551,7 +2574,7 @@ def salted_segment_spend(spark, sf_dir):
     joined = scale.salted_join(ev, dim, ["user_id"], n_salts=8)
     return joined.groupBy("segment").agg(
         F.count("*").alias("n_events"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        (_sum_i64_checked(F.round(F.col("value") * 100).cast("long"), "salted_segment_spend[total_value]") / 100.0).alias("total_value"),
     )
 
 
@@ -3020,7 +3043,7 @@ def session_window_stats(spark, sf_dir):
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.max("n_events").cast("long").alias("longest_session"),
-        (F.sum(F.round(F.col("total_value") * 100).cast("long")) / 100.0).alias("total_value"),
+        (_sum_i64_checked(F.round(F.col("total_value") * 100).cast("long"), "session_window_stats[total_value]") / 100.0).alias("total_value"),
     )
 
 
@@ -3420,7 +3443,7 @@ def flagship_order_enrichment(spark, sf_dir):
         "o_custkey",
         "o_orderdate",
         "o_totalprice",
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
+        (_sum_i64_checked(F.round(F.col("o_totalprice") * 100).cast("long"), "flagship_order_enrichment[r90_total_spend]", w) / 100.0)
         .alias("r90_total_spend"),
         F.round(F.avg("o_totalprice").over(w), 6).alias("r90_avg_spend"),
         F.count("*").over(w).alias("r90_n_orders"),
@@ -4823,7 +4846,7 @@ def dormant_high_value_customers(spark, sf_dir):
     ).select("c_custkey", "c_nationkey", "c_acctbal")
     thr = pool.agg(
         (
-            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0))
+            (_sum_i64_checked(F.round(F.col("c_acctbal") * 100).cast("long"), "dormant_high_value_customers[avg_bal]") / F.lit(100.0))
             / F.count(F.lit(1))
         ).alias("avg_bal")
     )
@@ -5202,11 +5225,10 @@ _BM25_QUERIES = (
 )
 _BM25_TERMS = sorted({t for _, ts in _BM25_QUERIES for t in ts})
 
-
-@query(
-    "bm25_topk_docs",
-    oracle=f"""
-    WITH toks_cte AS ({_SQL_TOKS}),
+# The BM25 scoring CTE chain, shared verbatim by bm25_topk_docs and
+# hybrid_rrf_topk's sparse leg (r11 VERDICT ask #3) — ends at ``agg``
+# (query_id, doc_id, s: the 1e-9-scaled BIGINT score).
+_SQL_BM25_AGG = f"""toks_cte AS ({_SQL_TOKS}),
     dld AS (SELECT doc_id, LEN(toks) AS dl, toks FROM toks_cte),
     stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                      CAST(SUM(dl) AS BIGINT) AS total_dl FROM dld),
@@ -5228,7 +5250,13 @@ _BM25_TERMS = sorted({t for _, ts in _BM25_QUERIES for t in ts})
       FROM tf t JOIN dfreq USING (term) JOIN qmap q USING (term), stats
     ),
     agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS s
-            FROM scored GROUP BY query_id, doc_id)
+            FROM scored GROUP BY query_id, doc_id)"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH {_SQL_BM25_AGG}
     SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
@@ -5255,6 +5283,24 @@ _BM25_TERMS = sorted({t for _, ts in _BM25_QUERIES for t in ts})
     "table broadcasts; rank ties break on doc_id",
 )
 def bm25_topk_docs(spark, sf_dir):
+    agg = _bm25_agg(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (F.col("s").cast("double") / F.lit(1000000000.0)).alias("score"),
+        )
+    )
+
+
+def _bm25_agg(spark, sf_dir) -> DataFrame:
+    """The BM25 per-(query, doc) scored relation shared by
+    bm25_topk_docs and hybrid_rrf_topk — (query_id, doc_id, s) with s
+    the 1e-9-scaled BIGINT score (order-independent accumulation)."""
     d = _t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", text.tokens("text").alias("toks")
@@ -5299,28 +5345,145 @@ def bm25_topk_docs(spark, sf_dir):
         + F.lit(1.2) * ((F.lit(1.0) - F.lit(0.75)) + F.lit(0.75) * (F.col("dl") / avgdl))
     )
     s = F.round(idf * norm * F.lit(1000000000.0)).cast("long")
-    agg = (
+    return (
         tf.join(F.broadcast(qmap), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(s).alias("s"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+
+
+# Reciprocal-rank fusion constants (hybrid_rrf_topk): k=60 (the
+# Cormack/Clarke/Buettcher RRF constant), per-retriever depth 10.
+# 1/(60+r) terms are made INTEGER-exact by scaling with the common
+# denominator D = lcm(61..70): every contribution D/(60+r) is a whole
+# number, the fused score is a BIGINT sum (order-independent, no
+# float-tie cross-engine hazard), and D < 2^53 keeps the display
+# double s/D exact-identical on both engines.
+_RRF_K = 60
+_RRF_DEPTH = 10
+_RRF_D = 142813628717760  # == math.lcm(61..70), asserted in tests
+_RRF_CONTRIB = {r: _RRF_D // (_RRF_K + r) for r in range(1, _RRF_DEPTH + 1)}
+
+
+def _rrf_case_sql(rank_col: str) -> str:
+    arms = " ".join(
+        f"WHEN {r} THEN {c}" for r, c in _RRF_CONTRIB.items()
+    )
+    return f"COALESCE(CASE {rank_col} {arms} END, 0)"
+
+
+def _rrf_case_col(rank_col: str):
+    expr = F.lit(None).cast("long")
+    for r, c in _RRF_CONTRIB.items():
+        expr = F.when(F.col(rank_col) == r, F.lit(c)).otherwise(expr)
+    return F.coalesce(expr, F.lit(0).cast("long"))
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_AGG},
+    sparse AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, doc_id ASC) AS BIGINT) AS srank
+      FROM agg QUALIFY srank <= {_RRF_DEPTH}
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN ({", ".join(str(q) for q, _ in _BM25_QUERIES)})),
+    dscored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cs
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    dense AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, doc_id ASC) AS BIGINT) AS drank
+      FROM dscored QUALIFY drank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             {_rrf_case_sql('srank')} + {_rrf_case_sql('drank')} AS sc
+      FROM sparse FULL JOIN dense USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS rrf_rank,
+           CAST(sc AS BIGINT) AS rrf_score_scaled,
+           CAST(sc AS DOUBLE) / {_RRF_D}.0 AS rrf_score
+    FROM fused
+    QUALIFY rrf_rank <= {_RRF_DEPTH}
+    """,
+    doc="hybrid retrieval fusion (r11 VERDICT ask #3) — reciprocal-"
+    "rank fusion (k=60) of the engine's two retrievers over the SAME "
+    "query set: BM25 lexical top-10 (the shared _bm25_agg subtree, "
+    "scored per _BM25_QUERIES' terms) and exact-cosine dense top-10 "
+    "(the query embedding borrowed from vec_id==query_id under the "
+    "testdata's 1:1 vec_id↔doc_id contract; production synthesizes "
+    "it from the query text). Each rank r contributes 1/(60+r) — "
+    "held EXACT as the integer D/(60+r) with D = lcm(61..70), so the "
+    "fused score is a BIGINT and cross-engine ties break identically "
+    "(no float-sum hazard); ties then break on doc_id. The fusion "
+    "itself is a full-outer join of two |Q|x10-row TakeOrdered "
+    "outputs — control-plane sized at ANY corpus scale; the corpus "
+    "is scanned exactly once per retriever (documents by the BM25 "
+    "tokenize, embeddings by the cosine leg)",
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    qids = [q for q, _ in _BM25_QUERIES]
+    wq = Window.partitionBy("query_id")
+    sparse = (
+        _bm25_agg(spark, sf_dir)
+        .withColumn(
+            "srank",
+            F.row_number()
+            .over(wq.orderBy(F.desc("s"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .filter(F.col("srank") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "srank")
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    dense = (
+        similarity.cosine_topk(
+            e, e.filter(F.col("vec_id").isin(qids)), k=_RRF_DEPTH
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("drank"),
+        )
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (_rrf_case_col("srank") + _rrf_case_col("drank")).alias("sc"),
+    )
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
+        fused.withColumn(
+            "rrf_rank",
+            F.row_number()
+            .over(wq.orderBy(F.desc("sc"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .filter(F.col("rrf_rank") <= _RRF_DEPTH)
         .select(
             "query_id",
             "doc_id",
-            "rank",
-            (F.col("s").cast("double") / F.lit(1000000000.0)).alias("score"),
+            "rrf_rank",
+            F.col("sc").alias("rrf_score_scaled"),
+            (F.col("sc").cast("double") / F.lit(float(_RRF_D))).alias(
+                "rrf_score"
+            ),
         )
     )
 
 
 @query(
     "variant_event_facts",
-    oracle="""
+    oracle=r"""
     WITH payloads AS (
       SELECT printf('{"meta":{"uid":%d,"kind":"%s"},"ids":[%d,%d],"odd":%s}',
                     user_id, event_type, event_id, user_id,
@@ -5353,8 +5516,12 @@ def bm25_topk_docs(spark, sf_dir):
     "aggregate over the extracted facts. Variant keeps the parsed "
     "binary form through the plan — re-extracting N paths does not "
     "re-parse N times, the exact trap the from_json entry needed an "
-    "observe() boundary for. Both engines parse the IDENTICAL string "
-    "with their own real JSON machinery",
+    "observe() boundary for. Spark parses the string with its real "
+    "variant JSON machinery; the oracle regex-scrapes the SAME string, "
+    "relying on the deterministic printf field layout above (a "
+    "double-quote or negative id in a generated field would break the "
+    "scrape — the generator emits neither). The regex port exists "
+    "because this oracle also serves the unmodified dual-SQL surface",
 )
 def variant_event_facts(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -5375,9 +5542,16 @@ def variant_event_facts(spark, sf_dir):
     )
     return ext.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("uid").alias("sum_uid"),
+        # id sums grow as (id domain)x(group rows) — unlike indicator
+        # counts these have no intrinsic int64 headroom, so they ride
+        # the checked-sum contract (r12 overflow-class sweep)
+        _sum_i64_checked(F.col("uid"), "variant_event_facts[sum_uid]").alias(
+            "sum_uid"
+        ),
         F.sum(F.when(F.col("odd"), 1).otherwise(0)).alias("n_odd"),
-        F.sum("first_id").alias("sum_first_id"),
+        _sum_i64_checked(
+            F.col("first_id"), "variant_event_facts[sum_first_id]"
+        ).alias("sum_first_id"),
     )
 
 
@@ -5494,7 +5668,7 @@ def major_revenue_parts(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(_dec_sum(rev, "part_rev", 4))
     tot = per_part.agg(
-        F.sum(F.round(F.col("part_rev") * 10000).cast("long")).alias("total_scaled")
+        _sum_i64_checked(F.round(F.col("part_rev") * 10000).cast("long"), "major_revenue_parts[total_scaled]").alias("total_scaled")
     )
     total = F.col("total_scaled") / F.lit(10000.0)
     return (
@@ -5555,7 +5729,7 @@ def small_quantity_part_revenue(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             (
-                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0))
+                (_sum_i64_checked(F.round(F.col("l_extendedprice") * 100).cast("long"), "small_quantity_part_revenue[avg_yearly]") / F.lit(100.0))
                 / F.lit(7.0)
             ).alias("avg_yearly"),
         )
@@ -7004,7 +7178,7 @@ def streaming_session_counts(spark, sf_dir):
     return tbl.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.max("n_events").cast("long").alias("longest_session"),
-        (F.sum(F.round(F.col("total_value") * 100).cast("long")) / 100.0).alias(
+        (_sum_i64_checked(F.round(F.col("total_value") * 100).cast("long"), "streaming_session_counts[total_value]") / 100.0).alias(
             "total_value"
         ),
     )
@@ -8434,7 +8608,7 @@ def ewma_daily_revenue(spark, sf_dir):
     d = (
         o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            _sum_i64_checked(F.round(F.col("o_totalprice") * 100).cast("long"), "ewma_daily_revenue[rev_cents]")
             .cast("long")
             .alias("rev_cents")
         )
@@ -8453,7 +8627,13 @@ def ewma_daily_revenue(spark, sf_dir):
         .agg(
             (
                 (
-                    F.sum(F.col("b.rev_cents") * w).cast("double")
+                    # DECIMAL weighted sum (r12 overflow-class sweep):
+                    # day_cents*2^20 wraps int64 near 9e12 day-cents
+                    # — the per-row PRODUCT, which try_sum cannot
+                    # catch; decimal(18)*long -> decimal(38,0) keeps
+                    # both product and sum exact to 1e38, and the
+                    # final double cast is value-identical below 2^53
+                    F.sum(F.col("b.rev_cents").cast("decimal(18,0)") * w).cast("double")
                     / F.sum(w).cast("double")
                 )
                 / F.lit(100.0)
@@ -9251,7 +9431,7 @@ def seasonal_outlier_days(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+            _sum_i64_checked(F.round(F.col("o_totalprice") * 100).cast("long"), "seasonal_outlier_days[day_revenue]").cast(
                 "double"
             )
             / 100.0
@@ -9511,12 +9691,34 @@ def streaming_static_enrichment(spark, sf_dir):
 def join_skew_profile(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # r12 overflow-class sweep: sum(n*n) is QUADRATIC in per-key
+    # rows — one 3e9-event hot key alone exceeds int64, exactly the
+    # graph this profiler exists to flag. Product+sum in decimal
+    # (exact to 1e38), loud assert before the BIGINT output contract.
+    n19 = F.col("n").cast("decimal(19,0)")
+    i64max = F.lit("9223372036854775807").cast("decimal(38,0)")
     tot = c.agg(
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("total_pairs"),
+        F.sum(n19 * n19).alias("__tp"),
         F.sum("n").cast("long").alias("total_rows"),
+    ).select(
+        F.when(
+            F.assert_true(
+                F.coalesce(F.col("__tp"), F.lit(0).cast("decimal(38,0)"))
+                <= i64max,
+                F.lit(
+                    "join_skew_profile: sum(n^2) exceeds int64 — the "
+                    "BIGINT total_pairs contract cannot hold; widen "
+                    "to DECIMAL"
+                ),
+            ).isNull(),
+            F.col("__tp").cast("long"),
+        )
+        .otherwise(F.col("__tp").cast("long"))
+        .alias("total_pairs"),
+        "total_rows",
     )
     return (
-        c.withColumn("pairs", (F.col("n") * F.col("n")).cast("long"))
+        c.withColumn("pairs", (n19 * n19).cast("long"))
         .crossJoin(F.broadcast(tot))
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(10)
@@ -9709,7 +9911,7 @@ def rolling_median_spend(spark, sf_dir):
         )
         .repartition("o_custkey")
         .groupBy("o_custkey", "di")
-        .agg(F.sum("cts").alias("c"))
+        .agg(_sum_i64_checked(F.col("cts"), "rolling_median_spend[c]").alias("c"))
     )
     w = (
         Window.partitionBy("o_custkey")
@@ -9911,7 +10113,7 @@ def mad_outlier_customers(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            _sum_i64_checked(F.round(F.col("o_totalprice") * 100).cast("long"), "mad_outlier_customers[c]").alias(
                 "c"
             )
         )
@@ -10365,12 +10567,12 @@ def streaming_fanout_two_sinks(spark, sf_dir):
     bronze = spark.read.parquet(f"{root}/bronze").groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         (
-            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            _sum_i64_checked(F.round(F.col("value") * 100).cast("long"), "streaming_fanout_two_sinks[total_value]") / 100.0
         ).alias("total_value"),
     )
     metrics = spark.read.parquet(f"{root}/metrics").groupBy("event_type").agg(
         F.sum("pn").cast("long").alias("n"),
-        (F.sum("pcents") / 100.0).alias("total_value"),
+        (_sum_i64_checked(F.col("pcents"), "streaming_fanout_two_sinks[total_value]") / 100.0).alias("total_value"),
     )
     tag = lambda df, s: df.select(  # noqa: E731
         F.lit(s).alias("sink"), "event_type", "n", "total_value"
@@ -10585,7 +10787,7 @@ def _bpe_train(spark, sf_dir, rounds: int = 3) -> list[dict]:
     "bpe_train_merges",
     oracle=r"""
     WITH d0 AS (
-      SELECT STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS toks
+      SELECT STRING_SPLIT(REGEXP_REPLACE(TRANSLATE(TRIM(text), CHR(11), ' '), '\s+', ' ', 'g'), ' ') AS toks
       FROM documents
       WHERE LENGTH(TRIM(text)) > 0 AND NOT CONTAINS(text, CHR(31))
     ),
@@ -10738,7 +10940,7 @@ def bpe_train_merges(spark, sf_dir):
     "bpe_encode_corpus",
     oracle=r"""
     WITH d0 AS (
-      SELECT STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS toks
+      SELECT STRING_SPLIT(REGEXP_REPLACE(TRANSLATE(TRIM(text), CHR(11), ' '), '\s+', ' ', 'g'), ' ') AS toks
       FROM documents
       WHERE LENGTH(TRIM(text)) > 0 AND NOT CONTAINS(text, CHR(31))
     ),
@@ -10926,6 +11128,55 @@ def bpe_encode_corpus(spark, sf_dir):
     return _lit_rows(spark, rows, schema).orderBy("merge_round")
 
 
+def _lm_aug_pair_counts(spark, sf_dir):
+    """The bigram LM's count base, materialized ONCE per (session,
+    sf): a single corpus scan builds the AUGMENTED pair-count table —
+    every token position i contributes (w_i, w_{i+1}), with the last
+    position paired against NULL — grouped to (w1, w2, c) and
+    localCheckpoint'ed (vocabulary-shaped, tiny relative to the
+    corpus). From this one relation derive, with no further corpus
+    scans: c2 (rows with w2 NOT NULL — the bigram counts), c1 (w1
+    rollup of c2 — the left-context counts), and V (distinct w1 —
+    every token occupies position w1 exactly once per occurrence, so
+    distinct w1 IS the full vocabulary, including last-position-only
+    and one-token-doc tokens). This is the r11 VERDICT #2 fix: the
+    old plan re-derived the c2 subtree for c1 and scanned again for V
+    (~4 tokenize passes — exchange reuse does not fire across
+    branches); now the corpus pays exactly TWO scans: this
+    materialization and the scoring stream. The checkpoint (not
+    persist — the measured-worse full-corpus persist was rejected in
+    r11) holds only the count table."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "bigram_lm_aug_counts")
+    cp = _CONTROL_CACHE.get(key)
+    if cp is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+        t = text.tokens("text")
+        n = F.size(t)
+        shifted = F.concat(
+            F.slice(t, 2, n - 1), F.array(F.lit(None).cast("string"))
+        )
+        pairs = F.when(
+            n >= 1,
+            F.zip_with(
+                t,
+                shifted,
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        cp = (
+            d.select(F.explode(pairs).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint()
+        )
+        _CONTROL_CACHE[key] = cp
+    return cp
+
+
+
 @query(
     "bigram_lm_surprisal_topk",
     oracle=f"""
@@ -10970,20 +11221,22 @@ def bpe_encode_corpus(spark, sf_dir):
     "per-doc aggregate cannot drift on partition accumulation order "
     "(the summation-order class the float policy exists for); the "
     "only raw double ops are the identical-integer divisions and "
-    "the final ROUND 6. Plan: a bigram explode feeding a pair-"
-    "keyed count (map-side combine); c1 is LOGICALLY a vocab-scale "
-    "rollup of c2 (the physical plan re-derives its subtree — "
-    "Spark's exchange reuse does not fire across the unhinted "
-    "branches, so the corpus pays extra tokenize passes; a persist "
-    "was deliberately NOT added per the graph panel's measured "
-    "2x-worse persist finding, and each pass is the same explode-"
-    "floor constant); V a 1-row "
-    "broadcast, then the scoring joins co-key the bigram stream "
-    "with c2/c1 and a doc-keyed avg ends it — every exchange is "
-    "pair- or vocab-scale, TakeOrdered bounds the output at 10. At "
-    "100 TB the LM tables are vocabulary-sized (shuffle volume "
-    "independent of corpus growth per distinct bigram) and the "
-    "stream joins stay co-partitioned; no driver-side corpus state",
+    "the final ROUND 6. Plan (r12 rework, VERDICT r11 #2): the corpus "
+    "pays exactly TWO scans — one materializes the AUGMENTED pair-"
+    "count table (_lm_aug_pair_counts: every position contributes "
+    "(w_i, w_{i+1}), last position paired with NULL; grouped, "
+    "localCheckpoint'ed, vocabulary-shaped), one feeds the scoring "
+    "bigram stream. c2, c1 AND V are all tiny rollups of the "
+    "checkpointed table (distinct w1 IS the vocabulary — every token "
+    "occupies w1 once per occurrence), replacing the old ~4 tokenize "
+    "passes; the rejected full-corpus persist stays rejected — only "
+    "the count table is held. V a 1-row broadcast, the scoring joins "
+    "co-key the bigram stream with c2/c1, a doc-keyed avg ends it — "
+    "every exchange is pair- or vocab-scale, TakeOrdered bounds the "
+    "output at 10. At 100 TB the LM tables are vocabulary-sized "
+    "(shuffle volume independent of corpus growth per distinct "
+    "bigram) and the stream joins stay co-partitioned; no "
+    "driver-side corpus state",
 )
 def bigram_lm_surprisal_topk(spark, sf_dir):
     d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
@@ -11000,13 +11253,12 @@ def bigram_lm_surprisal_topk(spark, sf_dir):
     bg = toked.select("doc_id", F.explode(bigrams).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
-    c2 = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c2")
+    cp = _lm_aug_pair_counts(spark, sf_dir)
+    c2 = cp.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c2")
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
-    v = toked.select(F.explode("t").alias("w")).agg(
-        F.countDistinct("w").cast("long").alias("v")
-    )
+    v = cp.agg(F.countDistinct("w1").cast("long").alias("v"))
     scored = (
         bg.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
@@ -11034,6 +11286,250 @@ def bigram_lm_surprisal_topk(spark, sf_dir):
             "n_bigrams",
             F.round(
                 (-F.col("slp")).cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_surprisal_bits"),
+        )
+        .orderBy(F.desc("avg_surprisal_bits"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _trigram_backoff_counts(spark, sf_dir):
+    """The trigram LM's count base over the TRAIN half (doc_id % 2 ==
+    0 — the kl_lang_drift split precedent), materialized ONCE per
+    (session, sf) from a SINGLE corpus scan: every token position i
+    contributes (w_i, w_{i+1}|NULL, w_{i+2}|NULL), grouped to
+    (w1, w2, w3, c) and localCheckpoint'ed. From this one n-gram-
+    shaped relation derive with no further corpus scans: c3 (rows
+    with w2,w3 non-null), c2 (w2-non-null rollup to (w1,w2) — every
+    bigram position appears exactly once regardless of w3), c1 (w1
+    rollup — raw token counts), N (Σc1) and V (distinct w1) — the
+    bigram entry's augmented-pair trick extended one order."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), "trigram_backoff_counts")
+    cp = _CONTROL_CACHE.get(key)
+    if cp is None:
+        _evict_dead_sessions(_CONTROL_CACHE, app_id)
+        d = ensure_min_partitions(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+        )
+        t = text.tokens("text")
+        n = F.size(t)
+
+        def shift(by: int):
+            return F.concat(
+                F.slice(t, 1 + by, F.greatest(n - by, F.lit(0))),
+                F.array_repeat(F.lit(None).cast("string"), F.least(n, F.lit(by))),
+            )
+
+        trips = F.when(
+            n >= 1,
+            F.zip_with(
+                t,
+                F.zip_with(
+                    shift(1),
+                    shift(2),
+                    lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+                ),
+                lambda a, y: F.struct(
+                    a.alias("w1"),
+                    y["w2"].alias("w2"),
+                    y["w3"].alias("w3"),
+                ),
+            ),
+        ).otherwise(
+            F.expr("array()").cast(
+                "array<struct<w1:string,w2:string,w3:string>>"
+            )
+        )
+        cp = (
+            d.select(F.explode(trips).alias("p"))
+            .select("p.w1", "p.w2", "p.w3")
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint()
+        )
+        _CONTROL_CACHE[key] = cp
+    return cp
+
+
+@query(
+    "trigram_backoff_surprisal_topk",
+    oracle=f"""
+    WITH toks_cte AS ({_SQL_TOKS}),
+    pos AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+      FROM (SELECT toks FROM toks_cte WHERE doc_id % 2 = 0) tr,
+           UNNEST(GENERATE_SERIES(1, LEN(toks))) AS u(i)
+      WHERE LEN(toks) >= 1
+    ),
+    ct AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pos GROUP BY w1, w2, w3),
+    c3 AS (SELECT w1, w2, w3, c AS c3 FROM ct
+           WHERE w2 IS NOT NULL AND w3 IS NOT NULL),
+    c2 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2 FROM ct
+           WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM ct GROUP BY w1),
+    nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok,
+                  CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM ct),
+    sc AS (
+      SELECT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                 CASE WHEN LEN(toks) >= 3
+                      THEN GENERATE_SERIES(3, LEN(toks)) ELSE [] END,
+                 i -> {{'w1': toks[i-2], 'w2': toks[i-1], 'w3': toks[i]}}
+               )) AS tg
+        FROM toks_cte WHERE doc_id % 2 = 1) s
+    ),
+    scored AS (
+      SELECT sc.doc_id,
+             CAST(ROUND(LOG2(
+               CASE
+                 WHEN g3.c3 IS NOT NULL
+                   THEN CAST(g3.c3 AS DOUBLE) / g2a.c2
+                 WHEN g2b.c2 IS NOT NULL
+                   THEN 0.4 * (CAST(g2b.c2 AS DOUBLE) / g1b.c1)
+                 ELSE 0.4 * (0.4 * (CAST(COALESCE(g1c.c1, 0) + 1 AS DOUBLE)
+                                    / (nv.n_tok + nv.v)))
+               END), 6) AS DECIMAL(18,6)) AS lp
+      FROM sc
+      LEFT JOIN c3 g3 ON g3.w1 = sc.w1 AND g3.w2 = sc.w2 AND g3.w3 = sc.w3
+      LEFT JOIN c2 g2a ON g2a.w1 = sc.w1 AND g2a.w2 = sc.w2
+      LEFT JOIN c2 g2b ON g2b.w1 = sc.w2 AND g2b.w2 = sc.w3
+      LEFT JOIN c1 g1b ON g1b.w1 = sc.w2
+      LEFT JOIN c1 g1c ON g1c.w1 = sc.w3
+      CROSS JOIN nv
+    ),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                   SUM(lp) AS slp
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_trigrams,
+           ROUND(CAST(-slp AS DOUBLE) / n_trigrams, 6) AS avg_surprisal_bits
+    FROM per
+    ORDER BY avg_surprisal_bits DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Trigram LM with STUPID BACKOFF (Brants et al. 2007, the "
+    "distributed-scale smoothing — chosen over Kneser-Ney exactly "
+    "because its score is a closed-form count ratio both engines "
+    "spell identically) — the CCNet/KenLM-shaped perplexity filter "
+    "the bigram entry approximates (r11 VERDICT ask #4). HELD-OUT "
+    "scoring so backoff actually fires: train counts on even doc_ids, "
+    "score odd doc_ids; S(w3|w1w2) = c3/c2 when the trigram was seen, "
+    "else 0.4*S(w3|w2) = 0.4*c23/c1(w2) when the bigram was seen, "
+    "else 0.4^2*(c1(w3)+1)/(N+V) — the unigram floor is add-1 so an "
+    "OOV token scores finitely (c3>0 implies c2>0 and c23>0 implies "
+    "c1(w2)>0, so the seen-branch denominators never need guards). "
+    "Cross-engine float discipline inherited from "
+    "bigram_lm_surprisal_topk: every libm log2 is ROUND(.,6)-"
+    "quantized then summed as DECIMAL(18,6) — exact, order-"
+    "independent; the CASE arms mirror the identical IEEE expression "
+    "trees on both engines (division before the 0.4 products, same "
+    "nesting). Plan: the train half pays ONE scan into the "
+    "materialized augmented trigram-count table "
+    "(_trigram_backoff_counts — c3/c2/c1/N/V all rollups of it), the "
+    "score half pays one trigram-explode scan; scoring is five "
+    "co-keyed n-gram-table joins + a 1-row (N,V) broadcast, a "
+    "doc-keyed decimal avg, TakeOrdered 10. At 100 TB every exchange "
+    "is n-gram-table-shaped (independent of corpus row growth per "
+    "distinct n-gram); no driver-side corpus state",
+)
+def trigram_backoff_surprisal_topk(spark, sf_dir):
+    ct = _trigram_backoff_counts(spark, sf_dir)
+    c3 = ct.filter(
+        F.col("w2").isNotNull() & F.col("w3").isNotNull()
+    ).select("w1", "w2", "w3", F.col("c").alias("c3"))
+    c2 = (
+        ct.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").cast("long").alias("c2"))
+    )
+    c1 = ct.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    nv = ct.agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.countDistinct("w1").cast("long").alias("v"),
+    )
+    d = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    )
+    toked = d.select("doc_id", text.tokens("text").alias("t"))
+    n = F.size("t")
+    trigrams = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(F.col("t"), 1, n - 2),
+            F.zip_with(
+                F.slice(F.col("t"), 2, n - 2),
+                F.slice(F.col("t"), 3, n - 2),
+                lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+            ),
+            lambda a, y: F.struct(
+                a.alias("w1"), y["w2"].alias("w2"), y["w3"].alias("w3")
+            ),
+        ),
+    ).otherwise(
+        F.expr("array()").cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    sc = toked.select("doc_id", F.explode(trigrams).alias("p")).select(
+        "doc_id", "p.w1", "p.w2", "p.w3"
+    )
+    j = (
+        sc.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2.select("w1", "w2", F.col("c2").alias("c2a")), ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2b"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w1").alias("w2"), F.col("c1").alias("c1b")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w1").alias("w3"), F.col("c1").alias("c1c")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2a"),
+        )
+        .when(
+            F.col("c2b").isNotNull(),
+            F.lit(0.4) * (F.col("c2b").cast("double") / F.col("c1b")),
+        )
+        .otherwise(
+            F.lit(0.4)
+            * (
+                F.lit(0.4)
+                * (
+                    (F.coalesce(F.col("c1c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_tok") + F.col("v"))
+                )
+            )
+        )
+    )
+    scored = j.select(
+        "doc_id", F.round(F.log2(s), 6).cast("decimal(18,6)").alias("lp")
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("lp").alias("slp"),
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_trigrams",
+            F.round(
+                (-F.col("slp")).cast("double") / F.col("n_trigrams"), 6
             ).alias("avg_surprisal_bits"),
         )
         .orderBy(F.desc("avg_surprisal_bits"), F.asc("doc_id"))
@@ -11117,8 +11613,30 @@ def semantic_diversity_by_label(spark, sf_dir):
             F.col("x").cast("double") / F.col("nrm") * q_grid + 0.5
         ).cast("long").alias("vq"),
     )
-    sk = comp.groupBy("label", "k").agg(
-        F.sum("vq").cast("decimal(18,0)").alias("sv")
+    # r11 VERDICT hardening: sum the quantized components in DECIMAL,
+    # not Long — F.sum(long) wraps SILENTLY under a non-ANSI session
+    # once one label accumulates ~9e12 full-magnitude components
+    # (within one order of magnitude of this entry's own 100 TB
+    # framing). DECIMAL(28,0) is exact to 1e28 ≫ any reachable n·grid;
+    # the loud assert_true fires before the downstream decimal(18,0)
+    # narrowing could itself NULL silently (the cusum/wedge idiom).
+    d18max = F.lit("999999999999999999").cast("decimal(28,0)")
+    sk = (
+        comp.groupBy("label", "k")
+        .agg(F.sum(F.col("vq").cast("decimal(18,0)")).alias("__sv"))
+        .filter(
+            F.assert_true(
+                F.abs(F.col("__sv")) <= d18max,
+                F.lit(
+                    "semantic_diversity_by_label: per-(label,k) "
+                    "component sum exceeds DECIMAL(18,0) — the s2 "
+                    "product would overflow; widen sv before squaring"
+                ),
+            ).isNull()
+        )
+        .select(
+            "label", "k", F.col("__sv").cast("decimal(18,0)").alias("sv")
+        )
     )
     s2 = sk.groupBy("label").agg(
         F.sum(F.col("sv").cast("decimal(19,0)") * F.col("sv")).alias("s2")
@@ -12382,12 +12900,17 @@ def half_sample_stderr_revenue(spark, sf_dir):
     )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        _sum_i64_checked(F.col("cents"), "half_sample_stderr_revenue[s]")
+        .cast("decimal(38,0)")
+        .alias("s"),
     ]
     for b in range(_BRR_B):
         member = F.expr(_brr_member_sql(b))
         aggs.append(
-            F.sum(F.when(member, F.col("cents")))
+            _sum_i64_checked(
+                F.when(member, F.col("cents")),
+                f"half_sample_stderr_revenue[s{b}]",
+            )
             .cast("decimal(38,0)")
             .alias(f"s{b}")
         )

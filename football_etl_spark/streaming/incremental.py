@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.scale import sum_i64_checked
+
 
 def read_event_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """File-source stream over a (date-partitioned) parquet feed; one
@@ -48,7 +50,7 @@ def windowed_event_counts(
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(win.alias("win"), "event_type").agg(
         F.count("*").alias("n"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        (sum_i64_checked(F.round(F.col("value") * 100).cast("long"), "windowed_event_counts[total_value]") / 100.0).alias("total_value"),
     )
 
 
@@ -83,7 +85,7 @@ def session_window_totals(
         F.session_window(F.col(ts_col), gap).alias("sess"), key_col
     ).agg(
         F.count("*").alias("n_events"),
-        (F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0).alias("total_value"),
+        (sum_i64_checked(F.round(F.col(value_col) * 100).cast("long"), "session_window_totals[total_value]") / 100.0).alias("total_value"),
     )
 
 
@@ -374,7 +376,7 @@ def merge_agg_batch(
     f = 10**scale
     delta = batch_df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col(value_col) * f).cast("long")).alias("s"),
+        sum_i64_checked(F.round(F.col(value_col) * f).cast("long"), "silver_upsert_batch[s]").alias("s"),
     )
     prev = latest_silver_version(agg_path, below=batch_id)
     if prev is not None:
@@ -552,7 +554,7 @@ def stream_static_enriched_totals(
     )
     return joined.groupBy("category").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+        (sum_i64_checked(F.round(F.col("value") * 100).cast("long"), "stream_static_enrichment[total_value]") / 100.0).alias(
             "total_value"
         ),
     )
@@ -615,7 +617,7 @@ def fanout_write_batch(
         write_bronze_batch(batch_df, batch_id, bronze_path)
         partial = batch_df.groupBy(group_col).agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+            sum_i64_checked(F.round(F.col(value_col) * 100).cast("long"), "fanout_two_sinks[pcents]").alias(
                 "pcents"
             ),
         )
