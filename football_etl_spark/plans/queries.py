@@ -2238,6 +2238,78 @@ def hash_sampled_docs(spark, sf_dir):
 
 
 @query(
+    "split_leakage_report",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 2) < 'cd' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 2) < 'e4' THEN 'val'
+                  ELSE 'test' END AS split,
+             MD5({_SQL_COLLAPSE_LOWER}) AS fp
+      FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))
+    ),
+    fps AS (
+      SELECT fp,
+             CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(split) AS s1, MAX(split) AS s2
+      FROM assigned GROUP BY fp
+    )
+    SELECT n_splits,
+           CASE WHEN n_splits = 1 THEN 'none'
+                ELSE s1 || '->' || s2 END AS leak_span,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM fps
+    GROUP BY n_splits, CASE WHEN n_splits = 1 THEN 'none'
+                            ELSE s1 || '->' || s2 END
+    ORDER BY n_splits, leak_span
+    """,
+    doc="train/val/test LEAKAGE audit — the check every training "
+    "pipeline runs after splitting: the same deterministic md5 split "
+    "as deterministic_split_stats, an exact content fingerprint (md5 "
+    "over the lowercase whitespace-collapsed text, the dedup_exact "
+    "key), and a report of fingerprints whose duplicates STRADDLE "
+    "splits (a val/test doc whose exact content also sits in train "
+    "is memorization leakage, not held-out signal). Grouped "
+    "span-labeled counts keep the output tiny. Written entirely in "
+    "the SHARED SQL subset (md5/CAST-AS-STRING/TRANSLATE-collapse/"
+    "CONTAINS/string concat) so the oracle runs UNMODIFIED on Spark "
+    "SQL — dual-green by construction. RS/US-byte docs are excluded "
+    "identically on both engines (the counting-port sandwich "
+    "precondition); at 100 TB this is one fingerprint-keyed exchange "
+    "(uniform 128-bit key, no skew) + a tiny span rollup",
+)
+def split_leakage_report(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(
+        ~F.col("text").contains("\x1e") & ~F.col("text").contains("\x1f")
+    )
+    assigned = sampling.train_val_test_split(d, F.col("doc_id")).select(
+        "split", text.fingerprint("text").alias("fp")
+    )
+    fps = assigned.groupBy("fp").agg(
+        F.countDistinct("split").cast("long").alias("n_splits"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("split").alias("s1"),
+        F.max("split").alias("s2"),
+    )
+    span = F.when(F.col("n_splits") == 1, F.lit("none")).otherwise(
+        F.concat(F.col("s1"), F.lit("->"), F.col("s2"))
+    )
+    return (
+        fps.groupBy("n_splits", span.alias("leak_span"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            _sum_i64_checked(
+                F.col("n_docs"), "split_leakage_report[n_docs]"
+            ).alias("n_docs"),
+        )
+        .orderBy("n_splits", "leak_span")
+    )
+
+
+@query(
     "quality_weighted_sample",
     oracle=f"""
     WITH cl AS (
@@ -8431,7 +8503,23 @@ def rfm_segments(spark, sf_dir):
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("freq"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+            # r12: LONG-cents accumulator for the 150M-row agg (the
+            # codegen fast path, ~3x the decimal agg), converted to
+            # the oracle's DECIMAL(18,2) after — exact under the 2dp
+            # per-row contract (weekday_seasonality's argument)
+            _sum_i64_checked(
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+                "rfm_segments[monetary]",
+            ).alias("mc"),
+        )
+        .select(
+            "o_custkey",
+            "c_mktsegment",
+            "last_order",
+            "freq",
+            (F.col("mc").cast("decimal(20,0)") / 100)
+            .cast("decimal(18,2)")
+            .alias("monetary"),
         )
     )
     seg = Window.partitionBy("c_mktsegment")
@@ -8968,12 +9056,19 @@ def ratio_to_parent_revenue(spark, sf_dir):
 )
 def chi_square_priority_status(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    # r12 re-plan (x1000 ladder): ct is referenced by FOUR branches
+    # (tot, row marginals, col marginals, the scored join) and
+    # Catalyst re-derives the groupBy subtree for each — four full
+    # orders scans for a 15-row contingency table. localCheckpoint
+    # materializes it once; everything downstream is 15-row
+    # arithmetic.
     ct = (
         o.groupBy(
             F.col("o_orderpriority").alias("p"),
             F.col("o_orderstatus").alias("s"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     tot = ct.agg(
         F.sum("n").cast("double").alias("big_n"),
@@ -9356,8 +9451,12 @@ def order_status_transition_matrix(spark, sf_dir):
     "weekday (1=Monday..7=Sunday) and each weekday's index against "
     "the all-days average, the demand-shape diagnostic behind "
     "staffing and forecast-degrouping: one daily rollup (the only "
-    "fact scan), a 7-row weekday aggregate, and a 1-row grand-total "
-    "cross. All sums exact DECIMAL; each average and the index are "
+    "fact scan — r12 re-plan: LONG-cents accumulator converted to "
+    "DECIMAL(18,2) after the rollup, exact under the 2dp per-row "
+    "contract, and the 7-row weekday table localCheckpoint'ed so the "
+    "grand-total branch does not re-run the scan), a 7-row weekday "
+    "aggregate, and a 1-row grand-total cross. Downstream sums exact "
+    "DECIMAL; each average and the index are "
     "single/chained IEEE divisions of identical operands — "
     "bit-identical cross-engine, unrounded. Spark spells the ISO "
     "weekday as weekday()+1 (0=Monday + 1); the oracle derives the "
@@ -9371,14 +9470,32 @@ def order_status_transition_matrix(spark, sf_dir):
 )
 def weekday_seasonality_profile(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    # r12 re-plan (x1000 ladder found 12.6x behind): (a) the 150M-row
+    # day rollup accumulates LONG cents (codegen, ~3x the decimal
+    # agg's speed) and converts to DECIMAL(18,2) after — exact, the
+    # per-row 2dp contract makes round(p*100) == CAST(p AS DEC(18,2))
+    # *100; (b) the 7-row weekday table is localCheckpoint'ed so the
+    # grand-total branch and the final projection don't each re-run
+    # the full orders scan (Catalyst re-derives unhinted subtrees —
+    # the chi-square/LM-table materialization discipline).
     d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        _sum_i64_checked(
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+            "weekday_seasonality_profile[rev]",
+        ).alias("c")
+    ).select(
+        "day",
+        (F.col("c").cast("decimal(20,0)") / 100)
+        .cast("decimal(18,2)")
+        .alias("rev"),
     )
-    wd = d.groupBy(
-        (F.weekday("day") + 1).cast("int").alias("iso_dow")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum("rev").alias("tot"),
+    wd = (
+        d.groupBy((F.weekday("day") + 1).cast("int").alias("iso_dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("rev").alias("tot"),
+        )
+        .localCheckpoint()
     )
     g = wd.agg(
         F.sum("tot").alias("g_tot"), F.sum("n_days").alias("g_days")
@@ -10109,6 +10226,12 @@ def dynamic_partition_overwrite(spark, sf_dir):
     "crosses, so the scan side stays fully parallel",
 )
 def mad_outlier_customers(spark, sf_dir):
+    # r12 re-plan (x1000 ladder): v feeds THREE branches (median, MAD,
+    # the z-scored projection) and each re-ran the full orders scan +
+    # agg. localCheckpoint materializes the customer-cardinality table
+    # once; the two percentile passes and the projection read it. At
+    # 100 TB v is customer-sized (orders-of-magnitude below the fact
+    # scan) — the exact intermediate a robust-z pass needs anyway.
     v = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -10117,6 +10240,7 @@ def mad_outlier_customers(spark, sf_dir):
                 "c"
             )
         )
+        .localCheckpoint()
     )
     m = v.agg(F.percentile("c", F.lit(0.5)).alias("med"))
     a = (

@@ -216,3 +216,28 @@ def test_bigram_lm_two_corpus_scans(spark):
     df = REGISTRY["bigram_lm_surprisal_topk"].fn.__wrapped__(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 1, plan[:500]
+
+
+def test_split_leakage_detects_cross_split_dups(tmp_path, spark):
+    """The leak path is never exercised by the generated corpora (zero
+    exact dups), so pin it on a synthetic corpus: doc 1 (train), 0
+    (val), 3 (test) share exact content up to whitespace/case — the
+    report must label the straddling fingerprints and stay
+    oracle-exact. md5-split facts: 0->val, 1,2->train, 3,5->test."""
+    texts = [
+        "The SAME   leaked document",   # doc 0 -> val
+        "the same leaked document",     # doc 1 -> train (dup of 0)
+        "unique train doc here",        # doc 2 -> train
+        "  the SAME leaked document ",  # doc 3 -> test (dup of 0)
+        "another unique doc",           # doc 4 -> train
+        "unique test doc",              # doc 5 -> test
+    ]
+    sf = _fixture_dir(tmp_path, texts)
+    ent = REGISTRY["split_leakage_report"]
+    assert not compare(ent.fn.__wrapped__(spark, sf), ent.oracle, sf)
+    rows = {
+        (r["n_splits"], r["leak_span"]): (r["n_fingerprints"], r["n_docs"])
+        for r in ent.fn.__wrapped__(spark, sf).collect()
+    }
+    assert rows[(3, "test->val")] == (1, 3)   # the straddling fp
+    assert rows[(1, "none")] == (3, 3)        # the three unique docs

@@ -88,6 +88,15 @@ DIALECT_SKIPS = {
     "benchmark_decontamination": "TOKENS + LAMBDA shingle set",
     "bigram_lm_surprisal_topk": "TOKENS + SERIES bigram build + lateral UNNEST",
     "bm25_topk_docs": "TOKENS + QUALIFY",
+    "hybrid_rrf_topk": (
+        "TOKENS + QUALIFY (inherits the bm25 CTE chain) + LAMBDA "
+        "cosine dot product on the dense leg"
+    ),
+    "trigram_backoff_surprisal_topk": (
+        "TOKENS + SERIES trigram position build + lateral UNNEST of "
+        "a struct list (the probed struct-literal lambda spelling is "
+        "DuckDB-only)"
+    ),
     "boilerplate_chunk_stats": "TOKENS + SERIES n-gram windows",
     "bpe_pair_stats": "TOKENS + SERIES bigram build",
     "bpe_train_merges": "DuckDB LIST_* lambda greedy-fold merge apply + SERIES bigrams",

@@ -178,31 +178,25 @@ def test_registry_integral_sums_guarded_or_bounded(spark):
     """THE gate: every entry's analyzed plan either has no bare
     integral sum, carries an assert_true backstop, or is allowlisted
     with a magnitude bound — and the allowlist carries no stale rows."""
-    offenders, stale_candidates = {}, set(_BOUNDED)
+    offenders, needed = {}, set()
     for name, ent in REGISTRY.items():
         df = ent.fn.__wrapped__(spark, SF_SMOKE)
         sums, has_assert = bare_integral_sums(df)
         if not sums:
             continue
-        if has_assert or name in _BOUNDED:
-            stale_candidates.discard(name)
-            # an assert'd entry need not be listed; listed AND
-            # assert'd is fine too (mixed entries like dq_report)
-            continue
-        offenders[name] = sums[:3]
+        if sums and not has_assert:
+            # this entry NEEDS either an assert or a listing
+            if name in _BOUNDED:
+                needed.add(name)
+            else:
+                offenders[name] = sums[:3]
     assert not offenders, (
         "bare integral F.sum without assert_true backstop or "
         f"documented bound: {offenders} — use "
         "operators/scale.sum_i64_checked or add a justified _BOUNDED row"
     )
-    # listed entries must still NEED the listing (no assert, has sums)
-    still_needed = set()
-    for name in list(stale_candidates):
-        df = REGISTRY[name].fn.__wrapped__(spark, SF_SMOKE)
-        sums, has_assert = bare_integral_sums(df)
-        if sums and not has_assert:
-            still_needed.add(name)
-    stale = stale_candidates - still_needed
+    # listed entries must still NEED the listing (bare sums, no assert)
+    stale = set(_BOUNDED) - needed
     assert not stale, (
         f"stale _BOUNDED rows (entry now guarded/sum-free): {sorted(stale)}"
     )

@@ -1,6 +1,10 @@
-"""One-off survey for the r12 LongType-sum gate: walk every registry
+"""Dev survey for the int64-sum overflow gate: walk every registry
 entry's ANALYZED plan, list every non-TRY Sum whose child is an
-integral type, and whether the plan carries an assert_true backstop."""
+integral type, and whether the plan carries an assert_true backstop.
+
+The CANONICAL gate (with the justified-bound allowlist and the
+seeded-violation pin) is tests/test_sum_overflow_gate.py — this
+script is the exploratory companion that prints the raw hit list."""
 
 import sys
 
