@@ -39,6 +39,10 @@ ALLOWED: dict[str, set[frozenset]] = {
     "lsh_banded_recall": {frozenset({"embeddings"})},
     "lsh_recall_at_k": {frozenset({"embeddings"})},
     "retrieval_topk_docs": {frozenset({"embeddings"})},
+    # Dense RRF leg: the same sanctioned bounded ANN query side — the
+    # query vectors are embeddings filtered to the literal
+    # _BM25_QUERIES id list (3 ids), caller-set, not corpus-SF.
+    "hybrid_rrf_topk": {frozenset({"embeddings"})},
     # Marginals grouped by o_orderpriority (5 values) and
     # o_orderstatus (3 values) — contingency-table domains.
     "chi_square_priority_status": {frozenset({"orders"})},
