@@ -310,3 +310,58 @@ def unigram_logprob_scores(
             ),
         )
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    bin_col: Column,
+    order_cols: list,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact global ``NTILE(n)`` over ``order_cols`` WITHOUT the
+    single-partition global window — ``global_shuffle_index``'s
+    two-pass radix-rank pattern generalized from the value-uniform
+    md5 prefix to any caller-supplied ``bin_col`` that is a MONOTONE
+    (non-strict) integer function of the leading order column.
+
+    Pass 1 collects per-bin row counts (control-plane-sized: one row
+    per occupied bin) and broadcasts cumulative offsets back; pass 2
+    ranks WITHIN each bin (the window partitions by bin, so no
+    partition sees more than the largest bin) and reconstructs the
+    global rank rn = offset + within-bin row_number. The tile is then
+    pure integer arithmetic on rn: ((rn-1)*n) DIV N + 1 — exactly the
+    engine NTILE contract (the first N mod n tiles take the extra
+    row; integer DIV, never double division, which loses rank
+    exactness past 2^53). Pinned against Spark's own F.ntile in
+    tests/test_round12_wave.py across uneven N.
+
+    Worst-case skew is the largest bin funneling one window
+    partition; callers pick the bin accordingly (quarter-unit score
+    bins for LM scores, hash prefixes for uniform keys)."""
+    withb = df.withColumn("__b", bin_col.cast("long"))
+    counts = sorted(
+        (r["__b"], r["__n"])
+        for r in withb.groupBy("__b").agg(F.count("*").alias("__n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append({"__b": b, "__off": acc})
+        acc += n
+    off = F.broadcast(
+        _literal_rows_df(df.sparkSession, offsets, "__b: long, __off: long")
+    )
+    w = Window.partitionBy("__b").orderBy(*order_cols)
+    rn = (F.col("__off") + F.row_number().over(w)).cast("long")
+    return (
+        withb.join(off, "__b")
+        .withColumn("__rn", rn)
+        .withColumn(
+            out_col,
+            F.expr(f"CAST(((__rn - 1) * {int(n_tiles)}) DIV {int(total)} AS INT) + 1")
+            if total
+            else F.lit(1),
+        )
+        .drop("__b", "__off", "__rn")
+    )

@@ -61,6 +61,19 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    # DuckDB-NATIVE formulation for perf pairing ONLY (r12): when the
+    # correctness ``oracle`` was ported to the engine-shared SQL
+    # subset (dual-surface), the portable spelling can be slower ON
+    # DUCKDB than the native one (split_part fan-out vs UNNEST: +0.3
+    # to +1.0s each at sf0.1) — and a slower DuckDB side would
+    # FLATTER the Spark-vs-DuckDB bench ratio. Timing tools
+    # (tools/duckdb_comparator.py, tools/scale_curve.py) therefore
+    # time ``perf_oracle or oracle`` so the ratio never benefits from
+    # the portability rewrite; correctness gates (driver, dual-SQL
+    # suite) always use ``oracle``. Result-equality of the two texts
+    # is itself gated: tests/test_round12_wave.py runs both on DuckDB
+    # at two SFs and requires identical rows.
+    perf_oracle: str | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -80,7 +93,9 @@ REGISTRY: dict[str, QueryDef] = {}
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _registering(target: dict[str, QueryDef], name: str, oracle, doc):
+def _registering(
+    target: dict[str, QueryDef], name: str, oracle, doc, perf_oracle=None
+):
     def deco(fn):
         @functools.wraps(fn)
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,14 +107,19 @@ def _registering(target: dict[str, QueryDef], name: str, oracle, doc):
                 df = _PLAN_CACHE[key] = fn(spark, sf_dir)
             return df
 
-        target[name] = QueryDef(name, cached, oracle, doc)
+        target[name] = QueryDef(name, cached, oracle, doc, perf_oracle)
         return cached
 
     return deco
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
-    return _registering(REGISTRY, name, oracle, doc)
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    perf_oracle: str | None = None,
+):
+    return _registering(REGISTRY, name, oracle, doc, perf_oracle)
 
 
 # Entries proven locally (tests/test_oracle.py runs STAGED through the
@@ -1083,6 +1103,43 @@ def _sql_word_count(word: str, var: str = "x") -> str:
     )
 
 
+# Portable per-token EXPANSION (r12 dual-SQL ports, VERDICT r11 #5) —
+# extends the r11 COUNTING spellings above to a full token fan-out so
+# oracles that must see every token (vocabulary, TF-IDF, unigram LM,
+# BM25 postings, shingles, simhash) run unmodified on Spark SQL
+# instead of skipping on the TOKENS gap. Every piece is engine-shared
+# (probed on both engines, pinned in tests/test_round12_wave.py):
+#   SPLIT_PART(s, ' ', i) — 1-based with '' out of range on BOTH;
+#   range(1, B+1) t(i)    — the shared integer-range TVF spelling;
+#     the range bound is a LITERAL (neither engine's range() TVF
+#     takes a correlated argument), the per-doc cut is the join
+#     filter i <= n_tokens;
+#   the collapse + RS/US-doc exclusion precondition is inherited
+#     from _SQL_COLLAPSE above (zero such docs in any TESTDATA SF).
+# _TOK_FANOUT_BOUND is a corpus CONTRACT, not a tuning knob: TESTDATA
+# documents cap at 100 tokens (measured across sf0.001-0.1), 128
+# leaves headroom, and a longer doc fails LOUDLY — the oracle would
+# lose the doc's tail tokens and the hash gate trips against the
+# exact Spark-side explode. Oracle-side cost vs UNNEST: the fan-out
+# pushes bound/avg_tokens ≈ 2.3x rows through one filter — re-paired
+# on the decade ladder for every ladder-measured ported entry
+# (BENCH_NOTES r12 wave 3).
+_TOK_FANOUT_BOUND = 128
+
+
+def _sql_tok_expand(collapse: str = _SQL_COLLAPSE) -> str:
+    """CTE chain ``cl`` (doc_id, s) -> ``tok`` (doc_id, pos, term) in
+    the engine-shared SQL subset; splice directly after WITH."""
+    return f"""cl AS (
+      SELECT doc_id, {collapse} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    tok AS (
+      SELECT doc_id, CAST(t.i AS INT) AS pos,
+             SPLIT_PART(s, ' ', CAST(t.i AS INT)) AS term
+      FROM cl CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE t.i <= {_SQL_NTOKENS_S})"""
+
+
 _SQL_SHINGLES = r"""
   SELECT doc_id,
          CASE WHEN LEN(toks) >= 3
@@ -1131,7 +1188,32 @@ def text_quality_stats(spark, sf_dir):
 
 @query(
     "doc_repetition_stats",
-    oracle=r"""
+    # r12 dual-SQL port: bigram shingle i is split_part(i)||' '||
+    # split_part(i+1) over the collapsed text — identical to joining
+    # toks[i:i+1] (phantom empty tokens concatenate the same way);
+    # the n<2 arm degenerates to the whole collapsed string, exactly
+    # ARRAY_TO_STRING(toks, ' ').
+    oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS n FROM cl),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN n >= 2
+                  THEN SPLIT_PART(s, ' ', CAST(t.i AS INT)) || ' '
+                       || SPLIT_PART(s, ' ', CAST(t.i + 1 AS INT))
+                  ELSE s END AS shingle
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE t.i <= CASE WHEN n >= 2 THEN n - 1 ELSE 1 END
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(DISTINCT shingle) AS n_distinct,
+           1 - COUNT(DISTINCT shingle) / COUNT(*) AS dup_fraction
+    FROM sh GROUP BY doc_id
+    """,
+    perf_oracle=r"""
     WITH toks_cte AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
@@ -1788,9 +1870,32 @@ def embedding_near_dups_exact(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-def _simhash_oracle(bits: int = 56, band_bits: int = 14, max_hamming: int = 3) -> str:
+def _simhash_oracle(
+    bits: int = 56,
+    band_bits: int = 14,
+    max_hamming: int = 3,
+    portable: bool = True,
+) -> str:
+    # r12 dual-SQL port (portable=True, the correctness/dual text):
+    # every spelling is engine-shared (probed + pinned in
+    # tests/test_round12_wave.py) —
+    #   hex -> BIGINT: DuckDB's CAST('0x..' AS BIGINT) has no Spark
+    #     twin, so the MD5 prefix decodes positionally:
+    #     sum_j (INSTR(hexdigits, char_j) - 1) * 16^(13-j);
+    #   xor: DuckDB's ^ is exponent and Spark lacks xor(), but
+    #     (a|b) - (a&b) is XOR on both;
+    #   >> / & / | / bit_count parse identically on both.
+    # portable=False keeps the DuckDB-native UNNEST + '0x' cast +
+    # xor() text as the perf_oracle timing twin (result-equality of
+    # the two gated in tests).
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
+    nhex = bits // 4
+    hexdec = " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTR(MD5(term), {j + 1}, 1)) - 1)"
+        f" * CAST({16 ** (nhex - 1 - j)} AS BIGINT)"
+        for j in range(nhex)
+    )
     votes = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(bits)
@@ -1802,10 +1907,18 @@ def _simhash_oracle(bits: int = 56, band_bits: int = 14, max_hamming: int = 3) -
         f"SELECT doc_id, simhash, {b} AS band, ((simhash >> {b * band_bits}) & {mask}) AS seg FROM sig"
         for b in range(n_bands)
     )
-    return f"""
+    if portable:
+        head = f"""
+    WITH {_sql_tok_expand()},
+    h AS (SELECT doc_id, ({hexdec}) AS h FROM tok),"""
+        xor_expr = "(sh_a | sh_b) - (sh_a & sh_b)"
+    else:
+        head = f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     tok AS (SELECT doc_id, UNNEST(toks) AS t FROM toks_cte),
-    h AS (SELECT doc_id, CAST(('0x' || SUBSTR(MD5(t), 1, {bits // 4})) AS BIGINT) AS h FROM tok),
+    h AS (SELECT doc_id, CAST(('0x' || SUBSTR(MD5(t), 1, {nhex})) AS BIGINT) AS h FROM tok),"""
+        xor_expr = "xor(sh_a, sh_b)"
+    return f"""{head}
     votes AS (SELECT doc_id, {votes}
               FROM h GROUP BY doc_id),
     sig AS (SELECT doc_id, ({sig}) AS simhash FROM votes),
@@ -1817,7 +1930,9 @@ def _simhash_oracle(bits: int = 56, band_bits: int = 14, max_hamming: int = 3) -
       WHERE a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, hamming FROM (
-      SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming FROM cand
+      SELECT id_a, id_b,
+             CAST(bit_count({xor_expr}) AS INT) AS hamming
+      FROM cand
     ) WHERE hamming <= {max_hamming}
     """
 
@@ -1825,6 +1940,7 @@ def _simhash_oracle(bits: int = 56, band_bits: int = 14, max_hamming: int = 3) -
 @query(
     "simhash_near_dups",
     oracle=_simhash_oracle(56, 14, 3),
+    perf_oracle=_simhash_oracle(56, 14, 3, portable=False),
     doc="SimHash near-dup pairs: per-token 56-bit hash → ONE groupBy with "
     "per-bit ±1 vote sums (map-side partial agg, zero Python) → 14-bit "
     "band join (pigeonhole guarantees hamming≤3 pairs collide) → popcount "
@@ -2364,7 +2480,31 @@ def quality_weighted_sample(spark, sf_dir):
 
 @query(
     "tfidf_top_terms",
+    # r12 dual-SQL port: split_part fan-out + rank subquery (QUALIFY
+    # has no Spark spelling); scoring text unchanged.
     oracle=f"""
+    WITH {_sql_tok_expand(_SQL_COLLAPSE_LOWER)},
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     exploded AS (
       SELECT doc_id, LOWER(UNNEST(toks)) AS term FROM toks_cte
@@ -2747,6 +2887,40 @@ def epoch_shuffle_positions(spark, sf_dir):
       AND stop_ratio >= 0.02
       AND punct_ratio <= 0.2
     """,
+    # DuckDB-native timing twin (the r12 perf-twin policy applied
+    # retroactively to this r11 port — the honesty caveat the r11
+    # review recorded): the pre-port LIST_FILTER formulation over
+    # today's vtab-safe _SQL_TOKS plus the same RS/US exclusion the
+    # portable text carries; ~1s faster on DuckDB at sf0.1 than the
+    # portable word-count spelling.
+    perf_oracle=f"""
+    WITH toks_cte AS (SELECT * FROM ({_SQL_TOKS}) tc
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    m AS (
+      SELECT doc_id, LEN(toks) AS n_tokens, LENGTH(text) AS n_chars,
+             LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+                 ['the','a','and','of','to','in','is','it','for','on'],
+                 LOWER(t)))) AS n_stopwords,
+             CASE WHEN LEN(toks) > 0
+                  THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) / LEN(toks)
+                  ELSE CAST(0 AS DOUBLE) END AS avg_token_len
+      FROM toks_cte
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, avg_token_len,
+             CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens
+                  ELSE CAST(0 AS DOUBLE) END AS stop_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                  ELSE CAST(0 AS DOUBLE) END AS punct_ratio
+      FROM m
+    )
+    SELECT * FROM r
+    WHERE n_tokens BETWEEN 20 AND 500
+      AND avg_token_len BETWEEN 2 AND 8
+      AND stop_ratio >= 0.02
+      AND punct_ratio <= 0.2
+    """,
     doc="Gopher-style composite QUALITY FILTER: keep docs passing all "
     "of (token count in range, mean token length in range, stopword "
     "ratio floor, punctuation ratio ceiling) — the rule-based quality "
@@ -2790,7 +2964,19 @@ def gopher_quality_filter(spark, sf_dir):
 
 @query(
     "vocab_top_terms",
+    # r12 dual-SQL port: split_part fan-out replaces
+    # STRING_SPLIT_REGEX+UNNEST, rank subquery replaces QUALIFY —
+    # the whole text now runs unmodified on Spark SQL.
     oracle=f"""
+    WITH {_sql_tok_expand(_SQL_COLLAPSE_LOWER)},
+    stats AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+              FROM tok GROUP BY term),
+    r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS BIGINT) AS rank,
+                 term, tf, df
+          FROM stats)
+    SELECT rank, term, tf, df FROM r WHERE rank <= 100
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     t AS (SELECT doc_id, LOWER(UNNEST(toks)) AS term FROM toks_cte),
     stats AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
@@ -5300,7 +5486,11 @@ _BM25_TERMS = sorted({t for _, ts in _BM25_QUERIES for t in ts})
 # The BM25 scoring CTE chain, shared verbatim by bm25_topk_docs and
 # hybrid_rrf_topk's sparse leg (r11 VERDICT ask #3) — ends at ``agg``
 # (query_id, doc_id, s: the 1e-9-scaled BIGINT score).
-_SQL_BM25_AGG = f"""toks_cte AS ({_SQL_TOKS}),
+# DuckDB-NATIVE twin of _SQL_BM25_AGG below (UNNEST expansion instead
+# of the split_part fan-out) — feeds the perf_oracle of bm25_topk_docs
+# and hybrid_rrf_topk; result-equality with the portable fragment is
+# gated in tests/test_round12_wave.py.
+_SQL_BM25_AGG_DUCK = f"""toks_cte AS ({_SQL_TOKS}),
     dld AS (SELECT doc_id, LEN(toks) AS dl, toks FROM toks_cte),
     stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                      CAST(SUM(dl) AS BIGINT) AS total_dl FROM dld),
@@ -5324,11 +5514,54 @@ _SQL_BM25_AGG = f"""toks_cte AS ({_SQL_TOKS}),
     agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS s
             FROM scored GROUP BY query_id, doc_id)"""
 
+_SQL_BM25_AGG = f"""cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    dld AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS dl FROM cl),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dld),
+    probe AS (SELECT doc_id, dl, SPLIT_PART(s, ' ', CAST(t.i AS INT)) AS term
+              FROM dld CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+              WHERE t.i <= dl),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM probe
+           WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+           GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    qmap AS (SELECT * FROM (VALUES
+      {", ".join(f"({q}, '{t}')" for q, ts in _BM25_QUERIES for t in ts)})
+      v(query_id, term)),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(ROUND(((n_docs - df + 0.5) / (df + 0.5))
+                  * ((tf * 2.2)
+                     / (tf + 1.2 * ((1 - 0.75)
+                        + 0.75 * (dl / (CAST(total_dl AS DOUBLE) / n_docs)))))
+                  * 1000000000.0, 0) AS BIGINT) AS s
+      FROM tf t JOIN dfreq USING (term) JOIN qmap q USING (term), stats
+    ),
+    agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS s
+            FROM scored GROUP BY query_id, doc_id)"""
+
 
 @query(
     "bm25_topk_docs",
+    # r12 dual-SQL port: the shared _SQL_BM25_AGG fragment moved to
+    # the split_part fan-out, and the final QUALIFY became a rank
+    # subquery — the oracle now runs unmodified on Spark SQL.
     oracle=f"""
-    WITH {_SQL_BM25_AGG}
+    WITH {_SQL_BM25_AGG},
+    r AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+             CAST(s AS DOUBLE) / 1000000000.0 AS score
+      FROM agg
+    )
+    SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+    """,
+    perf_oracle=f"""
+    WITH {_SQL_BM25_AGG_DUCK}
     SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
@@ -5452,10 +5685,12 @@ def _rrf_case_col(rank_col: str):
     return F.coalesce(expr, F.lit(0).cast("long"))
 
 
-@query(
-    "hybrid_rrf_topk",
-    oracle=f"""
-    WITH {_SQL_BM25_AGG},
+def _hybrid_rrf_oracle(bm25_fragment: str) -> str:
+    """One RRF oracle template, two BM25 subtrees: the portable
+    split-part fragment (correctness/dual text) and the DuckDB-native
+    UNNEST fragment (perf_oracle timing twin)."""
+    return f"""
+    WITH {bm25_fragment},
     sparse AS (
       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -5487,7 +5722,13 @@ def _rrf_case_col(rank_col: str):
            CAST(sc AS DOUBLE) / {_RRF_D}.0 AS rrf_score
     FROM fused
     QUALIFY rrf_rank <= {_RRF_DEPTH}
-    """,
+    """
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=_hybrid_rrf_oracle(_SQL_BM25_AGG),
+    perf_oracle=_hybrid_rrf_oracle(_SQL_BM25_AGG_DUCK),
     doc="hybrid retrieval fusion (r11 VERDICT ask #3) — reciprocal-"
     "rank fusion (k=60) of the engine's two retrievers over the SAME "
     "query set: BM25 lexical top-10 (the shared _bm25_agg subtree, "
@@ -7949,7 +8190,30 @@ def temperature_resampled_corpus(spark, sf_dir):
 
 @query(
     "unigram_logprob_scores",
+    # r12 dual-SQL port: split_part fan-out replaces UNNEST; the LM /
+    # scoring / left-join text below is byte-unchanged.
     oracle=f"""
+    WITH {_sql_tok_expand()},
+    lm AS (
+      SELECT term,
+             ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)), 6) AS lp
+      FROM tok GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(lm.lp AS DECIMAL(28,6))) AS DOUBLE) AS logprob
+      FROM tok t JOIN lm ON t.term = lm.term
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           s.logprob,
+           ROUND(s.logprob / s.n_tokens, 6) AS mean_logprob
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     tok AS (
       SELECT doc_id, UNNEST(toks) AS term FROM toks_cte
@@ -11945,7 +12209,28 @@ def cusum_changepoint_revenue(spark, sf_dir):
 
 @query(
     "vocab_growth_curve",
+    # r12 dual-SQL port: split_part fan-out replaces the UNNEST
+    # expansion; ids stays a min/max over ALL documents (the RS/US
+    # exclusion in cl is vacuous on TESTDATA, bucketing unchanged).
     oracle=f"""
+    WITH {_sql_tok_expand(_SQL_COLLAPSE_LOWER)},
+    ids AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    ex AS (
+      SELECT CAST(FLOOR(10 * (tok.doc_id - ids.lo)
+                        / (ids.hi - ids.lo + 1)) AS INT) AS bucket,
+             term
+      FROM tok CROSS JOIN ids
+    ),
+    first_seen AS (SELECT term, MIN(bucket) AS b FROM ex GROUP BY term),
+    per AS (SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+            FROM first_seen GROUP BY b)
+    SELECT bucket, new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY bucket
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum_vocab
+    FROM per
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     ids AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
     ex AS (
@@ -12549,9 +12834,10 @@ def context_budget_truncation(spark, sf_dir):
     )
 
 
-@query(
-    "copurchase_triangle_count",
-    oracle="""
+# Shared by copurchase_triangle_count and its bounded-spill chunked
+# variant — same graph, same five output columns, same ANSI text
+# (runs unmodified on Spark SQL; dual-green for both entries).
+_TRIANGLE_ORACLE = """
     WITH pairs AS (
       SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       FROM lineitem l1 JOIN lineitem l2
@@ -12595,7 +12881,12 @@ def context_budget_truncation(spark, sf_dir):
     SELECT s.n_nodes, e2.n_edges, s.n_wedges, tri.n_triangles,
            ROUND(3.0 * tri.n_triangles / s.n_wedges, 6) AS global_clustering
     FROM s CROSS JOIN e2 CROSS JOIN tri
-    """,
+    """
+
+
+@query(
+    "copurchase_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
     doc="Distributed EXACT triangle count + global clustering "
     "coefficient of the co-purchase graph (parts are nodes; an edge "
     "is two parts sharing an order) — the graph statistic behind "
@@ -12745,6 +13036,135 @@ def copurchase_triangle_count(spark, sf_dir):
         .select("n_nodes", F.col("__w").cast("long").alias("n_wedges"))
     )
     e2 = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        s.crossJoin(e2)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )
+
+
+@query(
+    "copurchase_triangle_chunked",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Bounded-spill WEDGE-STREAM CHUNKED variant of "
+    "copurchase_triangle_count (VERDICT r11 ask #8) — identical "
+    "output, different execution contract: the base entry's single "
+    "wedge exchange spills the WHOLE O(m^1.5) oriented-wedge stream "
+    "at once (14.8B wedges at x100 — needs the zstd shuffle-codec "
+    "lever on a 63 GB-free box; lz4 dies), while this variant "
+    "partitions the wedge SOURCES u into K hash blocks and runs the "
+    "wedge-build + closing-semi-join as K SEQUENTIAL jobs, so the "
+    "concurrent shuffle footprint is ~1/K of the wedge volume — the "
+    "knob that completes x100 on STOCK configs. K is derived, not "
+    "knobbed: one node-scale job computes the EXACT oriented wedge "
+    "volume sum C(outdeg,2) from the checkpointed edge orientation, "
+    "K = ceil(volume / 4e8 wedges-per-chunk) (~6-8 GB spilled per "
+    "chunk), floored at 2 so the loop is exercised at every SF. "
+    "Costs vs base: the edge set and its orientation localCheckpoint "
+    "once (edge-scale, ~2 GB at x100 — orders below the wedge "
+    "stream; on a cluster it lands on executor disks) and each chunk "
+    "re-scans the checkpointed o (K*O(m) total — dominated by the "
+    "O(m^1.5) wedge term whenever chunking matters at all). Per-"
+    "chunk results are 1-row collects (control-plane bounded, the "
+    "k-means/PCA precedent); the final 1-row relation re-enters "
+    "Spark for the same ROUND arithmetic as the base entry. Use the "
+    "base entry below the spill wall; this one past it",
+)
+def copurchase_triangle_chunked(spark, sf_dir):
+    pairs = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.hint("shuffle_hash").alias("da")
+    db = deg.hint("shuffle_hash").alias("db")
+    a_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("a") < F.col("b"))
+    )
+    n_parts = _graph_shuffle_partitions(spark, sf_dir)
+    o = (
+        pairs.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .repartition(n_parts, "u")
+        .localCheckpoint()
+    )
+    # exact oriented wedge volume (sum C(outdeg,2)) — node-scale job
+    # over the checkpointed orientation; decides K before any wedge
+    # is materialized. DECIMAL sum + the registry's loud-overflow
+    # discipline (a 100 TB graph can push past 2^63 wedges).
+    od = F.col("od")
+    out_wedges = F.when(
+        od % 2 == 0, F.floor(od / 2).cast("decimal(19,0)") * (od - 1)
+    ).otherwise(F.floor((od - 1) / 2).cast("decimal(19,0)") * od)
+    wv_row = (
+        o.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(out_wedges).alias("wv"))
+        .collect()[0]
+    )
+    wedge_volume = int(wv_row["wv"] or 0)
+    n_chunks = max(2, -(-wedge_volume // 400_000_000))
+    tri_total = 0
+    for c in range(n_chunks):
+        oc = o.filter(F.pmod(F.xxhash64("u"), F.lit(n_chunks)) == c)
+        o1 = oc.alias("o1")
+        o2 = oc.hint("shuffle_hash").alias("o2")
+        w = o1.join(
+            o2,
+            (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+        ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+        closed = w.repartition(n_parts, "x", "y").join(
+            pairs.hint("shuffle_hash"),
+            (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+            "left_semi",
+        )
+        tri_total += closed.count()
+    # same stats + loud wedge-sum guard as the base entry
+    dd = F.col("d")
+    wedge = F.when(
+        dd % 2 == 0, F.floor(dd / 2).cast("decimal(19,0)") * (dd - 1)
+    ).otherwise(F.floor((dd - 1) / 2).cast("decimal(19,0)") * dd)
+    i64max = F.lit("9223372036854775807").cast("decimal(38,0)")
+    s = (
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(wedge).alias("__w"),
+        )
+        .filter(
+            F.assert_true(
+                (F.col("__w").isNotNull() | (F.col("n_nodes") == 0))
+                & (
+                    F.coalesce(F.col("__w"), F.lit(0).cast("decimal(38,0)"))
+                    <= i64max
+                ),
+                F.lit(
+                    "copurchase_triangle_chunked: wedge sum exceeds int64 "
+                    "(or overflowed DECIMAL(38,0) to NULL) — the BIGINT "
+                    "output contract cannot hold at this graph scale; "
+                    "widen n_wedges to DECIMAL"
+                ),
+            ).isNull()
+        )
+        .select("n_nodes", F.col("__w").cast("long").alias("n_wedges"))
+    )
+    e2 = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    tri = spark.createDataFrame(
+        [(tri_total,)], "n_triangles bigint"
+    )
     return (
         s.crossJoin(e2)
         .crossJoin(tri)
@@ -13114,6 +13534,237 @@ def token_fertility_by_lang(spark, sf_dir):
             ),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    # Shared-subset oracle (dual-green by construction): the ported
+    # unigram-LM chain + plain NTILE(3); the Spark side computes the
+    # IDENTICAL tile via corpus.distributed_ntile (no global window).
+    oracle=f"""
+    WITH {_sql_tok_expand()},
+    lm AS (
+      SELECT term,
+             ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)), 6) AS lp
+      FROM tok GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(lm.lp AS DECIMAL(28,6))) AS DOUBLE) AS logprob
+      FROM tok t JOIN lm ON t.term = lm.term
+      GROUP BY t.doc_id
+    ),
+    m AS (
+      SELECT doc_id, n_tokens,
+             ROUND(logprob / n_tokens, 6) AS mean_logprob
+      FROM scored WHERE n_tokens > 0
+    ),
+    t3 AS (
+      SELECT doc_id, n_tokens, mean_logprob,
+             NTILE(3) OVER (ORDER BY mean_logprob DESC, doc_id ASC) AS b
+      FROM m
+    ),
+    lab AS (
+      SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket,
+             n_tokens, mean_logprob
+      FROM t3
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ROUND(CAST(SUM(CAST(mean_logprob AS DECIMAL(28,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_mean_logprob
+    FROM lab GROUP BY bucket
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al) — the "
+    "quality-stratified corpus slicing step every LM-filtered "
+    "pretraining pipeline runs: score docs with the self-trained "
+    "unigram LM (the registry's perplexity proxy, "
+    "operators/corpus.unigram_logprob_scores), split the scored "
+    "corpus into head/middle/tail TERCILES by mean log-prob (head = "
+    "most fluent), report per-bucket doc counts, token totals, and "
+    "the mean score. The tercile is EXACT NTILE(3) semantics but "
+    "computed DISTRIBUTED (corpus.distributed_ntile): the oracle's "
+    "NTILE window would funnel the corpus through one partition at "
+    "100 TB; instead quarter-unit score bins (monotone in the 6dp-"
+    "rounded score) give control-plane-sized bin counts, a per-bin "
+    "rank window, and integer-DIV NTILE arithmetic on the "
+    "reconstructed global rank — pinned against F.ntile itself in "
+    "tests. Per-bucket score sums quantize to DECIMAL(28,6) before "
+    "summation (order-independent, the unigram entry's discipline); "
+    "token totals ride sum_i64_checked (loud past 2^63). Production "
+    "swaps the exact tercile for percentile_approx cutoffs once the "
+    "bucket boundary itself may be approximate; the exact form is "
+    "the oracle-gated contract",
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    from ..operators import corpus
+    from ..operators.scale import sum_i64_checked
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    m = corpus.unigram_logprob_scores(d).filter(F.col("n_tokens") > 0)
+    t3 = corpus.distributed_ntile(
+        m,
+        3,
+        F.floor(-F.col("mean_logprob") * 4),
+        [F.desc("mean_logprob"), F.asc("doc_id")],
+        out_col="b",
+    )
+    lab = t3.select(
+        F.when(F.col("b") == 1, F.lit("head"))
+        .when(F.col("b") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "n_tokens",
+        "mean_logprob",
+    )
+    return lab.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        sum_i64_checked(F.col("n_tokens"), "ccnet_perplexity_buckets.total_tokens")
+        .cast("long")
+        .alias("total_tokens"),
+        F.round(
+            F.sum(F.col("mean_logprob").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("avg_mean_logprob"),
+    )
+
+
+# DSIR hashed-feature space: 3 hex chars of md5 = 4096 buckets. The
+# decode is positional (the simhash port's INSTR spelling) so the
+# oracle stays in the shared subset; the Spark side uses conv() on
+# the same 3-char prefix — identical values.
+_DSIR_BUCKETS = 4096
+_SQL_DSIR_BKT = (
+    "((INSTR('0123456789abcdef', SUBSTR(MD5(term), 1, 1)) - 1) * 256"
+    " + (INSTR('0123456789abcdef', SUBSTR(MD5(term), 2, 1)) - 1) * 16"
+    " + (INSTR('0123456789abcdef', SUBSTR(MD5(term), 3, 1)) - 1))"
+)
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_sql_tok_expand()},
+    tk AS (
+      SELECT tok.doc_id, d.lang, {_SQL_DSIR_BKT} AS b
+      FROM tok JOIN documents d ON tok.doc_id = d.doc_id
+    ),
+    counts AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS src_c,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+      FROM tk GROUP BY b
+    ),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_tot,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_tot
+      FROM tk
+    ),
+    ratios AS (
+      -- constants as explicit DOUBLE: a bare 1.0 is DECIMAL on Spark
+      -- SQL (decimal intermediates diverge from the API's double
+      -- arithmetic at ~1e-7) while DuckDB computes this as double
+      -- either way — probed via the dual suite's hash gate
+      SELECT b,
+             ROUND(LN(((tgt_c + CAST(1 AS DOUBLE))
+                       / (t_tot + CAST({_DSIR_BUCKETS} AS DOUBLE)))
+                      / ((src_c + CAST(1 AS DOUBLE))
+                         / (s_tot + CAST({_DSIR_BUCKETS} AS DOUBLE)))), 6) AS lr
+      FROM counts CROSS JOIN totals
+    ),
+    scored AS (
+      SELECT tk.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(r.lr AS DECIMAL(28,6))) AS DOUBLE) AS log_weight
+      FROM tk JOIN ratios r ON tk.b = r.b
+      GROUP BY tk.doc_id
+    ),
+    rk AS (
+      SELECT doc_id, n_tokens, log_weight,
+             CAST(ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id ASC)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, log_weight, rank FROM rk WHERE rank <= 20
+    """,
+    doc="DSIR data selection (Xie et al 2023, Data Selection with "
+    "Importance Resampling) — the importance-weighting step that "
+    "tilts a raw crawl toward a target domain before pretraining: "
+    "hashed unigram features (md5 -> 4096 buckets), target = the "
+    "corpus's lang='en' slice, source = the whole corpus, per-bucket "
+    "log importance ratio ln(p_tgt/p_src) with add-1 smoothing over "
+    "the fixed bucket domain, per-doc log-weight = sum of its "
+    "tokens' ratios, top-20 most target-like docs. Plan: one "
+    "tokenize fan-out, ONE groupBy(bucket) computing source and "
+    "target counts together (conditional sum — no second corpus "
+    "scan), a 4096-row ratio relation joined back unhinted (AQE "
+    "broadcasts while it fits; the 1-row totals cross-join is the "
+    "sanctioned scalar broadcast), per-doc DECIMAL(28,6)-quantized "
+    "summation (order-independent, hash-exact cross-engine), "
+    "sort+limit top-k — never a global rank window over the corpus. "
+    "Indicator sums ride sum_i64_checked. The bucketed-feature "
+    "relation is corpus-size-INDEPENDENT (4096 rows at any SF) — "
+    "what makes DSIR the scale path where a full vocabulary ratio "
+    "table is not",
+)
+def dsir_importance_weights(spark, sf_dir):
+    from ..operators.scale import sum_i64_checked
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    tk = d.select(
+        "doc_id",
+        "lang",
+        F.explode(text.tokens("text")).alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("t"), 1, 3), 16, 10).cast("int").alias("b"),
+    )
+    is_tgt = (F.col("lang") == "en").cast("long")
+    counts = tk.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("src_c"),
+        sum_i64_checked(is_tgt, "dsir_importance_weights.tgt_c")
+        .cast("long")
+        .alias("tgt_c"),
+    )
+    totals = tk.agg(
+        F.count(F.lit(1)).cast("long").alias("s_tot"),
+        sum_i64_checked(is_tgt, "dsir_importance_weights.t_tot")
+        .cast("long")
+        .alias("t_tot"),
+    )
+    nb = float(_DSIR_BUCKETS)
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("tgt_c") + 1.0) / (F.col("t_tot") + nb))
+                / ((F.col("src_c") + 1.0) / (F.col("s_tot") + nb))
+            ),
+            6,
+        ).alias("lr"),
+    )
+    scored = (
+        tk.join(ratios, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("lr").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("log_weight"),
+        )
+    )
+    top = scored.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "n_tokens", "log_weight", "rank"
     )
 
 

@@ -43,9 +43,11 @@ ALLOWED: dict[str, set[frozenset]] = {
     # query vectors are embeddings filtered to the literal
     # _BM25_QUERIES id list (3 ids), caller-set, not corpus-SF.
     "hybrid_rrf_topk": {frozenset({"embeddings"})},
-    # Marginals grouped by o_orderpriority (5 values) and
-    # o_orderstatus (3 values) — contingency-table domains.
-    "chi_square_priority_status": {frozenset({"orders"})},
+    # (chi_square_priority_status's contingency-table hint row was
+    # removed in r12: the wave-2 localCheckpoint re-plan severs the
+    # orders lineage, so the walker no longer attributes an SF table
+    # to the hinted subtree — the checkpointed 15-row relation is
+    # auto-bounded.)
     # Daily-revenue spine grouped by calendar day: dates-sized
     # (~2.5k rows over the 7-year data window), not orders-sized.
     "ewma_daily_revenue": {frozenset({"orders"})},

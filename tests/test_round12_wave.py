@@ -34,11 +34,19 @@ _SETTINGS = dict(
 # an RE2 '\s' construct — the class the CHR(11) TRANSLATE fix covers.
 _VTAB_ENTRIES = (
     "text_quality_stats",       # _SQL_TOKS + the [^\s...] bpe-token count
-    "doc_repetition_stats",     # inline STRING_SPLIT_REGEX copy
+    "doc_repetition_stats",     # r12 port: collapse + split_part shingles
     "doc_fingerprints",         # _SQL_TOKS + the content_fp \s+ collapse
     "bpe_train_merges",         # d0 CTE \s+ collapse
     "bpe_encode_corpus",        # shared d0 CTE
     "bigram_lm_surprisal_topk",  # _SQL_TOKS
+    # r12 split_part fan-out ports — the collapse owns their
+    # whitespace handling now; keep them pinned on the adversarial
+    # corpus so a fan-out regression can't hide behind clean text.
+    "vocab_top_terms",
+    "unigram_logprob_scores",
+    "tfidf_top_terms",
+    "bm25_topk_docs",
+    "simhash_near_dups",
 )
 
 
@@ -216,6 +224,110 @@ def test_bigram_lm_two_corpus_scans(spark):
     df = REGISTRY["bigram_lm_surprisal_topk"].fn.__wrapped__(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 1, plan[:500]
+
+
+# ---- r12 dual-SQL port spellings (VERDICT r11 ask #5) ----------------------
+
+# Each probe runs VERBATIM on Spark SQL and DuckDB and must return
+# identical rows — these are exactly the constructs the r12 token
+# fan-out ports (queries._sql_tok_expand, _simhash_oracle) rely on:
+# 1-based SPLIT_PART with '' out of range, the range(lo,hi) t(i) TVF,
+# VALUES-derived tables, bit ops (XOR spelled (a|b)-(a&b): DuckDB's ^
+# is exponent, Spark lacks xor()), and the INSTR hex decode.
+_SHARED_SPELLING_PROBES = (
+    "SELECT SPLIT_PART('alpha beta', ' ', 2) AS a, "
+    "SPLIT_PART('alpha beta', ' ', 5) AS b, SPLIT_PART('', ' ', 1) AS c",
+    "SELECT CAST(t.i AS INT) AS i FROM range(2, 5) t(i) ORDER BY i",
+    "SELECT v.q, v.t FROM (VALUES (1, 'a'), (2, 'b')) v(q, t) ORDER BY q",
+    "SELECT (12 | 10) - (12 & 10) AS x, 5 >> 1 AS s, "
+    "CAST(BIT_COUNT(CAST(7 AS BIGINT)) AS INT) AS bc",
+    "SELECT CAST(SUM((INSTR('0123456789abcdef', SUBSTR(MD5('tok'), t.i, 1)) - 1)"
+    " * CAST(POWER(16, 5 - t.i) AS BIGINT)) AS BIGINT) AS h "
+    "FROM range(1, 6) t(i)",
+    "SELECT CONTAINS('ab', CHR(30)) AS has_rs, CONTAINS(CHR(31), CHR(31)) AS has_us",
+)
+
+
+def test_r12_port_spellings_agree_cross_engine(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    for sql in _SHARED_SPELLING_PROBES:
+        duck = [tuple(r) for r in con.execute(sql).fetchall()]
+        spk = [tuple(r) for r in spark.sql(sql).collect()]
+        assert duck == spk, (sql, duck, spk)
+
+
+def test_perf_oracle_matches_portable_oracle():
+    """Every perf_oracle (the DuckDB-native timing twin of a ported
+    portable oracle) must return IDENTICAL rows to the correctness
+    oracle on DuckDB at two SFs — so the paired bench can time the
+    native formulation without the two texts ever drifting apart.
+    Pure DuckDB, no Spark session."""
+    import duckdb
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    with_perf = sorted(
+        n for n, q in REGISTRY.items() if q.perf_oracle is not None
+    )
+    assert with_perf, "r12 added perf twins; the set cannot be empty"
+    for sf in ("/root/testdata/sf0.001", SF_SMOKE):
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        for name in with_perf:
+            q = REGISTRY[name]
+            a = con.execute(q.oracle).fetchall()
+            cols_a = [d[0] for d in con.description]
+            b = con.execute(q.perf_oracle).fetchall()
+            cols_b = [d[0] for d in con.description]
+            assert cols_a == cols_b, (name, cols_a, cols_b)
+            assert sorted(map(repr, a)) == sorted(map(repr, b)), (
+                name,
+                sf,
+                len(a),
+                len(b),
+            )
+        con.close()
+
+
+def test_distributed_ntile_matches_engine_ntile(spark):
+    """corpus.distributed_ntile's integer-DIV rank arithmetic must
+    reproduce Spark's own NTILE exactly — including the uneven-N
+    rule (first N mod n tiles take the extra row) and ties broken by
+    the tiebreak column — across sizes that hit every remainder,
+    with a deliberately skewed bin (monotone, non-uniform)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from football_etl_spark.operators.corpus import distributed_ntile
+
+    for n_rows in (1, 2, 3, 7, 10, 11, 12, 100):
+        df = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            # non-unique score with ties; descending in doc_id blocks
+            ((F.col("id") * 7) % 5).cast("double").alias("score"),
+        )
+        want = df.select(
+            "doc_id",
+            F.ntile(3)
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("tile"),
+        )
+        got = distributed_ntile(
+            df,
+            3,
+            F.floor(-F.col("score")),  # monotone in DESC score, skewed
+            [F.desc("score"), F.asc("doc_id")],
+        ).select("doc_id", "tile")
+        w = {r["doc_id"]: r["tile"] for r in want.collect()}
+        g = {r["doc_id"]: r["tile"] for r in got.collect()}
+        assert g == w, (n_rows, g, w)
 
 
 def test_split_leakage_detects_cross_split_dups(tmp_path, spark):

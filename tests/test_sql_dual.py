@@ -87,10 +87,10 @@ DIALECT_SKIPS = {
     ),
     "benchmark_decontamination": "TOKENS + LAMBDA shingle set",
     "bigram_lm_surprisal_topk": "TOKENS + SERIES bigram build + lateral UNNEST",
-    "bm25_topk_docs": "TOKENS + QUALIFY",
     "hybrid_rrf_topk": (
-        "TOKENS + QUALIFY (inherits the bm25 CTE chain) + LAMBDA "
-        "cosine dot product on the dense leg"
+        "QUALIFY + LAMBDA cosine dot product on the dense leg (the "
+        "bm25 CTE chain it inherits was ported to the shared subset "
+        "in r12, so TOKENS no longer blocks it)"
     ),
     "trigram_backoff_surprisal_topk": (
         "TOKENS + SERIES trigram position build + lateral UNNEST of "
@@ -101,7 +101,6 @@ DIALECT_SKIPS = {
     "bpe_pair_stats": "TOKENS + SERIES bigram build",
     "bpe_train_merges": "DuckDB LIST_* lambda greedy-fold merge apply + SERIES bigrams",
     "bpe_encode_corpus": "same trainer chain (LIST_* lambdas + SERIES bigrams)",
-    "vocab_growth_curve": "TOKENS per-token expansion",
     "dup_cluster_size_distribution": "TOKENS + LAMBDA + RECURSIVE CTE",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
     "chunked_documents": "TOKENS + SERIES + '//' integer division",
@@ -123,7 +122,6 @@ DIALECT_SKIPS = {
         "evaluates it natively; Spark's percentile_approx/median "
         "window support has no frame form — probed"
     ),
-    "doc_repetition_stats": "TOKENS + LAMBDA + SERIES",
     "embedding_near_dups": "LAMBDA (list_sum over list comprehension)",
     "embedding_near_dups_exact": "LAMBDA (list_sum over list comprehension)",
     "incremental_corpus_dedup": "TOKENS + LAMBDA + SERIES",
@@ -152,15 +150,12 @@ DIALECT_SKIPS = {
     "retrieval_topk_docs": "LAMBDA + SERIES + QUALIFY",
     "semantic_dedup_docs": "LAMBDA + SERIES + QUALIFY",
     "semantic_diversity_by_label": "LAMBDA norm + SERIES + lateral UNNEST",
-    "simhash_near_dups": "TOKENS + UNNEST",
     "text_quality_stats": (
         "n_bpe_tokens = LEN(REGEXP_EXTRACT_ALL(..)): DuckDB v1.0 has "
         "no regexp_count and LEN(list) has no Spark spelling — the "
         "stopword/token-count terms ported fine (see "
         "quality_weighted_sample), this one column is the blocker"
     ),
-    "tfidf_top_terms": "TOKENS + QUALIFY",
-    "unigram_logprob_scores": "TOKENS + UNNEST per-token expansion",
     "video_frame_scan": (
         "SERIES frame indexing — same probed blocker as "
         "audio_decode_wav (shared range() TVF exists, but the "
@@ -172,7 +167,6 @@ DIALECT_SKIPS = {
         "in r8; epoch_us/unix_micros have no common spelling and "
         "TIMESTAMPDIFF(MICROSECOND,..) is Spark-only, probed)"
     ),
-    "vocab_top_terms": "TOKENS + QUALIFY",
 }
 
 _DUAL_OK: set[str] = set()

@@ -1,8 +1,16 @@
 #!/usr/bin/env python
-"""DuckDB comparator for the headline bench: run the SAME oracle SQL
-the driver uses for correctness, on the SAME sf0.1 parquet, warm
-min-of-2 with fetchall materialization — the methodology the round
-judges use for the bench_vs_baseline ratio. Prints one JSON line.
+"""DuckDB comparator for the headline bench: run the oracle SQL on
+the SAME sf0.1 parquet, warm min-of-2 with fetchall materialization —
+the methodology the round judges use for the bench_vs_baseline ratio.
+Prints one JSON line.
+
+Timing uses ``perf_oracle or oracle``: when a correctness oracle was
+ported to the engine-shared SQL subset for the dual surface (r12),
+the portable spelling can be SLOWER on DuckDB than its native one
+(split_part fan-out vs UNNEST) — and a slower DuckDB side would
+flatter Spark's ratio. The native twin keeps the pairing honest;
+result-equality of the two texts is gated in
+tests/test_round12_wave.py::test_perf_oracle_matches_portable_oracle.
 
 Queries with no oracle (none in the headline set) are skipped.
 """
@@ -35,7 +43,7 @@ def main() -> None:
         )
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        sql = REGISTRY[name].oracle
+        sql = REGISTRY[name].perf_oracle or REGISTRY[name].oracle
         if sql is None:
             continue
         runs = []

@@ -146,7 +146,11 @@ def time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     out = {}
     for name in names:
-        sql = (REGISTRY.get(name) or STAGED[name]).oracle
+        # native formulation for TIMING (perf_oracle, r12) — the
+        # portable dual-surface text can be slower on DuckDB, and a
+        # slower DuckDB side would flatter Spark's ladder standings
+        qd = REGISTRY.get(name) or STAGED[name]
+        sql = qd.perf_oracle or qd.oracle
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
