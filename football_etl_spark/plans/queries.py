@@ -1121,10 +1121,47 @@ def _sql_word_count(word: str, var: str = "x") -> str:
 # leaves headroom, and a longer doc fails LOUDLY — the oracle would
 # lose the doc's tail tokens and the hash gate trips against the
 # exact Spark-side explode. Oracle-side cost vs UNNEST: the fan-out
-# pushes bound/avg_tokens ≈ 2.3x rows through one filter — re-paired
-# on the decade ladder for every ladder-measured ported entry
-# (BENCH_NOTES r12 wave 3).
+# pushes bound/avg_tokens ≈ 2.3x rows through one filter and the
+# SPLIT_PART rescans the string per position — measurably slower ON
+# DUCKDB than the native UNNEST it replaces, which is why every
+# ported entry keeps a `perf_oracle` native twin for bench/ladder
+# timing (BENCH_NOTES r12 wave 3; QueryDef.perf_oracle).
 _TOK_FANOUT_BOUND = 128
+
+
+# Positional decode of the first 12 hex chars of MD5(col) — the
+# engine-shared replacement for DuckDB's CAST('0x..' AS BIGINT)
+# (probed; the simhash port's spelling at 12-char width). Value
+# < 16^12 = 2^48, safely BIGINT on both engines.
+def _sql_hexdec12(col: str) -> str:
+    return " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTR(MD5({col}), {j + 1}, 1)) - 1)"
+        f" * CAST({16 ** (11 - j)} AS BIGINT)"
+        for j in range(12)
+    )
+
+
+_SQL_HEXDEC12 = _sql_hexdec12("term")
+
+
+def _sql_shingle3_expand() -> str:
+    """CTE chain ``cl``/``nt`` -> ``shx`` (doc_id, shingle): 3-token
+    shingles via the split_part fan-out, <3-token docs degenerating
+    to the whole collapsed string (_SQL_SHINGLES' fallback arm).
+    Engine-shared; splice directly after WITH."""
+    return f"""cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS n FROM cl),
+    shx AS (
+      SELECT doc_id,
+             CASE WHEN n >= 3
+                  THEN SPLIT_PART(s, ' ', CAST(t.i AS INT)) || ' '
+                       || SPLIT_PART(s, ' ', CAST(t.i + 1 AS INT)) || ' '
+                       || SPLIT_PART(s, ' ', CAST(t.i + 2 AS INT))
+                  ELSE s END AS shingle
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE t.i <= CASE WHEN n >= 3 THEN n - 2 ELSE 1 END)"""
 
 
 def _sql_tok_expand(collapse: str = _SQL_COLLAPSE) -> str:
@@ -1152,27 +1189,71 @@ _SQL_SHINGLES = r"""
 
 @query(
     "text_quality_stats",
+    # r12 dual-SQL port — the last TOKENS/LEN blocker falls to pure
+    # length arithmetic: n_bpe_tokens (= matches of
+    # [A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]) is alpha RUNS + digit RUNS +
+    # other non-whitespace CHARS. Runs are counted by normalizing the
+    # class to one char (TRANSLATE with an equal-length to-string —
+    # a short to-string would DELETE, not map), collapsing runs with
+    # the RS/US sentinel sandwich (hence the same RS/US-doc
+    # exclusion precondition as every collapse consumer), and
+    # counting survivors; per-char classes are plain TRANSLATE
+    # deletions. Token/stopword/avg-len spellings are the gopher
+    # port's. NO perf twin: the length-arithmetic spelling is 3.7x
+    # FASTER on DuckDB than the native LIST/regex text it replaced
+    # (0.57s vs 2.1s at sf0.1) — the port improved both engines, so
+    # the portable text is also the timed text.
     oracle=f"""
-    WITH toks_cte AS ({_SQL_TOKS})
-    SELECT doc_id,
-           LEN(toks) AS n_tokens,
-           LENGTH(text) AS n_chars,
-           LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct,
-           LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
-               ['the','a','and','of','to','in','is','it','for','on'], LOWER(t)))) AS n_stopwords,
-           LEN(REGEXP_EXTRACT_ALL(TRANSLATE(text, CHR(11), ' '), '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
-           CASE WHEN LEN(toks) > 0
-                THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) / LEN(toks)
+    WITH cl AS (
+      SELECT doc_id, text, {_SQL_COLLAPSE} AS s,
+             TRANSLATE(text, CHR(11), ' ') AS base,
+             ' ' || REPLACE({_SQL_COLLAPSE_LOWER}, ' ', '  ') || ' ' AS x
+      FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    norm AS (
+      SELECT doc_id, text, s, base, x,
+             REPLACE(REPLACE(REPLACE(
+               TRANSLATE(base, 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz', 'aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa'),
+               'a', CHR(30) || CHR(31)), CHR(31) || CHR(30), ''),
+               CHR(30) || CHR(31), 'a') AS xa,
+             REPLACE(REPLACE(REPLACE(
+               TRANSLATE(base, '0123456789', '0000000000'),
+               '0', CHR(30) || CHR(31)), CHR(31) || CHR(30), ''),
+               CHR(30) || CHR(31), '0') AS xd
+      FROM cl),
+    m AS (
+      SELECT doc_id,
+             CAST({_SQL_NTOKENS_S} AS BIGINT) AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', ''))
+                  AS BIGINT) AS n_punct,
+             CAST({_sql_word_count("the")} + {_sql_word_count("a")}
+                  + {_sql_word_count("and")} + {_sql_word_count("of")}
+                  + {_sql_word_count("to")} + {_sql_word_count("in")}
+                  + {_sql_word_count("is")} + {_sql_word_count("it")}
+                  + {_sql_word_count("for")} + {_sql_word_count("on")}
+                  AS BIGINT) AS n_stopwords,
+             CAST((LENGTH(xa) - LENGTH(REPLACE(xa, 'a', '')))
+                  + (LENGTH(xd) - LENGTH(REPLACE(xd, '0', '')))
+                  + (LENGTH(base)
+                     - (LENGTH(base) - LENGTH(TRANSLATE(base, 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz', '')))
+                     - (LENGTH(base) - LENGTH(TRANSLATE(base, '0123456789', '')))
+                     - (LENGTH(base) - LENGTH(TRANSLATE(base,
+                          ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13), ''))))
+                  AS BIGINT) AS n_bpe_tokens,
+             CAST(LENGTH(REPLACE(s, ' ', '')) AS BIGINT) AS sum_tok_len
+      FROM norm)
+    SELECT doc_id, n_tokens, n_chars, n_punct, n_stopwords, n_bpe_tokens,
+           CASE WHEN n_tokens > 0 THEN sum_tok_len / n_tokens
                 ELSE CAST(0 AS DOUBLE) END AS avg_token_len,
-           (LEAST(LEN(toks) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
-            + (CAST(1 AS DOUBLE) - LEAST(CASE WHEN LENGTH(text) > 0
-                   THEN LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) / LENGTH(text)
+           (LEAST(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+            + (CAST(1 AS DOUBLE) - LEAST(CASE WHEN n_chars > 0
+                   THEN n_punct / n_chars
                    ELSE CAST(0 AS DOUBLE) END * 5, CAST(1 AS DOUBLE)))
-            + LEAST(CASE WHEN LEN(toks) > 0
-                THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
-                    ['the','a','and','of','to','in','is','it','for','on'], LOWER(t)))) / LEN(toks)
+            + LEAST(CASE WHEN n_tokens > 0
+                THEN n_stopwords / n_tokens
                 ELSE CAST(0 AS DOUBLE) END * 4, CAST(1 AS DOUBLE))) / 3 AS quality
-    FROM toks_cte
+    FROM m
     """,
     doc="text analysis: token/char/punct/stopword counts, BPE-ish token "
     "estimate, quality score — all JVM-side array exprs (functions/text.py)",
@@ -1328,9 +1409,21 @@ def dedup_exact_documents(spark, sf_dir):
     return dedup.exact_dedup(d).select("doc_id")
 
 
-def _minhash_prefix_cte(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_prefix_cte(
+    num_hashes: int = 16, bands: int = 4, portable: bool = False
+) -> str:
     """Shared MinHash-LSH CTE prefix ending in ``mh`` (per-doc
-    signatures) and ``bands`` (per-doc band bucket keys)."""
+    signatures) and ``bands`` (per-doc band bucket keys).
+
+    ``portable=True`` (r12 dual-SQL port) swaps the DuckDB-only
+    shingle machinery for the engine-shared subset: the split_part
+    shingle fan-out (3-token shingles, <3-token docs degenerate to
+    the whole collapsed string — exactly _SQL_SHINGLES' fallback arm)
+    and the positional INSTR hex decode instead of the '0x' cast.
+    Everything downstream (the a*h+b mod-P MIN signatures, the
+    BIGINT||'|' band-key concat, the banded self-join) was already
+    shared; h < 2^48 and a <= 33 keep every product under 2^63 on
+    both engines. The native text stays as the perf_oracle twin."""
     from ..operators.dedup import MINHASH_P, minhash_params
 
     rows = num_hashes // bands
@@ -1345,11 +1438,16 @@ def _minhash_prefix_cte(num_hashes: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""toks_cte AS ({_SQL_TOKS}),
+    if portable:
+        head = f"""{_sql_shingle3_expand()},
+    ex AS (SELECT doc_id, ({_sql_hexdec12("shingle")}) AS h FROM shx)"""
+    else:
+        head = f"""toks_cte AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),
     ex AS (SELECT doc_id,
                   CAST(('0x' || SUBSTR(MD5(UNNEST(shingles)), 1, 12)) AS BIGINT) AS h
-           FROM sh),
+           FROM sh)"""
+    return f"""{head},
     mh AS (SELECT doc_id, {", ".join(mh_cols)} FROM ex GROUP BY doc_id),
     bands AS ({band_selects})"""
 
@@ -1363,6 +1461,7 @@ def _minhash_cte_body(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    portable: bool = False,
 ) -> str:
     """The MinHash-LSH pipeline as a reusable CTE chain ending in
     ``mhpairs(id_a, id_b, est_jaccard)`` — shared by the pair query,
@@ -1381,7 +1480,7 @@ def _minhash_cte_body(
     ),
     bands_kept AS (SELECT doc_id, band, bkey FROM bands_sized
                    WHERE bsz <= {max_bucket}),"""
-    return f"""{_minhash_prefix_cte(num_hashes, bands)},{cap_ctes}
+    return f"""{_minhash_prefix_cte(num_hashes, bands, portable)},{cap_ctes}
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM {band_src} a JOIN {band_src} b
@@ -1402,16 +1501,18 @@ def _minhash_oracle(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    portable: bool = False,
 ) -> str:
     return f"""
-    WITH {_minhash_cte_body(num_hashes, bands, threshold, max_bucket)}
+    WITH {_minhash_cte_body(num_hashes, bands, threshold, max_bucket, portable)}
     SELECT id_a, id_b, est_jaccard FROM mhpairs
     """
 
 
 @query(
     "minhash_near_dups",
-    oracle=_minhash_oracle(16, 4, 0.5),
+    oracle=_minhash_oracle(16, 4, 0.5, portable=True),
+    perf_oracle=_minhash_oracle(16, 4, 0.5),
     doc="MinHash+LSH near-dup pairs: shingle → 16 md5-minhashes (one agg "
     "pass) → 4-band bucket join → signature-estimated Jaccard ≥ 0.5. "
     "Never a cross join (operators/dedup.py)",
@@ -1425,7 +1526,8 @@ def minhash_near_dups(spark, sf_dir):
 
 @query(
     "minhash_near_dups_capped",
-    oracle=_minhash_oracle(16, 4, 0.5, max_bucket=2),
+    oracle=_minhash_oracle(16, 4, 0.5, max_bucket=2, portable=True),
+    perf_oracle=_minhash_oracle(16, 4, 0.5, max_bucket=2),
     doc="the SCALE path of the MinHash-LSH family (r8 verdict ask #4; "
     "the banded-join analogue of ngram_jaccard_pairs_capped): band "
     "buckets larger than the cap are dropped before the self-join, "
@@ -1453,7 +1555,26 @@ def minhash_near_dups_capped(spark, sf_dir):
 
 @query(
     "ngram_jaccard_pairs",
+    # r12 dual-SQL port: the shingle fan-out replaces _SQL_SHINGLES'
+    # LAMBDA build; everything downstream (inverted-index self-join,
+    # int/int jaccard) was already shared. perf_oracle keeps the
+    # native UNNEST text.
     oracle=f"""
+    WITH {_sql_shingle3_expand()},
+    ex AS (SELECT DISTINCT doc_id, shingle AS s FROM shx),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),
     ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
@@ -1481,7 +1602,25 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 @query(
     "ngram_jaccard_pairs_capped",
+    # r12 dual-SQL port (same head swap as ngram_jaccard_pairs).
     oracle=f"""
+    WITH {_sql_shingle3_expand()},
+    ex0 AS (SELECT DISTINCT doc_id, shingle AS s FROM shx),
+    rare AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 10),
+    ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING (s)),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),
     ex0 AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
@@ -1514,13 +1653,42 @@ def ngram_jaccard_pairs_capped(spark, sf_dir):
 
 @query(
     "benchmark_decontamination",
-    oracle=r"""
-    WITH toks_cte AS (
+    # r12 dual-SQL port: 5-gram shingles via the split_part fan-out
+    # (5-part concat, i <= n-4; <5-token docs degenerate to the whole
+    # collapsed string, exactly ARRAY_TO_STRING(toks, ' ')). The
+    # sentinel-collapse CTE is spelled inline (not _sql_tok_expand)
+    # because the shingle needs the collapsed string itself, not the
+    # token stream. perf_oracle keeps the native UNNEST text.
+    oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS n FROM cl),
+    sh AS (
       SELECT doc_id,
-             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE STRING_SPLIT_REGEX(TRANSLATE(TRIM(text), CHR(11), ' '), '\s+') END AS toks
-      FROM documents
+             CASE WHEN n >= 5
+                  THEN SPLIT_PART(s, ' ', CAST(t.i AS INT)) || ' '
+                       || SPLIT_PART(s, ' ', CAST(t.i + 1 AS INT)) || ' '
+                       || SPLIT_PART(s, ' ', CAST(t.i + 2 AS INT)) || ' '
+                       || SPLIT_PART(s, ' ', CAST(t.i + 3 AS INT)) || ' '
+                       || SPLIT_PART(s, ' ', CAST(t.i + 4 AS INT))
+                  ELSE s END AS shingle
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE t.i <= CASE WHEN n >= 5 THEN n - 4 ELSE 1 END
     ),
+    ex AS (SELECT DISTINCT doc_id, shingle AS s FROM sh),
+    ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 47 = 0),
+    tr AS (SELECT * FROM ex WHERE doc_id % 47 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, COUNT(*) AS n_hits
+            FROM tr JOIN ev USING (s) GROUP BY tr.doc_id)
+    SELECT tot.doc_id, tot.n_shingles,
+           CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(hit.n_hits, 0) >= 1 AS contaminated
+    FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+    """,
+    perf_oracle=rf"""
+    WITH toks_cte AS ({_SQL_TOKS}),
     sh AS (
       SELECT doc_id,
              CASE WHEN LEN(toks) >= 5
@@ -1953,7 +2121,43 @@ def simhash_near_dups(spark, sf_dir):
 
 @query(
     "doc_fingerprints",
+    # r12 dual-SQL port. content_fp: the sentinel collapse IS the
+    # regexp '\s+'->' ' normalization (probed class, the dedup_exact
+    # r10 port) so MD5 hashes the identical string. rolling_fp: the
+    # sequential fold (a*31 + b) % P has the closed form
+    # (sum_i b_i * 31^(n-i)) % P — per-TERM modular reduction keeps
+    # every intermediate under 2^62 (b % P < 2^31, times 31^j % P
+    # < 2^31 -> product < 2^62; the <=128-term sum of %P-reduced
+    # products < 2^39), and the 128-row 31^j mod P power table is
+    # precomputed in Python and inlined as VALUES — no modpow needed
+    # in either engine. perf_oracle keeps the native LIST_REDUCE fold.
     oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s, MD5({_SQL_COLLAPSE_LOWER}) AS content_fp
+      FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, content_fp, {_SQL_NTOKENS_S} AS n FROM cl),
+    tok AS (
+      SELECT doc_id, n, CAST(t.i AS INT) AS pos,
+             SPLIT_PART(s, ' ', CAST(t.i AS INT)) AS term
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE t.i <= n),
+    pw AS (SELECT * FROM (VALUES
+      {", ".join(f"({j}, {pow(31, j, text.ROLLING_HASH_P)})" for j in range(_TOK_FANOUT_BOUND))})
+      p(j, w)),
+    h AS (
+      SELECT doc_id,
+             ((({_SQL_HEXDEC12}) % {text.ROLLING_HASH_P}) * pw.w)
+             % {text.ROLLING_HASH_P} AS hterm
+      FROM tok JOIN pw ON pw.j = tok.n - tok.pos),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(hterm) % {text.ROLLING_HASH_P} AS BIGINT) AS rolling_fp
+            FROM h GROUP BY doc_id)
+    SELECT nt.doc_id, nt.content_fp,
+           CAST(COALESCE(agg.rolling_fp, 0) AS BIGINT) AS rolling_fp
+    FROM nt LEFT JOIN agg ON nt.doc_id = agg.doc_id
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS})
     SELECT doc_id,
            MD5(REGEXP_REPLACE(TRANSLATE(LOWER(TRIM(text)), CHR(11), ' '), '\\s+', ' ', 'g')) AS content_fp,
@@ -3936,7 +4140,34 @@ def gap_filled_daily_totals(spark, sf_dir):
 
 @query(
     "boilerplate_chunk_stats",
+    # r12 dual-SQL port: non-overlapping 4-token chunks via the
+    # split_part fan-out — stride 4 is the (i-1) mod-4 = 0 filter, and
+    # the partial TAIL chunk (toks[start:start+3] past the end) is
+    # the bounds-checked concat; FILTER gains the WHERE keyword both
+    # engines accept. perf_oracle keeps the native UNNEST text.
     oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS n FROM cl),
+    chunks AS (
+      SELECT doc_id,
+             MD5(SPLIT_PART(s, ' ', CAST(t.i AS INT))
+                  || CASE WHEN t.i + 1 <= n THEN ' ' || SPLIT_PART(s, ' ', CAST(t.i + 1 AS INT)) ELSE '' END
+                  || CASE WHEN t.i + 2 <= n THEN ' ' || SPLIT_PART(s, ' ', CAST(t.i + 2 AS INT)) ELSE '' END
+                  || CASE WHEN t.i + 3 <= n THEN ' ' || SPLIT_PART(s, ' ', CAST(t.i + 3 AS INT)) ELSE '' END) AS h
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE n > 0 AND t.i <= GREATEST(n, 1) AND (t.i - 1) % 4 = 0
+    ),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h)
+    SELECT chunks.doc_id AS doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE df.n_docs > 1) AS n_boilerplate,
+           COUNT(*) FILTER (WHERE df.n_docs > 1) / COUNT(*) AS boilerplate_ratio
+    FROM chunks JOIN df ON chunks.h = df.h
+    GROUP BY chunks.doc_id
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     st AS (
       SELECT doc_id, toks, LEN(toks) AS n,
@@ -5126,11 +5357,14 @@ def dormant_high_value_customers(spark, sf_dir):
 
 
 def _incremental_minhash_oracle(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
 ) -> str:
     matches = _minhash_matches_expr(num_hashes)
     return f"""
-    WITH {_minhash_prefix_cte(num_hashes, bands)},
+    WITH {_minhash_prefix_cte(num_hashes, bands, portable)},
     cand AS (
       SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -5161,7 +5395,11 @@ def _incremental_minhash_oracle(
 
 @query(
     "incremental_corpus_dedup",
-    oracle=_incremental_minhash_oracle(16, 4, 0.5),
+    # r12 dual-SQL port: rides the portable minhash prefix; the
+    # asymmetric band probe / best-match ranking below was already
+    # shared. perf_oracle keeps the native prefix.
+    oracle=_incremental_minhash_oracle(16, 4, 0.5, portable=True),
+    perf_oracle=_incremental_minhash_oracle(16, 4, 0.5),
     doc="incremental (day-2) corpus dedup: the incoming batch "
     "(doc_id % 10 = 0 — the synthetic daily increment) screened "
     "against the existing corpus (the rest) with an ASYMMETRIC "
@@ -10309,7 +10547,34 @@ def rolling_median_spend(spark, sf_dir):
 
 @query(
     "duplicate_span_stats",
+    # r12 dual-SQL port: 8-token windows via an 8-part split_part
+    # concat (i <= n-7, only docs with n >= 8 — exactly the
+    # ELSE-empty arm); span counting / HAVING / ratio were already
+    # shared. perf_oracle keeps the native UNNEST text.
     oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS n FROM cl),
+    sp AS (
+      SELECT doc_id, SPLIT_PART(s, ' ', CAST(t.i AS INT)) || ' ' || SPLIT_PART(s, ' ', CAST(t.i + 1 AS INT)) || ' ' || SPLIT_PART(s, ' ', CAST(t.i + 2 AS INT)) || ' ' || SPLIT_PART(s, ' ', CAST(t.i + 3 AS INT)) || ' ' || SPLIT_PART(s, ' ', CAST(t.i + 4 AS INT)) || ' ' || SPLIT_PART(s, ' ', CAST(t.i + 5 AS INT)) || ' ' || SPLIT_PART(s, ' ', CAST(t.i + 6 AS INT)) || ' ' || SPLIT_PART(s, ' ', CAST(t.i + 7 AS INT)) AS s2
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE n >= 8 AND t.i <= n - 7
+    ),
+    dup AS (SELECT s2 FROM sp GROUP BY s2 HAVING COUNT(*) >= 2),
+    per AS (
+      SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM sp JOIN dup ON sp.s2 = dup.s2 GROUP BY sp.doc_id
+    )
+    SELECT nt.doc_id,
+           CAST(GREATEST(n - 7, 0) AS BIGINT) AS n_spans,
+           COALESCE(p.n_dup, 0) AS n_dup_spans,
+           CASE WHEN n - 7 > 0
+                THEN COALESCE(p.n_dup, 0)
+                     / CAST(n - 7 AS BIGINT) END AS dup_ratio
+    FROM nt LEFT JOIN per p ON nt.doc_id = p.doc_id
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     w AS (
       SELECT doc_id, toks,
@@ -10993,7 +11258,31 @@ def streaming_fanout_two_sinks(spark, sf_dir):
 
 @query(
     "bpe_pair_stats",
+    # r12 dual-SQL port: adjacent pairs via the split_part fan-out
+    # (pair i = token i || ' ' || token i+1, i <= n-1); <2-token docs
+    # emit zero pairs on both spellings. perf_oracle keeps the native
+    # UNNEST text for ladder timing (the x1000 standing row).
     oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS n FROM cl),
+    bi AS (
+      SELECT SPLIT_PART(s, ' ', CAST(t.i AS INT)) || ' '
+             || SPLIT_PART(s, ' ', CAST(t.i + 1 AS INT)) AS pair
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE n >= 2 AND t.i <= n - 1
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM bi GROUP BY pair)
+    SELECT pair, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC)
+                AS INT) AS rank
+    FROM c
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 20
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     bi AS (
       SELECT UNNEST(CASE WHEN LEN(toks) >= 2
@@ -12904,8 +13193,12 @@ _TRIANGLE_ORACLE = """
     "pair-DISTINCT exchange), degree groupBy, two edge-degree joins "
     "(shuffle_hash on the node-scale deg side — scale-safe, never "
     "broadcast), "
-    "oriented wedge self-join, and a two-key SEMI join against the "
-    "canonical edge set to close triangles. All-integer counts — "
+    "oriented wedge self-join, and a two-key membership join against "
+    "the canonical edge set to close triangles (INNER on the "
+    "DISTINCT edge key since r12 — semantically the semi join, but "
+    "PushDownLeftSemiAntiJoin was silently moving an actual LEFT "
+    "SEMI below the width-pinning repartition, running the probe at "
+    "session width; see the in-body comment). All-integer counts — "
     "the wedge sum halves the even factor of d*(d-1) and "
     "accumulates DECIMAL(38,0) (never double division, which "
     "drifts past 2^53 on hub-heavy graphs; probe-verified exact "
@@ -12916,7 +13209,7 @@ _TRIANGLE_ORACLE = """
     "(paired, BENCH_NOTES waves 1+3): steady PARITY at x10 (23.7 vs "
     "22.4), and at x30 Spark completes twice cleanly in 74.6s while "
     "DuckDB DNFs ON DISK (its wedge join materializes into temp and "
-    "exceeds 55+ GiB; Spark's shuffle_hash semi streams the wedges "
+    "exceeds 55+ GiB; Spark's shuffle_hash probe streams the wedges "
     "and spills per-partition) — the r9 'x100 wall on both engines' "
     "is really DuckDB's wall at x30 — and Spark's own x100 run "
     "COMPLETES in 572s once spark.io.compression.codec=zstd halves "
@@ -12982,11 +13275,17 @@ def copurchase_triangle_count(spark, sf_dir):
     # hash the edge set (O(m)), STREAM the wedges (O(m^1.5)) — the
     # asymmetry that makes the closing membership probe linear in
     # wedges with no wedge sort; wedge stream and edge build side are
-    # co-partitioned on the pair key at the same auto-sized width
+    # co-partitioned on the pair key at the same auto-sized width.
+    # INNER, not LEFT SEMI (r12): PushDownLeftSemiAntiJoin moves a
+    # semi join BELOW the width-pinning repartition, so the probe
+    # silently ran at the session width with edge-count/32-sized
+    # build maps (found by the chunked variant's x100 OOM); pairs is
+    # DISTINCT on (a,b), so the inner join keeps exactly the closed
+    # wedges — identical count — and the optimizer leaves the
+    # repartition in place.
     closed = w.repartition(n_parts, "x", "y").join(
         pairs.hint("shuffle_hash"),
         (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
-        "left_semi",
     )
     tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     # Wedge counts stay INTEGRAL end to end (ADVICE r9): d*(d-1) is
@@ -13057,29 +13356,42 @@ def copurchase_triangle_count(spark, sf_dir):
     doc="Bounded-spill WEDGE-STREAM CHUNKED variant of "
     "copurchase_triangle_count (VERDICT r11 ask #8) — identical "
     "output, different execution contract: the base entry's single "
-    "wedge exchange spills the WHOLE O(m^1.5) oriented-wedge stream "
-    "at once (14.8B wedges at x100 — needs the zstd shuffle-codec "
-    "lever on a 63 GB-free box; lz4 dies), while this variant "
-    "partitions the wedge SOURCES u into K hash blocks and runs the "
-    "wedge-build + closing-semi-join as K SEQUENTIAL jobs, so the "
-    "concurrent shuffle footprint is ~1/K of the wedge volume — the "
-    "knob that completes x100 on STOCK configs. K is derived, not "
-    "knobbed: one node-scale job computes the EXACT oriented wedge "
-    "volume sum C(outdeg,2) from the checkpointed edge orientation, "
-    "K = ceil(volume / 4e8 wedges-per-chunk) (~6-8 GB spilled per "
-    "chunk), floored at 2 so the loop is exercised at every SF. "
-    "Costs vs base: the edge set and its orientation localCheckpoint "
-    "once (edge-scale, ~2 GB at x100 — orders below the wedge "
-    "stream; on a cluster it lands on executor disks) and each chunk "
-    "re-scans the checkpointed o (K*O(m) total — dominated by the "
-    "O(m^1.5) wedge term whenever chunking matters at all). Per-"
-    "chunk results are 1-row collects (control-plane bounded, the "
-    "k-means/PCA precedent); the final 1-row relation re-enters "
-    "Spark for the same ROUND arithmetic as the base entry. Use the "
-    "base entry below the spill wall; this one past it",
+    "wedge exchange spills the WHOLE oriented-wedge stream at once "
+    "(4.1B oriented wedges at x100 — the base run needed the zstd "
+    "shuffle-codec lever on a 63 GB-free box; lz4 died), while this "
+    "variant partitions the wedge SOURCES u into K hash blocks and "
+    "runs the wedge-build + closing-probe as K SEQUENTIAL jobs, so "
+    "the concurrent shuffle footprint is ~1/K of the wedge volume. "
+    "MEASURED at x100 on pure stock configs (lz4, 8g driver, "
+    "shuffle.partitions=32): completes in 626s — 188,448,800 "
+    "triangles, exactly the zstd-lever run's result (BENCH_NOTES r12 "
+    "wave 4). K is derived, not knobbed: one node-scale job computes "
+    "the EXACT oriented wedge volume sum C(outdeg,2) from the "
+    "checkpointed edge orientation, K = ceil(volume / 4e8 wedges-"
+    "per-chunk) (x100: 4.1e9 -> K=11, ~6-8 GB spilled per chunk), "
+    "floored at 2 so the loop is exercised at every SF. Costs vs "
+    "base: the edge set and its orientation localCheckpoint once "
+    "(DISK_ONLY — edge-scale, ~2 GB at x100, deserialized in-heap "
+    "storage OOM'd an 8g local JVM; on a cluster it lands on "
+    "executor disks) and each chunk re-scans the checkpointed o "
+    "(K*O(m) total — dominated by the O(m^1.5) wedge term whenever "
+    "chunking matters at all). Per-chunk results are 1-row collects "
+    "(control-plane bounded, the k-means/PCA precedent); the final "
+    "1-row relation re-enters Spark for the same ROUND arithmetic "
+    "as the base entry. Use the base entry below the spill wall; "
+    "this one past it",
 )
 def copurchase_triangle_chunked(spark, sf_dir):
-    pairs = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY checkpoints: both materializations are EDGE-scale
+    # (119.6M rows each at x100) and exist only so K sequential chunk
+    # jobs can re-read them — holding either in an 8g local heap OOMs
+    # (measured), while serialized-on-disk re-reads cost one scan per
+    # chunk, exactly the K*O(m) term the entry doc already budgets.
+    pairs = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     deg = (
         pairs.select(F.col("a").alias("node"))
         .unionAll(pairs.select(F.col("b").alias("node")))
@@ -13100,7 +13412,7 @@ def copurchase_triangle_chunked(spark, sf_dir):
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
         .repartition(n_parts, "u")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     # exact oriented wedge volume (sum C(outdeg,2)) — node-scale job
     # over the checkpointed orientation; decides K before any wedge
@@ -13120,17 +13432,34 @@ def copurchase_triangle_chunked(spark, sf_dir):
     n_chunks = max(2, -(-wedge_volume // 400_000_000))
     tri_total = 0
     for c in range(n_chunks):
-        oc = o.filter(F.pmod(F.xxhash64("u"), F.lit(n_chunks)) == c)
+        # explicit width on the chunk's wedge exchange: the
+        # checkpoint severed o's partitioning, so without this the
+        # self-join hashes at the session width and AQE coalesces
+        # the small post-filter shuffle into few fat partitions —
+        # whose build-side hash maps blow the execution pool
+        # (measured at x100: chunk-0 SHJ OOM on an 8g heap). The
+        # user-specified repartition pins the proven auto-sized
+        # width; one extra O(m/K) exchange per chunk = O(m) total.
+        oc = o.filter(
+            F.pmod(F.xxhash64("u"), F.lit(n_chunks)) == c
+        ).repartition(n_parts, "u")
         o1 = oc.alias("o1")
         o2 = oc.hint("shuffle_hash").alias("o2")
         w = o1.join(
             o2,
             (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
         ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+        # INNER, not LEFT SEMI: PushDownLeftSemiAntiJoin moves a semi
+        # join BELOW the explicit repartition, so the probe would run
+        # at the session width with edge-count/32-sized build maps
+        # (measured x100: SHJ build OOM on an 8g heap). pairs is
+        # DISTINCT on (a,b) by construction (_copurchase_edges), so
+        # the inner join keeps exactly the closed wedges — same count
+        # — while the optimizer leaves the width-pinning repartition
+        # in place (inner joins are not pushed through it).
         closed = w.repartition(n_parts, "x", "y").join(
             pairs.hint("shuffle_hash"),
             (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
-            "left_semi",
         )
         tri_total += closed.count()
     # same stats + loud wedge-sum guard as the base entry
