@@ -14097,6 +14097,580 @@ def dsir_importance_weights(spark, sf_dir):
     )
 
 
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, ts FROM events
+               WHERE event_type IN ('signup', 'view', 'purchase')),
+    w1 AS (SELECT user_id, event_type, ts,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1 FROM e),
+    w2 AS (SELECT user_id, event_type, ts, t1,
+           MIN(CASE WHEN event_type = 'view' AND ts > t1
+                    AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+             OVER (PARTITION BY user_id) AS t2 FROM w1),
+    w3 AS (SELECT user_id, t1, t2,
+           MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                    AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+             OVER (PARTITION BY user_id) AS t3 FROM w2),
+    pu AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+           FROM w3 GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_signup,
+           CAST(COUNT(t2) AS BIGINT) AS n_viewed,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchased,
+           CAST(ROUND(CASE WHEN COUNT(t1) > 0
+                THEN COUNT(t2) / CAST(COUNT(t1) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END, 6) AS DOUBLE) AS view_rate,
+           CAST(ROUND(CASE WHEN COUNT(t2) > 0
+                THEN COUNT(t3) / CAST(COUNT(t2) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END, 6) AS DOUBLE) AS purchase_rate
+    FROM pu
+    """,
+    doc="ordered multi-step funnel conversion (signup -> view -> "
+    "purchase), the product-analytics staple: per user, t1 = first "
+    "signup, t2 = first view STRICTLY AFTER t1 within a 24h "
+    "conversion window, t3 = first purchase strictly after t2 within "
+    "24h — each step anchored to the previous step's completion "
+    "time, so out-of-order or too-late events never convert. Plan: "
+    "the 3-type filter pushes to the scan, ONE exchange on user_id "
+    "feeds three stacked unbounded-frame window MINs (no ORDER BY -> "
+    "no sort; each step's predicate references the previous window "
+    "column, which Catalyst evaluates as successive Window nodes over "
+    "the same partitioning), the per-user rollup rides the SAME "
+    "partitioning (no second exchange), and the final single-row "
+    "funnel report is a global agg of user-grain partials. The "
+    "24-hour window keeps the funnel selective at every SF (at "
+    "sf0.01: 150 signup / 39 viewed / 15 purchased) — without it "
+    "this corpus converts every user and the entry would pin "
+    "nothing. Written in the shared SQL subset (windowed "
+    "conditional MIN, INTERVAL n HOUR, COUNT(col)) — dual-green",
+)
+def event_funnel_conversion(spark, sf_dir):
+    ev = (
+        ensure_min_partitions(_t(spark, sf_dir, "events"))
+        .filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    wu = Window.partitionBy("user_id")
+    h24 = F.expr("INTERVAL 24 HOUR")
+    w1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu),
+    )
+    w2 = w1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + h24),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    w3 = w2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + h24),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    pu = w3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+    )
+    agg = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("n_signup"),
+        F.count("t2").cast("long").alias("n_viewed"),
+        F.count("t3").cast("long").alias("n_purchased"),
+    )
+    return agg.select(
+        "n_users",
+        "n_signup",
+        "n_viewed",
+        "n_purchased",
+        F.round(
+            F.when(
+                F.col("n_signup") > 0,
+                F.col("n_viewed") / F.col("n_signup").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        .cast("double")
+        .alias("view_rate"),
+        F.round(
+            F.when(
+                F.col("n_viewed") > 0,
+                F.col("n_purchased") / F.col("n_viewed").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        .cast("double")
+        .alias("purchase_rate"),
+    )
+
+
+# GPT-3-style pareto-thresholded quality sampling: 6 hex chars of
+# md5(doc_id) give the per-doc deterministic uniform (positional INSTR
+# decode keeps the spelling in the shared subset; the Spark side's
+# conv() reads the SAME 6-char prefix).
+_SQL_PARETO_HEX6 = " + ".join(
+    f"(INSTR('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS STRING)), {j + 1}, 1)) - 1)"
+    f" * CAST({16 ** (5 - j)} AS BIGINT)"
+    for j in range(6)
+)
+
+
+@query(
+    "pareto_quality_filter",
+    oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, lang, text, {_SQL_COLLAPSE_LOWER} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))
+    ),
+    px AS (
+      SELECT doc_id, lang, text, s,
+             ' ' || REPLACE(s, ' ', '  ') || ' ' AS x
+      FROM cl
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             {_SQL_NTOKENS_S} AS n_tokens,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', '')) AS n_punct,
+             {_sql_word_count('the')} + {_sql_word_count('a')} + {_sql_word_count('and')} + {_sql_word_count('of')} + {_sql_word_count('to')} + {_sql_word_count('in')} + {_sql_word_count('is')} + {_sql_word_count('it')} + {_sql_word_count('for')} + {_sql_word_count('on')} AS n_stopwords
+      FROM px
+    ),
+    weighted AS (
+      SELECT doc_id, lang,
+  (LEAST(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+   + (CAST(1 AS DOUBLE) - LEAST(CASE WHEN n_chars > 0
+          THEN n_punct / n_chars
+          ELSE CAST(0 AS DOUBLE) END * 5, CAST(1 AS DOUBLE)))
+   + LEAST(CASE WHEN n_tokens > 0
+       THEN n_stopwords / n_tokens
+       ELSE CAST(0 AS DOUBLE) END * 4, CAST(1 AS DOUBLE))) / 3
+  AS w FROM m
+    ),
+    drawn AS (
+      SELECT doc_id, lang, w,
+             POWER(({_SQL_PARETO_HEX6} + CAST(1 AS BIGINT))
+                     / CAST(16777216 AS DOUBLE),
+                   CAST(0 AS DOUBLE) - CAST(1 AS DOUBLE) / 9)
+               - CAST(1 AS DOUBLE) AS draw
+      FROM weighted
+    ),
+    flagged AS (
+      SELECT lang, w,
+             CASE WHEN draw > CAST(1 AS DOUBLE) - w THEN 1 ELSE 0 END AS kept
+      FROM drawn
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+             AS keep_rate,
+           CAST(ROUND(CASE WHEN SUM(kept) > 0 THEN
+             CAST(SUM(CASE WHEN kept = 1
+                           THEN CAST(ROUND(w, 6) AS DECIMAL(28,6))
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+               / SUM(kept)
+             ELSE CAST(0 AS DOUBLE) END, 6) AS DOUBLE) AS avg_kept_score
+    FROM flagged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="GPT-3-style pareto-thresholded quality sampling (Brown et "
+    "al 2020, Appendix A): score each doc with the registry's "
+    "quality scorer (functions/text.quality_score — the SAME "
+    "portable spelling quality_weighted_sample pins), then keep a "
+    "doc iff pareto_draw(alpha=9) > 1 - score, where the draw is "
+    "DETERMINISTIC — inverse-CDF of a Pareto(9) applied to a 6-hex-"
+    "char md5(doc_id) uniform — so reruns and partition layouts "
+    "reproduce the identical kept set (np.random.pareto in the "
+    "paper; a hash uniform here, the registry's hash_sample "
+    "discipline). The mechanism is the point: unlike a hard score "
+    "threshold, the heavy-tailed draw admits low-score docs with "
+    "small but non-zero probability, preserving tail diversity in "
+    "the kept corpus (the paper's stated motivation) while keeping "
+    "~9-12% of docs on this corpus. Per-lang report: doc counts, "
+    "kept counts, keep rate, and the mean kept score (6dp-quantized "
+    "DECIMAL summation — order-independent). Pure scan-level filter "
+    "arithmetic: at 100 TB this runs as a single map-side pass with "
+    "a lang-keyed partial agg, no shuffle beyond the 5-row rollup. "
+    "Indicator sums ride sum_i64_checked; dual-green by construction",
+)
+def pareto_quality_filter(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents")).filter(
+        ~F.col("text").contains("\x1e") & ~F.col("text").contains("\x1f")
+    )
+    w = text.quality_score("text")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        + F.lit(1).cast("long")
+    ) / F.lit(16777216.0)
+    draw = F.pow(u, F.lit(0.0) - F.lit(1.0) / F.lit(9.0)) - F.lit(1.0)
+    kept = F.when(draw > F.lit(1.0) - w, F.lit(1)).otherwise(F.lit(0))
+    flagged = d.select(
+        F.col("lang"), w.alias("w"), kept.cast("long").alias("kept")
+    )
+    zero_dec = F.lit(0).cast("decimal(28,6)")
+    agg = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        scale_sum_i64_checked(
+            F.col("kept"), "pareto_quality_filter.n_kept"
+        )
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("kept") == 1, F.round("w", 6).cast("decimal(28,6)"))
+            .otherwise(zero_dec)
+        ).alias("w_sum"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_docs").cast("double"), 6)
+        .cast("double")
+        .alias("keep_rate"),
+        F.round(
+            F.when(
+                F.col("n_kept") > 0,
+                F.col("w_sum").cast("double") / F.col("n_kept"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        .cast("double")
+        .alias("avg_kept_score"),
+    ).orderBy("lang")
+
+
+@query(
+    "pmi_collocations_topk",
+    oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE_LOWER} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS n FROM cl),
+    tok AS (
+      SELECT SPLIT_PART(s, ' ', CAST(t.i AS INT)) AS term
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE t.i <= n
+    ),
+    uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    bi AS (
+      SELECT SPLIT_PART(s, ' ', CAST(t.i AS INT)) AS w1,
+             SPLIT_PART(s, ' ', CAST(t.i + 1 AS INT)) AS w2
+      FROM nt CROSS JOIN range(1, {_TOK_FANOUT_BOUND + 1}) t(i)
+      WHERE n >= 2 AND t.i <= n - 1
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM bi GROUP BY w1, w2),
+    scored AS (
+      SELECT bc.w1 || ' ' || bc.w2 AS phrase, bc.c_ab, u1.c AS c_a, u2.c AS c_b,
+             ROUND((bc.c_ab - CAST(5 AS DOUBLE)) * n_tot.n
+                   / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS phrase_score,
+             ROUND(LN(bc.c_ab * CAST(n_tot.n AS DOUBLE)
+                   / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+      FROM bc JOIN uni u1 ON bc.w1 = u1.term
+              JOIN uni u2 ON bc.w2 = u2.term
+              CROSS JOIN n_tot
+      WHERE bc.c_ab > 5
+    )
+    SELECT phrase, c_ab, c_a, c_b, phrase_score, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY phrase_score DESC, phrase ASC)
+                AS INT) AS rank
+    FROM scored
+    ORDER BY phrase_score DESC, phrase ASC
+    LIMIT 20
+    """,
+    doc="collocation / phrase-candidate mining — the word2vec phrase "
+    "detection pass (Mikolov et al 2013 §4): for every adjacent "
+    "token pair, score = (c(ab) - delta) * N / (c(a) * c(b)) with "
+    "discount delta=5 (kills rare-pair noise), plus plain PMI "
+    "ln(c(ab) * N / (c(a) * c(b))) for reference; top-20 candidates, "
+    "phrase-ASC tiebreak. The score arithmetic runs in DOUBLE on "
+    "purpose: c(a) * c(b) as int64 overflows once both counts pass "
+    "~3e9 (trivially reached at 100 TB where token counts are 1e13+) "
+    "while doubles hold counts exactly to 2^53 and the ratio is a "
+    "6dp-rounded score anyway — the overflow-gate discipline applied "
+    "at design time rather than backstopped after. Plan: two "
+    "tokenize scans (unigram counts + zip_with bigram structs — the "
+    "bpe_pair_stats build), both aggs vocabulary-shaped with map-"
+    "side partial combine, c_ab > 5 filter BEFORE the two unigram-"
+    "count joins cuts the join input to frequent pairs, 1-row N "
+    "broadcast (sanctioned scalar class), TakeOrdered top-20 and a "
+    "20-row rank window. Dual-green: split_part fan-out spelling "
+    "throughout",
+)
+def pmi_collocations_topk(spark, sf_dir):
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents")).filter(
+        ~F.col("text").contains("\x1e") & ~F.col("text").contains("\x1f")
+    )
+    toked = d.select(text.tokens(F.lower(F.col("text"))).alias("t"))
+    uni = (
+        toked.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_tot = uni.agg(
+        scale_sum_i64_checked(F.col("c"), "pmi_collocations_topk.n_tot")
+        .cast("long")
+        .alias("n")
+    )
+    k = F.size("t")
+    bigrams = F.when(
+        k >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), 1, k - 1),
+            F.slice(F.col("t"), 2, k - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bc = (
+        toked.select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") > 5)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                (F.col("c_ab") - F.lit(5.0))
+                * F.col("n")
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                6,
+            ).alias("phrase_score"),
+            F.round(
+                F.log(
+                    F.col("c_ab")
+                    * F.col("n").cast("double")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("phrase_score"), F.asc("phrase")).limit(20)
+    w = Window.orderBy(F.desc("phrase_score"), F.asc("phrase"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+_MMR_C = 16  # candidate pool per query (control-plane bound: 8 x 16)
+_MMR_K = 5  # selected per query
+_MMR_LAM = 0.7  # relevance weight; 1-lam = diversity weight
+
+
+def _sql_mmr_oracle() -> str:
+    """DuckDB oracle for mmr_diverse_topk: the SAME 5-step greedy as
+    the engine side, unrolled as CTEs (step t joins the candidate
+    pool against sel_{t-1}, takes max-sim-to-selected, ranks the MMR
+    score, picks one row per query). Native list-lambda cosine — the
+    ANN family's documented dual-SQL blocker."""
+    steps = []
+    for t in range(2, _MMR_K + 1):
+        prev = f"sel{t - 1}"
+        steps.append(f"""
+    m{t} AS (
+      SELECT c.query_id, c.nid, c.rel, MAX(p.sim) AS ms
+      FROM cand c
+      LEFT JOIN {prev} x ON x.query_id = c.query_id AND x.nid = c.nid
+      JOIN pair p ON p.query_id = c.query_id AND p.an = c.nid
+      JOIN {prev} s ON s.query_id = p.query_id AND s.nid = p.bn
+      WHERE x.nid IS NULL
+      GROUP BY c.query_id, c.nid, c.rel
+    ),
+    s{t} AS (
+      SELECT query_id, nid, rel, CAST({t} AS INT) AS step, sc AS score FROM (
+        SELECT m.query_id, m.nid, m.rel,
+               ROUND(CAST({_MMR_LAM} AS DOUBLE) * m.rel
+                     - CAST({round(1 - _MMR_LAM, 1)} AS DOUBLE) * m.ms, 6) AS sc,
+               ROW_NUMBER() OVER (PARTITION BY m.query_id
+                 ORDER BY ROUND(CAST({_MMR_LAM} AS DOUBLE) * m.rel
+                     - CAST({round(1 - _MMR_LAM, 1)} AS DOUBLE) * m.ms, 6) DESC,
+                   m.nid ASC) AS r
+        FROM m{t} m) z WHERE r = 1
+    ),
+    sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})""")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS nid,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cs
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    cand0 AS (
+      SELECT query_id, nid, ROUND(cs, 6) AS rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, nid ASC) AS rk
+      FROM scored
+    ),
+    cand AS (SELECT query_id, nid, rel, rk FROM cand0 WHERE rk <= {_MMR_C}),
+    pair AS (
+      SELECT a.query_id, a.nid AS an, b.nid AS bn,
+             ROUND({_sql_cosine('ea.embedding', 'eb.embedding')}, 6) AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.nid <> b.nid
+      JOIN embeddings ea ON ea.vec_id = a.nid
+      JOIN embeddings eb ON eb.vec_id = b.nid
+    ),
+    sel1 AS (
+      SELECT query_id, nid, rel, CAST(1 AS INT) AS step, rel AS score
+      FROM cand WHERE rk = 1
+    ),{','.join(steps)}
+    SELECT query_id, nid AS neighbor_id, step,
+           rel AS relevance, score AS mmr_score
+    FROM sel{_MMR_K}
+    ORDER BY query_id, step
+    """
+
+
+@query(
+    "mmr_diverse_topk",
+    oracle=_sql_mmr_oracle(),
+    doc="maximal-marginal-relevance diversified top-k re-ranking "
+    "(Carbonell & Goldstein 1998) — the diversification pass a RAG "
+    "retrieval stack runs AFTER dense retrieval so the k passages "
+    "fed to the LM aren't five near-copies of the same chunk: per "
+    "query (the shared vec_id<8 control plane), take the top-16 "
+    "cosine candidates, then greedily select 5 — step 1 by pure "
+    "relevance, each later step maximizing lam*rel - "
+    "(1-lam)*max_sim_to_already_selected (lam=0.7), ties broken by "
+    "neighbor id on the 6dp-rounded score. Spark shape: the "
+    "candidate pool (8 queries x 16 rows, SF-INDEPENDENT by "
+    "construction) and its 16x16 pairwise-cosine table are "
+    "localCheckpoint'ed — severing the embeddings-scan subtree so "
+    "the 4 unrolled greedy iterations (anti-join remaining, max-sim "
+    "against selected, per-query rank-1 pick, union) replan over "
+    "two materialized control-plane tables instead of re-running "
+    "the corpus scan per step (the chi_square/weekday repeated-"
+    "subtree discipline). The greedy loop is INHERENTLY sequential "
+    "in k — what scales is the candidate generation (any registry "
+    "ANN entry) feeding a bounded re-rank, exactly how production "
+    "MMR deploys. Oracle: the identical 5 steps unrolled as CTEs; "
+    "native DuckDB list-lambda cosine puts it in the ANN family's "
+    "existing dual-SQL skip class",
+)
+def mmr_diverse_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cand = (
+        similarity.cosine_topk(e, e.filter(F.col("vec_id") < 8), k=_MMR_C)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("nid"),
+            F.round("cosine_sim", 6).alias("rel"),
+            "rank",
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    cv = (
+        cand.select("query_id", "nid")
+        .join(e, cand["nid"] == e["vec_id"])
+        .select("query_id", "nid", "embedding", vectors.norm("embedding").alias("nrm"))
+    )
+    a = cv.select(
+        F.col("query_id"),
+        F.col("nid").alias("an"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = cv.select(
+        F.col("query_id"),
+        F.col("nid").alias("bn"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    pair = (
+        a.join(b, ["query_id"])
+        .filter(F.col("an") != F.col("bn"))
+        .select(
+            "query_id",
+            "an",
+            "bn",
+            F.round(
+                similarity._pair_cosine("av", "bv", "anrm", "bnrm"), 6
+            ).alias("sim"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    lam = F.lit(_MMR_LAM)
+    om = F.lit(round(1 - _MMR_LAM, 1))
+    sel = cand.filter(F.col("rank") == 1).select(
+        "query_id",
+        "nid",
+        "rel",
+        F.lit(1).cast("int").alias("step"),
+        F.col("rel").alias("score"),
+    )
+    for t in range(2, _MMR_K + 1):
+        selk = sel.select("query_id", "nid")
+        ms = (
+            cand.select("query_id", "nid", "rel")
+            .join(selk, ["query_id", "nid"], "left_anti")
+            .join(pair.withColumnRenamed("an", "nid"), ["query_id", "nid"])
+            .join(
+                sel.select("query_id", F.col("nid").alias("bn")),
+                ["query_id", "bn"],
+            )
+            .groupBy("query_id", "nid", "rel")
+            .agg(F.max("sim").alias("ms"))
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("sc"), F.asc("nid")
+        )
+        pick = (
+            ms.withColumn(
+                "sc", F.round(lam * F.col("rel") - om * F.col("ms"), 6)
+            )
+            .withColumn("r", F.row_number().over(wq))
+            .filter(F.col("r") == 1)
+            .select(
+                "query_id",
+                "nid",
+                "rel",
+                F.lit(t).cast("int").alias("step"),
+                F.col("sc").alias("score"),
+            )
+        )
+        # each step references sel three times (anti-join, selected-sim
+        # join, union); without severing, the plan tree grows ~4^k
+        # copies of the candidate subtree and the scheduler pays ~15s
+        # of stage overhead for 40 rows. A per-step checkpoint of the
+        # <=40-row selected set keeps the tree linear in k.
+        sel = sel.unionByName(pick).coalesce(1).localCheckpoint()
+    return sel.select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        "step",
+        F.col("rel").alias("relevance"),
+        F.col("score").alias("mmr_score"),
+    )
+
+
 def _correctness_rows(root=None):
     """Yield (round, name, row) from every committed
     ``CORRECTNESS_r*.json`` at the repo root (or ``root`` — tests pass

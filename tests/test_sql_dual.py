@@ -118,6 +118,10 @@ DIALECT_SKIPS = {
         "window support has no frame form — probed"
     ),
     "embedding_near_dups": "LAMBDA (list_sum over list comprehension)",
+    "mmr_diverse_topk": (
+        "LAMBDA cosine dot product (the ANN family's blocker) on "
+        "both the candidate scoring and the 16x16 pairwise-sim CTE"
+    ),
     "embedding_near_dups_exact": "LAMBDA (list_sum over list comprehension)",
     "ivf_ann_topk": "LAMBDA + SERIES + QUALIFY",
     "ivf_trained_ann_topk": "LAMBDA + SERIES + QUALIFY",
