@@ -2774,7 +2774,35 @@ def tfidf_top_terms(spark, sf_dir):
 
 @query(
     "chunked_documents",
+    # r12 dual-SQL port — the last TOKENS+SERIES+'//' blocker falls:
+    # starts come from a BOUNDED range(0,3) fan-out (stride 48 over a
+    # <=128-token collapse caps k at 2), chunk_idx IS k (no '//'),
+    # and the chunk body is a 64-term bounds-checked CONCAT_WS —
+    # BOTH engines skip NULL args in CONCAT_WS, which is exactly the
+    # tail-bounds handling. Old-vs-new pinned row-identical on DuckDB
+    # at two SFs before adoption; native slice text kept below as the
+    # timing twin (chunked_documents is a headline bench query).
     oracle=f"""
+    WITH cl AS (
+      SELECT doc_id, {_SQL_COLLAPSE} AS s FROM documents
+      WHERE NOT CONTAINS(text, CHR(30)) AND NOT CONTAINS(text, CHR(31))),
+    nt AS (SELECT doc_id, s, {_SQL_NTOKENS_S} AS n FROM cl),
+    st AS (
+      SELECT doc_id, s, n, CAST(t.k AS INT) AS chunk_idx,
+             CAST(1 + 48 * t.k AS INT) AS start
+      FROM nt CROSS JOIN range(0, 3) t(k)
+      WHERE n > 0 AND 1 + 48 * t.k <= GREATEST(n - 16, 1)
+    )
+    SELECT doc_id, chunk_idx,
+           CONCAT_WS(' ',
+             {",             ".join(
+                 f"CASE WHEN start + {o} <= n THEN SPLIT_PART(s, ' ', start + {o}) END"
+                 for o in range(64)
+             )}) AS chunk_text,
+           CAST(LEAST(64, n - start + 1) AS INT) AS chunk_n_tokens
+    FROM st
+    """,
+    perf_oracle=f"""
     WITH toks_cte AS ({_SQL_TOKS}),
     st AS (
       SELECT doc_id, toks, LEN(toks) AS n,

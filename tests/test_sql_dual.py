@@ -100,7 +100,6 @@ DIALECT_SKIPS = {
     "bpe_encode_corpus": "same trainer chain (LIST_* lambdas + SERIES bigrams)",
     "dup_cluster_size_distribution": "TOKENS + LAMBDA + RECURSIVE CTE",
     "canonical_near_dup_docs": "TOKENS + LAMBDA + RECURSIVE CTE",
-    "chunked_documents": "TOKENS + SERIES + '//' integer division",
     "pca_top_component": (
         "LAMBDA quantization + SERIES Gram fan-out + DuckDB "
         "list-subscript qv[i] (same blockers as embedding_gram_matrix)"
