@@ -38,6 +38,10 @@ ALLOWED: dict[str, set[frozenset]] = {
     "lsh_banded_ann_topk": {frozenset({"embeddings"})},
     "lsh_banded_recall": {frozenset({"embeddings"})},
     "lsh_recall_at_k": {frozenset({"embeddings"})},
+    # Same recall-gauge shape as lsh_recall_at_k: the broadcast IVF
+    # hit list is k-bounded per query (8 queries x 10 rows) by the
+    # retriever's rank filter, which the walker cannot see.
+    "ivf_recall_at_k": {frozenset({"embeddings"})},
     "retrieval_topk_docs": {frozenset({"embeddings"})},
     # Dense RRF leg: the same sanctioned bounded ANN query side — the
     # query vectors are embeddings filtered to the literal

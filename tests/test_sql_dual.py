@@ -123,6 +123,7 @@ DIALECT_SKIPS = {
     ),
     "embedding_near_dups_exact": "LAMBDA (list_sum over list comprehension)",
     "ivf_ann_topk": "LAMBDA + SERIES + QUALIFY",
+    "ivf_recall_at_k": "LAMBDA + SERIES + QUALIFY (the ivf/exact legs)",
     "ivf_trained_ann_topk": "LAMBDA + SERIES + QUALIFY",
     "kmeans_embedding_clusters": "SERIES + QUALIFY + UNNEST",
     "label_centroids": "UNNEST per-component expansion",

@@ -138,6 +138,7 @@ _BOUNDED = {
     "kl_lang_drift": _IND + "; sum(n_a/n_b) is " + _CNT,
     "lorenz_gini_order_value": _CNT,
     "lsh_banded_recall": "hit sums bounded by k x |query set| (<= 80 rows)",
+    "ivf_recall_at_k": "hit sums bounded by k x |query set| (<= 80 rows)",
     "lsh_recall_at_k": "hit sums bounded by k x |query set| (<= 80 rows)",
     "multi_band_scan_counts": _IND,
     "null_completion_report": _IND,
