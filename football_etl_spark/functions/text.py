@@ -36,8 +36,65 @@ def tokens(c: ColumnOrName) -> Column:
     )
 
 
+# --- collapsed-string COUNTING fast path (r12 optimization round) ---
+#
+# Token-count/length/whole-token-hit metrics do not need the token
+# ARRAY: one regexp_replace collapses every \s+ run to a single
+# space, after which each metric is plain length/replace arithmetic —
+# whole-stage-codegen'd string loops instead of split's array
+# allocation plus per-element interpreted HOF lambdas (the
+# vectors.py-documented expression class; measured ~3-4x on the
+# profile surface at sf0.1). Exactness vs the split() forms, pinned
+# by tests/test_text_fastpath.py on a control-char/unicode fixture:
+#   n_tokens  = spaces+1 over the collapsed string — phantom empty
+#               tokens from leading/trailing non-space whitespace
+#               produce a leading/trailing space, counted the same
+#               way split(trim(text)) counts them (the established
+#               _SQL_COLLAPSE equivalence, here WITHOUT the sentinel
+#               sandwich: regexp_replace handles runs directly, so
+#               RS/US-bearing docs need no exclusion);
+#   Σ|token|  = |s| - (n_tokens - 1) — every separator is exactly one
+#               space;
+#   whole-token hits = the doubled-space occurrence count (each token
+#               owns a private leading AND trailing space, so
+#               ' word ' occurrences ↔ tokens equal to word, adjacent
+#               repeats non-overlapping).
+def ws_collapsed(c: ColumnOrName) -> Column:
+    """trim + every \\s+ run → one space; counting twin of tokens()."""
+    return F.regexp_replace(F.trim(_col(c)), TOKEN_SPLIT_RE, " ")
+
+
+def _size_of_null() -> Column:
+    """What ``F.size`` returns for a NULL array in THIS session (-1
+    legacy / NULL ANSI) — keeps the fast path's null behaviour exactly
+    equal to the ``F.size(F.split(NULL))`` forms it replaced."""
+    return F.size(F.lit(None).cast("array<string>"))
+
+
+def _ntokens_of(s: Column) -> Column:
+    """Token count over a collapsed string: spaces + 1 (0 for '',
+    size-of-null for NULL)."""
+    fast = F.when(F.length(s) == 0, F.lit(0)).otherwise(
+        F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit(""))) + 1
+    )
+    return F.when(s.isNull(), _size_of_null()).otherwise(fast)
+
+
+def _space_doubled(s: Column) -> Column:
+    """' ' + s with every space doubled + ' ' — each token padded with
+    its own leading and trailing space for whole-token counting."""
+    return F.concat(F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" "))
+
+
+def _whole_token_hits(padded: Column, word: str) -> Column:
+    """#tokens equal to ``word`` in a _space_doubled string (int)."""
+    pat = f" {word} "
+    diff = F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))
+    return (diff / F.lit(len(pat))).cast("int")
+
+
 def token_count(c: ColumnOrName) -> Column:
-    return F.size(tokens(c))
+    return _ntokens_of(ws_collapsed(c))
 
 
 def bpe_ish_token_count(c: ColumnOrName) -> Column:
@@ -47,7 +104,10 @@ def bpe_ish_token_count(c: ColumnOrName) -> Column:
 
 
 def punct_count(c: ColumnOrName) -> Column:
-    return F.length(F.regexp_replace(_col(c), PUNCT_CLASS, ""))
+    # translate (plain char map) instead of the regexp_replace
+    # character-class delete — identical count of {.,!?;:} chars.
+    col = _col(c)
+    return F.length(col) - F.length(F.translate(col, ".,!?;:", ""))
 
 
 def punct_ratio(c: ColumnOrName) -> Column:
@@ -58,17 +118,24 @@ def punct_ratio(c: ColumnOrName) -> Column:
 
 
 def stopword_ratio(c: ColumnOrName, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    """Fraction of tokens that are stopwords — array filter, no UDF."""
-    toks = tokens(c)
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    """Fraction of tokens that are stopwords — whole-token occurrence
+    counting over the collapsed string, no array/HOF."""
+    s = ws_collapsed(c)
+    n_tok = _ntokens_of(s)
+    padded = _space_doubled(F.lower(s))
+    hits = None
+    for w in stopwords:
+        h = _whole_token_hits(padded, w)
+        hits = h if hits is None else hits + h
+    return F.when(n_tok > 0, hits / n_tok).otherwise(F.lit(0.0))
 
 
 def avg_token_len(c: ColumnOrName) -> Column:
-    toks = tokens(c)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    s = ws_collapsed(c)
+    n_tok = _ntokens_of(s)
+    # Σ|token| = |s| minus the n-1 single-space separators.
+    total = F.length(s) - (n_tok - 1)
+    return F.when(n_tok > 0, total / n_tok).otherwise(F.lit(0.0))
 
 
 def quality_score(c: ColumnOrName) -> Column:
@@ -85,15 +152,18 @@ def quality_score(c: ColumnOrName) -> Column:
 def lang_id(c: ColumnOrName) -> Column:
     """Marker-hit language ID: count per-language marker tokens, take
     the argmax (ties broken by the fixed language order), 'und' when
-    nothing hits. Pure array expressions."""
-    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    nothing hits. Whole-token counting over the collapsed string —
+    one codegen'd pass per marker, no array/HOF interpretation."""
+    padded = _space_doubled(F.lower(ws_collapsed(c)))
     # Chained argmax: a later language wins only on a strictly greater
     # score, so ties resolve to the earlier language — deterministic.
     expr = F.lit("und")
     best = F.lit(0)
     for lang, markers in LANG_MARKERS.items():
-        marr = F.array(*[F.lit(m) for m in markers])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+        score = None
+        for m in markers:
+            h = _whole_token_hits(padded, m)
+            score = h if score is None else score + h
         expr = F.when(score > best, F.lit(lang)).otherwise(expr)
         best = F.greatest(best, score)
     return expr
@@ -129,18 +199,24 @@ def rolling_hash(c: ColumnOrName, mod: int = ROLLING_HASH_P) -> Column:
     )
 
 
-def profile_columns(text_col: ColumnOrName, toks_col: ColumnOrName) -> dict[str, Column]:
-    """All per-doc text metrics computed from a PRE-tokenized column —
-    one split per row instead of one per metric (the naive form's
-    expression tree re-tokenizes ~15× per row, which both slows
-    codegen and bloats the generated code). Values are identical to
-    the per-metric functions above."""
-    txt, toks = _col(text_col), _col(toks_col)
-    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_tok = F.size(toks)
-    n_punct = F.length(F.regexp_replace(txt, PUNCT_CLASS, ""))
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+def profile_columns(text_col: ColumnOrName, collapsed_col: ColumnOrName) -> dict[str, Column]:
+    """All per-doc text metrics computed from a PRE-collapsed column
+    (``ws_collapsed`` aliased once by the caller) — one whitespace
+    normalization per row instead of one per metric, and every metric
+    is codegen'd length/replace arithmetic rather than an array HOF
+    (the r12 fast path; values identical to the per-metric functions
+    above, pinned by tests/test_text_fastpath.py)."""
+    txt, s = _col(text_col), _col(collapsed_col)
+    n_tok = _ntokens_of(s)
+    n_punct = F.length(txt) - F.length(F.translate(txt, ".,!?;:", ""))
+    padded = _space_doubled(F.lower(s))
+    n_stop = None
+    for w in STOPWORDS_EN:
+        h = _whole_token_hits(padded, w)
+        n_stop = h if n_stop is None else n_stop + h
+    # NULL text: size-of-null, matching the F.size(F.filter(...)) form.
+    n_stop = F.when(s.isNull(), _size_of_null()).otherwise(n_stop)
+    tok_chars = F.length(s) - (n_tok - 1)
     punct_ratio_ = F.when(F.length(txt) > 0, n_punct / F.length(txt)).otherwise(F.lit(0.0))
     stop_ratio_ = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     quality = (

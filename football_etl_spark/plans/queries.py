@@ -1260,9 +1260,9 @@ _SQL_SHINGLES = r"""
 )
 def text_quality_stats(spark, sf_dir):
     d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
-    toked = d.select("doc_id", "text", text.tokens("text").alias("toks"))
-    metrics = text.profile_columns(F.col("text"), F.col("toks"))
-    return toked.select(
+    coll = d.select("doc_id", "text", text.ws_collapsed("text").alias("__s"))
+    metrics = text.profile_columns(F.col("text"), F.col("__s"))
+    return coll.select(
         "doc_id", *[expr.alias(name) for name, expr in metrics.items()]
     )
 
@@ -3165,9 +3165,9 @@ def gopher_quality_filter(spark, sf_dir):
     d = ensure_min_partitions(_t(spark, sf_dir, "documents")).filter(
         ~F.col("text").contains("\x1e") & ~F.col("text").contains("\x1f")
     )
-    toked = d.select("doc_id", "text", text.tokens("text").alias("toks"))
-    m = text.profile_columns(F.col("text"), F.col("toks"))
-    stats = toked.select(
+    coll = d.select("doc_id", "text", text.ws_collapsed("text").alias("__s"))
+    m = text.profile_columns(F.col("text"), F.col("__s"))
+    stats = coll.select(
         "doc_id",
         m["n_tokens"].alias("n_tokens"),
         m["n_chars"].alias("n_chars"),
