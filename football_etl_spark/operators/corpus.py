@@ -50,13 +50,20 @@ def chunk_documents(
     and explode — no shuffle, no Python, linear in corpus size."""
     assert 0 <= overlap < chunk_tokens, "need 0 <= overlap < chunk_tokens"
     stride = chunk_tokens - overlap
-    toked = ensure_min_partitions(df.select(id_col, text_col)).select(
-        id_col, tokens(text_col).alias("__toks")
+    # The zero-token drop is a trim-length test on the RAW text, not
+    # size(tokens) > 0 (r12): the two are equivalent (tokens() yields
+    # [] exactly when the trimmed text is empty, split of anything
+    # non-empty has ≥1 element, NULL propagates to NULL in both), but
+    # the size() form pushed a full split() below the fan-out Exchange
+    # just to test emptiness — every document tokenized twice.
+    src = ensure_min_partitions(df.select(id_col, text_col)).filter(
+        F.length(F.trim(F.col(text_col))) > 0
     )
+    toked = src.select(id_col, tokens(text_col).alias("__toks"))
     n = F.size("__toks")
     starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride))
     return (
-        toked.filter(n > 0)
+        toked
         .select(id_col, "__toks", n.alias("__n"), F.explode(starts).alias("__start"))
         .select(
             id_col,

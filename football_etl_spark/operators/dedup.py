@@ -66,9 +66,20 @@ def minhash_signatures(
     each shingle ONCE into a 48-bit int, then take K affine-mixed mins
     in ONE groupBy pass (K aggregate expressions, map-side partial
     agg). No distinct pass is needed: min over the shingle bag ≡ min
-    over the set."""
+    over the set.
+
+    The token array is materialized in its own projection below the
+    shingle explode (r12): inlining ``shingles(text)`` into the
+    Generate bakes the ``split`` into the explode argument FOUR times
+    (the when/transform/slice/else branches all re-derive it, and
+    Generate's interpreted eval has no codegen subexpression
+    elimination), so every document was re-split 4× per row. One
+    aliased Project splits once; the Generate reads the attribute."""
     src = ensure_min_partitions(df.select(id_col, text_col))
-    sh = src.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("__s")).select(
+    toked = src.select(id_col, tokens(text_col).alias("__toks"))
+    sh = toked.select(
+        id_col, F.explode(shingles_from_tokens("__toks", shingle_n)).alias("__s")
+    ).select(
         id_col,
         F.conv(F.substring(F.md5("__s"), 1, 12), 16, 10).cast("long").alias("__h"),
     )
@@ -168,17 +179,27 @@ def minhash_near_dup_pairs(
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     matches = F.aggregate(
         F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    # est_jaccard is scored per CANDIDATE ROW (before the multi-band
+    # dedup), then the pair dedup runs on (id_a, id_b, est_jaccard)
+    # only (r12): deduping rows that still carry the signature ARRAYS
+    # forces first(array) — not a mutable-buffer type, so the plan
+    # fell to Sort + SortAggregate; with just a double riding along
+    # the same dedup is a HashAggregate and the sort disappears. A
+    # pair's est_jaccard is identical in every duplicate row (it is a
+    # pure function of the two signatures), so first() is
+    # deterministic and results are unchanged; the ≤bands-fold row
+    # duplication costs one 16-element zip_with per extra row.
     return (
         pairs.withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -280,8 +301,13 @@ def ngram_jaccard_pairs(
     cheap Spark-native hash is safe; a collision would need two
     distinct shingles of the same doc pair among ~2^64 values."""
     src = ensure_min_partitions(df.select(id_col, text_col))
+    # tokens materialized below the explode — see minhash_signatures
+    # (the inlined form re-splits every document 4× inside Generate)
+    toked = src.select(id_col, tokens(text_col).alias("__toks"))
     sh = (
-        src.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("__s"))
+        toked.select(
+            id_col, F.explode(shingles_from_tokens("__toks", shingle_n)).alias("__s")
+        )
         .select(id_col, F.xxhash64("__s").alias("s"))
         .distinct()
     )
@@ -510,14 +536,23 @@ def contamination_report(
             csum = np.concatenate(([0], np.cumsum(hit)))
             return pd.Series(csum[bounds[1:]] - csum[bounds[:-1]], dtype="int64")
 
-        sh = F.transform(
-            F.array_distinct(shingles_from_tokens(tokens(text_col), shingle_n)),
-            lambda s: F.xxhash64(s),
-        )
-        return ensure_min_partitions(train).select(
+        # The hashed distinct-shingle array is materialized in its own
+        # projection (r12): inlining it meant the WHOLE tokenize +
+        # shingle + hash chain was evaluated twice per row — once as
+        # the ArrowEvalPython input and once re-derived (interpreted,
+        # split ×4) for size() in the post-UDF Project. CollapseProject
+        # keeps the alias because it is non-cheap and referenced twice.
+        sh_arr = ensure_min_partitions(train).select(
             id_col,
-            F.size(sh).cast("long").alias("n_shingles"),
-            _n_hits(sh).alias("n_hits"),
+            F.transform(
+                F.array_distinct(shingles_from_tokens(tokens(text_col), shingle_n)),
+                lambda s: F.xxhash64(s),
+            ).alias("__sh"),
+        )
+        return sh_arr.select(
+            id_col,
+            F.size("__sh").cast("long").alias("n_shingles"),
+            _n_hits("__sh").alias("n_hits"),
         ).withColumn("contaminated", F.col("n_hits") >= min_hits)
 
     toked = train.select(id_col, tokens(text_col).alias("__toks"))
@@ -528,7 +563,8 @@ def contamination_report(
         ).alias("__s"),
     ).select(id_col, F.xxhash64("__s").alias("s"))
     ev = (
-        eval_df.select(F.explode(shingles(text_col, shingle_n)).alias("__s"))
+        eval_df.select(tokens(text_col).alias("__toks"))
+        .select(F.explode(shingles_from_tokens("__toks", shingle_n)).alias("__s"))
         .select(F.xxhash64("__s").alias("s"))
         .distinct()
         .withColumn("__hit", F.lit(1))
