@@ -36,25 +36,18 @@ def tokens(c: ColumnOrName) -> Column:
     )
 
 
-# --- collapsed-string COUNTING fast path (r12 optimization round) ---
-#
-# Token-count/length/whole-token-hit metrics do not need the token
-# ARRAY: one regexp_replace collapses every \s+ run to a single
-# space, after which each metric is plain length/replace arithmetic —
-# whole-stage-codegen'd string loops instead of split's array
-# allocation plus per-element interpreted HOF lambdas (the
-# vectors.py-documented expression class; measured ~3-4x on the
-# profile surface at sf0.1). Exactness vs the split() forms, pinned
-# by tests/test_text_fastpath.py on a control-char/unicode fixture:
-#   n_tokens  = spaces+1 over the collapsed string — phantom empty
-#               tokens from leading/trailing non-space whitespace
-#               produce a leading/trailing space, counted the same
-#               way split(trim(text)) counts them (the established
-#               _SQL_COLLAPSE equivalence, here WITHOUT the sentinel
-#               sandwich: regexp_replace handles runs directly, so
-#               RS/US-bearing docs need no exclusion);
-#   Σ|token|  = |s| - (n_tokens - 1) — every separator is exactly one
-#               space;
+# --- collapsed-string whole-token counting (r12 optimization round) —
+# kept ONLY where it measured faster (lang_id). The first r12 cut
+# rewrote the whole profile surface this way; a controlled same-session
+# A/B at sf0.1 (OPTIMIZATION_r12.md, text family) showed the token-
+# ARRAY path is faster for the multi-metric profile (0.30s vs 0.46s:
+# the padded-string construction plus one full-string replace scan per
+# stopword loses to one split + an array_contains filter), so
+# profile_columns/stopword_ratio/avg_token_len/token_count stay on
+# arrays and only lang_id (25 markers, where per-marker scans amortize
+# the padding) uses the collapsed form. Equivalence of both forms is
+# pinned by tests/test_text_fastpath.py on a control-char/unicode
+# fixture:
 #   whole-token hits = the doubled-space occurrence count (each token
 #               owns a private leading AND trailing space, so
 #               ' word ' occurrences ↔ tokens equal to word, adjacent
@@ -62,22 +55,6 @@ def tokens(c: ColumnOrName) -> Column:
 def ws_collapsed(c: ColumnOrName) -> Column:
     """trim + every \\s+ run → one space; counting twin of tokens()."""
     return F.regexp_replace(F.trim(_col(c)), TOKEN_SPLIT_RE, " ")
-
-
-def _size_of_null() -> Column:
-    """What ``F.size`` returns for a NULL array in THIS session (-1
-    legacy / NULL ANSI) — keeps the fast path's null behaviour exactly
-    equal to the ``F.size(F.split(NULL))`` forms it replaced."""
-    return F.size(F.lit(None).cast("array<string>"))
-
-
-def _ntokens_of(s: Column) -> Column:
-    """Token count over a collapsed string: spaces + 1 (0 for '',
-    size-of-null for NULL)."""
-    fast = F.when(F.length(s) == 0, F.lit(0)).otherwise(
-        F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit(""))) + 1
-    )
-    return F.when(s.isNull(), _size_of_null()).otherwise(fast)
 
 
 def _space_doubled(s: Column) -> Column:
@@ -94,7 +71,7 @@ def _whole_token_hits(padded: Column, word: str) -> Column:
 
 
 def token_count(c: ColumnOrName) -> Column:
-    return _ntokens_of(ws_collapsed(c))
+    return F.size(tokens(c))
 
 
 def bpe_ish_token_count(c: ColumnOrName) -> Column:
@@ -118,24 +95,17 @@ def punct_ratio(c: ColumnOrName) -> Column:
 
 
 def stopword_ratio(c: ColumnOrName, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    """Fraction of tokens that are stopwords — whole-token occurrence
-    counting over the collapsed string, no array/HOF."""
-    s = ws_collapsed(c)
-    n_tok = _ntokens_of(s)
-    padded = _space_doubled(F.lower(s))
-    hits = None
-    for w in stopwords:
-        h = _whole_token_hits(padded, w)
-        hits = h if hits is None else hits + h
-    return F.when(n_tok > 0, hits / n_tok).otherwise(F.lit(0.0))
+    """Fraction of tokens that are stopwords — array filter, no UDF."""
+    toks = tokens(c)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
 def avg_token_len(c: ColumnOrName) -> Column:
-    s = ws_collapsed(c)
-    n_tok = _ntokens_of(s)
-    # Σ|token| = |s| minus the n-1 single-space separators.
-    total = F.length(s) - (n_tok - 1)
-    return F.when(n_tok > 0, total / n_tok).otherwise(F.lit(0.0))
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
 def quality_score(c: ColumnOrName) -> Column:
@@ -199,24 +169,23 @@ def rolling_hash(c: ColumnOrName, mod: int = ROLLING_HASH_P) -> Column:
     )
 
 
-def profile_columns(text_col: ColumnOrName, collapsed_col: ColumnOrName) -> dict[str, Column]:
-    """All per-doc text metrics computed from a PRE-collapsed column
-    (``ws_collapsed`` aliased once by the caller) — one whitespace
-    normalization per row instead of one per metric, and every metric
-    is codegen'd length/replace arithmetic rather than an array HOF
-    (the r12 fast path; values identical to the per-metric functions
-    above, pinned by tests/test_text_fastpath.py)."""
-    txt, s = _col(text_col), _col(collapsed_col)
-    n_tok = _ntokens_of(s)
+def profile_columns(text_col: ColumnOrName, toks_col: ColumnOrName) -> dict[str, Column]:
+    """All per-doc text metrics computed from a PRE-tokenized column —
+    one split per row instead of one per metric (the naive form's
+    expression tree re-tokenizes ~15× per row, which both slows
+    codegen and bloats the generated code). Values are identical to
+    the per-metric functions above (pinned by
+    tests/test_text_fastpath.py); n_punct counts via translate (plain
+    char map) rather than a regexp character-class delete — the one
+    piece of the r12 collapsed-string experiment that survived its
+    A/B (the collapsed-string profile itself measured SLOWER, see the
+    module comment above ws_collapsed)."""
+    txt, toks = _col(text_col), _col(toks_col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tok = F.size(toks)
     n_punct = F.length(txt) - F.length(F.translate(txt, ".,!?;:", ""))
-    padded = _space_doubled(F.lower(s))
-    n_stop = None
-    for w in STOPWORDS_EN:
-        h = _whole_token_hits(padded, w)
-        n_stop = h if n_stop is None else n_stop + h
-    # NULL text: size-of-null, matching the F.size(F.filter(...)) form.
-    n_stop = F.when(s.isNull(), _size_of_null()).otherwise(n_stop)
-    tok_chars = F.length(s) - (n_tok - 1)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     punct_ratio_ = F.when(F.length(txt) > 0, n_punct / F.length(txt)).otherwise(F.lit(0.0))
     stop_ratio_ = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     quality = (

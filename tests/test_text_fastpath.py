@@ -1,10 +1,20 @@
-"""r12 optimization round: the collapsed-string counting fast path in
-functions/text.py must be VALUE-IDENTICAL to the split()+HOF forms it
-replaced (token_count / stopword_ratio / avg_token_len / punct_count /
-lang_id / quality_score / profile_columns), including nulls, empties,
-control bytes (RS/US/vertical-tab), unicode and adjacent-stopword
-runs. The reference expressions below are the pre-r12 array forms,
-inlined verbatim so the equivalence stays pinned after the rewrite.
+"""r12 optimization round, text family.
+
+Two things are pinned here on a null/empty/control-byte/unicode
+fixture:
+
+1. ``punct_count``/``profile_columns``'s translate-based punctuation
+   count is VALUE-IDENTICAL to the pre-r12 regexp character-class
+   delete, and the whole profile dict matches the naive per-metric
+   reference expressions.
+2. ``lang_id``'s collapsed-string whole-token counting (the one
+   surface where the r12 collapsed-string experiment measured FASTER
+   and was kept — see functions/text.py's ws_collapsed comment) is
+   VALUE-IDENTICAL to the pre-r12 array/HOF form, and its plan stays
+   free of interpreted HOF lambdas and split arrays.
+
+The reference expressions below are the pre-r12 array forms, inlined
+verbatim so the equivalence stays pinned independent of the library.
 """
 
 from __future__ import annotations
@@ -54,7 +64,8 @@ def _ref_tokens(c):
 
 
 def _ref_profile(c):
-    """Pre-r12 reference: the array/HOF metric expressions, verbatim."""
+    """Pre-r12 reference: the array/HOF metric expressions, verbatim
+    (n_punct via the regexp character-class delete)."""
     txt = F.col(c)
     toks = _ref_tokens(c)
     sw = F.array(*[F.lit(s) for s in text.STOPWORDS_EN])
@@ -95,9 +106,9 @@ def _same(a, b):
     return a == b
 
 
-def test_fastpath_matches_array_reference(nasty_df):
+def test_metrics_match_reference(nasty_df):
     ref = _ref_profile("text")
-    m = text.profile_columns(F.col("text"), text.ws_collapsed("text"))
+    m = text.profile_columns(F.col("text"), text.tokens("text"))
     rows = nasty_df.select(
         "i",
         "text",
@@ -136,12 +147,11 @@ def test_fastpath_matches_array_reference(nasty_df):
         assert _same(r["new_lang"], r["ref_lang"]), ("lang_id", ctx, r)
 
 
-def test_fastpath_plan_has_no_hof_lambda(spark, nasty_df):
-    """The rewritten metrics must stay out of the interpreted
-    LambdaFunction path: no higher-order functions, no split arrays."""
-    df = nasty_df.select(
-        text.quality_score("text"), text.lang_id("text"), text.token_count("text")
-    )
+def test_lang_id_plan_has_no_hof_lambda(spark, nasty_df):
+    """lang_id's collapsed-string form must stay out of the
+    interpreted LambdaFunction path: no higher-order functions, no
+    split arrays."""
+    df = nasty_df.select(text.lang_id("text"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lambdafunction" not in plan.lower()
     assert "split(" not in plan.lower()
