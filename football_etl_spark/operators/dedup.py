@@ -671,11 +671,19 @@ def simhash_signatures(
 
     src = ensure_min_partitions(df.select(id_col, text_col))
     toks = src.select(id_col, F.explode(tokens(text_col)).alias("__tok"))
+    # token hash materialized BEFORE the vote aggregation (r12): the
+    # inlined form copies the md5/conv subtree into all `bits` partial
+    # sums, and the aggregate codegen does not reliably eliminate the
+    # common subexpression — measured 1.85s -> 1.52s at sf0.1 for the
+    # vote pass with the hash computed once per token.
     h = F.conv(F.substring(F.md5("__tok"), 1, bits // 4), 16, 10).cast("long")
-    votes = toks.groupBy(id_col).agg(
+    toksh = toks.select(id_col, h.alias("__h"))
+    votes = toksh.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"__v{b}")
             for b in range(bits)
         ]
