@@ -95,3 +95,34 @@ def test_epoch_and_score_split(spark):
     assert (rows[0]["gf"], rows[0]["ga"]) == (2.0, 1.0)
     assert (rows[1]["gf"], rows[1]["ga"]) == (1.0, 2.0)
     assert _one(spark, scalars.is_home_flag("v"), v="Home") == 1
+
+
+def test_normalize_date_separator_gate_equivalence(spark):
+    """The r12 separator gate (skip a format whose literal separator is
+    absent) must be output-identical to the ungated coalesce on every
+    input class: each declared format rendered for real dates, the
+    ambiguous dd/MM vs MM/dd case (order decides), weekday prefixes,
+    dirty strings, mixed separators, empties and NULL."""
+    fixtures = [
+        "2025-05-10", "10/05/2025", "05/10/2025", "10-05-2025",
+        "2025/05/10", "10.05.2025", "2025.05.10", "10 May 2025",
+        "May 10 2025", "May 10, 2025", "March 03, 2025",
+        "Saturday, May 10, 2025", "Sat, 10/05/2025",
+        "03/04/2025",          # ambiguous: dd/MM wins by coalesce order
+        "13/04/2025",          # only dd/MM can parse
+        "04/13/2025",          # only MM/dd can parse
+        "2025-5-1", "1/2/25", "20250510", "not a date", "",
+        "   ", "10//05//2025", "May  10, 2025", "2025.05-10",
+        "10 05 2025", ",,,", "-", ".", "/", None,
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in fixtures], "raw string")
+    gated = scalars.normalize_date("raw")
+    stripped = F.regexp_replace(F.trim(F.col("raw")), scalars._WEEKDAY_PREFIX_RE, "")
+    ungated = F.coalesce(
+        *[F.try_to_date(stripped, f) for f in scalars.DATE_FORMATS]
+    )
+    rows = df.select(gated.alias("g"), ungated.alias("u")).collect()
+    for i, r in enumerate(rows):
+        assert r["g"] == r["u"], (fixtures[i], r["g"], r["u"])
