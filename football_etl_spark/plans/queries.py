@@ -3838,7 +3838,10 @@ def derived_match_scalars(spark, sf_dir):
     WINDOW w AS (PARTITION BY o_custkey)
     """,
     doc="the grouped-map escape hatch (SURVEY §2.8): per-customer z-score "
-    "via Arrow-batched applyInPandas — the engine's generalization of the "
+    "via Arrow-batched applyInArrow (r12 — one Arrow table per group; the "
+    "per-group math stays pandas mean/std, bit-identical to the prior "
+    "applyInPandas form whose per-group DataFrame round-trip dominated) — "
+    "the engine's generalization of the "
     "reference's per-group pandas loop (utils/data_utils.py:261-295). This "
     "computation deliberately HAS a window-function twin, which is what "
     "makes the escape hatch value-checkable against the SQL oracle",

@@ -1347,3 +1347,42 @@ def test_equi_depth_bins_approx_properties(spark):
         ideal = group_sizes[g] / 4
         for r in rows:
             assert abs(r["n"] - ideal) <= max(2.0, 0.1 * ideal), (g, r)
+
+
+def test_grouped_zscore_matches_window_twin(spark):
+    """The applyInArrow grouped-map (r12: per-group math still pandas
+    mean/std — see operators/windows.grouped_zscore) must match the
+    built-in window-function twin exactly after 6dp rounding, incl.
+    the NULL cases: 1-row groups (std undefined) and zero-variance
+    groups (std = 0 → NULL via NaN)."""
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 40.0),
+        ("b", 4, 5.0),                       # 1-row group
+        ("c", 5, 7.0), ("c", 6, 7.0),        # zero variance
+        ("d", 7, -3.5), ("d", 8, 0.0), ("d", 9, 99.25), ("d", 10, 1e12),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = {
+        r["i"]: r["z"]
+        for r in windows.grouped_zscore(df, ["k"], "v")
+        .select("i", F.round("zscore", 6).alias("z"))
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k")
+    sd = F.stddev_samp("v").over(w)
+    twin = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i",
+            F.round(
+                F.when(
+                    sd.isNotNull() & (sd != 0), (F.col("v") - F.avg("v").over(w)) / sd
+                ),
+                6,
+            ).alias("z"),
+        ).collect()
+    }
+    assert got == twin
+    assert got[4] is None and got[5] is None and got[6] is None
