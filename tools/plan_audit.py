@@ -60,7 +60,13 @@ def main() -> None:
         cart = simple.count("CartesianProduct")
         bnl = simple.count("BroadcastNestedLoopJoin")
         arrow = simple.count("ArrowEvalPython")
-        grouped = simple.count("FlatMapGroupsInPandas") + simple.count("MapInPandas")
+        grouped = (
+            simple.count("FlatMapGroupsInPandas")
+            + simple.count("MapInPandas")
+            # r12: grouped_zscore moved to the Arrow-native grouped map
+            + simple.count("FlatMapGroupsInArrow")
+            + simple.count("MapInArrow")
+        )
         rowudf = len(re.findall(r"BatchEvalPython", simple))
         pushed = "yes" if re.search(r"PushedFilters: \[[^\]]", formatted) else ""
         partf = "yes" if re.search(r"PartitionFilters: \[[^\]]", formatted) else ""
