@@ -159,7 +159,26 @@ def grouped_zscore(
         z = (v - v.mean()) / v.std(ddof=1)
         return tbl.append_column(oc, pa.array(z, type=pa.float64(), from_pandas=True))
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInArrow(fn, schema)
+    # Pin the grouped-map exchange width (r12): the stage's cost is
+    # per-GROUP Python overhead, which AQE's byte-based partition
+    # coalescing cannot see — under the engine defaults it collapsed
+    # this small-bytes shuffle to ~1 partition and SERIALIZED ~15k
+    # group calls (measured 7.0 s; pinned: 1.1 s at sf0.1). The
+    # explicit repartition on the group keys REPLACES the implicit
+    # ENSURE_REQUIREMENTS exchange (one hashpartitioning exchange in
+    # the plan either way) and is scale-adaptive: never narrower than
+    # the session's configured shuffle width, at least one task per
+    # core.
+    spark = df.sparkSession
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return (
+        df.repartition(width, *[F.col(k) for k in keys])
+        .groupBy(*[F.col(k) for k in keys])
+        .applyInArrow(fn, schema)
+    )
 
 
 def scd2_intervals(
