@@ -122,6 +122,7 @@ def grouped_zscore(
     keys: Sequence[str],
     value_col: str,
     out_col: str = "zscore",
+    pin_width: bool = True,
 ) -> DataFrame:
     """Per-group z-score via the grouped-map escape hatch —
     ``groupBy(...).applyInArrow`` (SURVEY §2.8), the engine's
@@ -164,21 +165,29 @@ def grouped_zscore(
     # coalescing cannot see — under the engine defaults it collapsed
     # this small-bytes shuffle to ~1 partition and SERIALIZED ~15k
     # group calls (measured 7.0 s; pinned: 1.1 s at sf0.1). The
-    # explicit repartition on the group keys REPLACES the implicit
-    # ENSURE_REQUIREMENTS exchange (one hashpartitioning exchange in
-    # the plan either way) and is scale-adaptive: never narrower than
-    # the session's configured shuffle width, at least one task per
-    # core.
-    spark = df.sparkSession
-    width = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
-    return (
-        df.repartition(width, *[F.col(k) for k in keys])
-        .groupBy(*[F.col(k) for k in keys])
-        .applyInArrow(fn, schema)
-    )
+    # explicit repartition on the group keys replaces the implicit
+    # ENSURE_REQUIREMENTS exchange the groupBy would otherwise insert
+    # (one hashpartitioning exchange in the plan) and is
+    # scale-adaptive: never narrower than the session's configured
+    # shuffle width, at least one task per core. Pass
+    # ``pin_width=False`` when the input is ALREADY hash-partitioned
+    # on the keys (a prior groupBy/repartition on the same keys) —
+    # there the old zero-exchange plan was free and the pin would add
+    # a full shuffle. The width probe degrades to the unpinned plan in
+    # sessions where it cannot be computed (Spark Connect has no
+    # sparkContext; shuffle.partitions may be non-numeric, e.g.
+    # "auto").
+    if pin_width:
+        try:
+            spark = df.sparkSession
+            width = max(
+                spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            )
+            df = df.repartition(width, *[F.col(k) for k in keys])
+        except Exception:
+            pass  # environment without the probe — keep the implicit exchange
+    return df.groupBy(*[F.col(k) for k in keys]).applyInArrow(fn, schema)
 
 
 def scd2_intervals(

@@ -81,7 +81,8 @@ def main() -> None:
         "hash-shuffle exchange count; broadcast-hash vs sort-merge join",
         "counts; cartesian/nested-loop joins (sanctioned only for the",
         "explicitly broadcast bounded ANN query side); Arrow-vectorized",
-        "and grouped-map/mapInPandas Python stages; row-at-a-time Python",
+        "and grouped-map (applyInPandas/applyInArrow/mapInPandas/mapInArrow)",
+        "Python stages; row-at-a-time Python",
         "UDFs (must be 0 everywhere); scan pushdown flags.",
         "",
         "Sanctioned SMJs: the connected-components label joins",
@@ -94,7 +95,7 @@ def main() -> None:
         "test_plans.py, plus 1-row scalar broadcasts (doc-count /",
         "threshold / totals patterns).",
         "",
-        "| query | shuffles | BHJ | SMJ | cart/BNLJ | arrow | pandas-map | row-udf | pushed | part-pruned |",
+        "| query | shuffles | BHJ | SMJ | cart/BNLJ | arrow | grouped-map | row-udf | pushed | part-pruned |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
@@ -105,7 +106,7 @@ def main() -> None:
         f"**Totals over {len(rows)} entries:** {t(1)} hash shuffles, "
         f"{t(2)} broadcast-hash joins, {t(3)} sort-merge joins, "
         f"{t(4)} cartesian/nested-loop joins, {t(5)} Arrow stages, "
-        f"{t(6)} grouped-map/mapInPandas stages, {t(7)} row-at-a-time "
+        f"{t(6)} grouped-map stages (pandas or Arrow), {t(7)} row-at-a-time "
         f"Python UDFs.",
         "",
     ]
