@@ -36,40 +36,20 @@ def tokens(c: ColumnOrName) -> Column:
     )
 
 
-# --- collapsed-string whole-token counting (r12 optimization round) —
-# kept ONLY where it measured faster (lang_id). The first r12 cut
-# rewrote the whole profile surface this way; a controlled same-session
-# A/B at sf0.1 (OPTIMIZATION_r12.md, text family) showed the token-
-# ARRAY path is faster for the multi-metric profile (0.30s vs 0.46s:
-# the padded-string construction plus one full-string replace scan per
-# stopword loses to one split + an array_contains filter), so
-# profile_columns/stopword_ratio/avg_token_len/token_count stay on
-# arrays and only lang_id (25 markers, where per-marker scans amortize
-# the padding) uses the collapsed form. Equivalence of both forms is
-# pinned by tests/test_text_fastpath.py on a control-char/unicode
-# fixture:
-#   whole-token hits = the doubled-space occurrence count (each token
-#               owns a private leading AND trailing space, so
-#               ' word ' occurrences ↔ tokens equal to word, adjacent
-#               repeats non-overlapping).
-def ws_collapsed(c: ColumnOrName) -> Column:
-    """trim + every \\s+ run → one space; counting twin of tokens()."""
-    return F.regexp_replace(F.trim(_col(c)), TOKEN_SPLIT_RE, " ")
-
-
-def _space_doubled(s: Column) -> Column:
-    """' ' + s with every space doubled + ' ' — each token padded with
-    its own leading and trailing space for whole-token counting."""
-    return F.concat(F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" "))
-
-
-def _whole_token_hits(padded: Column, word: str) -> Column:
-    """#tokens equal to ``word`` in a _space_doubled string (int)."""
-    pat = f" {word} "
-    diff = F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))
-    return (diff / F.lit(len(pat))).cast("int")
-
-
+# The r12 collapsed-string whole-token-counting experiment is fully
+# REVERTED as of r13. History: the first r12 cut rewrote the whole
+# profile surface onto collapsed-string counting; its own A/B showed
+# the token-ARRAY path faster everywhere except lang_id, which kept
+# the collapsed form on a narrow win (0.25 vs 0.29 s standalone). The
+# r12 driver then measured lang_id_counts SLOWER (0.68x, and not
+# faster at 8 cores), and the r13 same-session interleaved A/B
+# (tools/ab_r13.py, min-of-5, both forms in ONE JVM) confirmed the
+# driver: collapsed vs array is flat at sf0.1 (1.007x) and LOSES at
+# x10 (0.946x — the padded-string construction scales with text
+# bytes). Per VERDICT r12 ask #1 the loser is reverted; lang_id below
+# is again the pre-r12 array/HOF form (the oracle's collapsed-string
+# SQL spelling is unchanged — equivalence of the two formulations
+# stays pinned by tests/test_text_fastpath.py).
 def token_count(c: ColumnOrName) -> Column:
     return F.size(tokens(c))
 
@@ -122,18 +102,17 @@ def quality_score(c: ColumnOrName) -> Column:
 def lang_id(c: ColumnOrName) -> Column:
     """Marker-hit language ID: count per-language marker tokens, take
     the argmax (ties broken by the fixed language order), 'und' when
-    nothing hits. Whole-token counting over the collapsed string —
-    one codegen'd pass per marker, no array/HOF interpretation."""
-    padded = _space_doubled(F.lower(ws_collapsed(c)))
+    nothing hits. Pure array expressions (one tokenize + one
+    array_contains filter per language — the form every A/B including
+    the r12 driver's ground truth favors; see the module comment)."""
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
     # Chained argmax: a later language wins only on a strictly greater
     # score, so ties resolve to the earlier language — deterministic.
     expr = F.lit("und")
     best = F.lit(0)
     for lang, markers in LANG_MARKERS.items():
-        score = None
-        for m in markers:
-            h = _whole_token_hits(padded, m)
-            score = h if score is None else score + h
+        marr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
         expr = F.when(score > best, F.lit(lang)).otherwise(expr)
         best = F.greatest(best, score)
     return expr
@@ -178,8 +157,8 @@ def profile_columns(text_col: ColumnOrName, toks_col: ColumnOrName) -> dict[str,
     tests/test_text_fastpath.py); n_punct counts via translate (plain
     char map) rather than a regexp character-class delete — the one
     piece of the r12 collapsed-string experiment that survived its
-    A/B (the collapsed-string profile itself measured SLOWER, see the
-    module comment above ws_collapsed)."""
+    A/B (the collapsed-string forms themselves are fully reverted —
+    see the module comment above token_count)."""
     txt, toks = _col(text_col), _col(toks_col)
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_tok = F.size(toks)

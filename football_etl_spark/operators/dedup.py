@@ -25,6 +25,9 @@ is used instead — outputs stay engine-identical.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -510,31 +513,52 @@ def contamination_report(
     at 100 TB the join path shuffles one (id, hash) row per shingle
     (corpus-token-scale I/O), the map-only path shuffles nothing."""
     if eval_hashes is not None:
-        ev_sorted = sorted(int(h) for h in eval_hashes)
+        import numpy as np
+
+        # The sorted eval-hash array ships as a BROADCAST variable
+        # (r13, guide §3/§4.5): the closure-pickled list form re-sent
+        # the whole suite inside every task binary and re-built the
+        # int64 array on every Arrow BATCH (np.asarray of a Python
+        # list is O(|eval|) per call). Broadcast + iterator-form UDF
+        # load it once per Python worker (PySpark caches loaded
+        # broadcasts per process across tasks under worker reuse) —
+        # at a real suite size (millions of shingles) that is the
+        # difference between MBs-per-task and bytes-per-task.
+        ev_bc = train.sparkSession.sparkContext.broadcast(
+            np.asarray(sorted(int(h) for h in eval_hashes), dtype=np.int64)
+        )
 
         @F.pandas_udf("long")
-        def _n_hits(arrs):
+        def _n_hits(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             # one flat searchsorted over the whole Arrow batch + a
             # segmented sum — NOT per-row np.isin, which re-merges the
             # eval array per document (measured 7.3s vs 0.3s at sf0.1)
             import numpy as np
             import pandas as pd
 
-            ev = np.asarray(ev_sorted, dtype=np.int64)
-            lens = np.fromiter(
-                (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=len(arrs)
-            )
-            if lens.sum() == 0:
-                return pd.Series(np.zeros(len(arrs), dtype=np.int64))
-            flat = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
-            )
-            idx = np.searchsorted(ev, flat)
-            idx_c = np.minimum(idx, len(ev) - 1)
-            hit = (ev[idx_c] == flat).astype(np.int64) if len(ev) else np.zeros(len(flat), np.int64)
-            bounds = np.concatenate(([0], np.cumsum(lens)))
-            csum = np.concatenate(([0], np.cumsum(hit)))
-            return pd.Series(csum[bounds[1:]] - csum[bounds[:-1]], dtype="int64")
+            ev = ev_bc.value  # once per worker, not per batch
+            for arrs in batches:
+                lens = np.fromiter(
+                    (0 if a is None else len(a) for a in arrs),
+                    dtype=np.int64,
+                    count=len(arrs),
+                )
+                if lens.sum() == 0:
+                    yield pd.Series(np.zeros(len(arrs), dtype=np.int64))
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
+                )
+                idx = np.searchsorted(ev, flat)
+                idx_c = np.minimum(idx, len(ev) - 1)
+                hit = (
+                    (ev[idx_c] == flat).astype(np.int64)
+                    if len(ev)
+                    else np.zeros(len(flat), np.int64)
+                )
+                bounds = np.concatenate(([0], np.cumsum(lens)))
+                csum = np.concatenate(([0], np.cumsum(hit)))
+                yield pd.Series(csum[bounds[1:]] - csum[bounds[:-1]], dtype="int64")
 
         # The hashed distinct-shingle array is materialized in its own
         # projection (r12): inlining it meant the WHOLE tokenize +
@@ -671,19 +695,20 @@ def simhash_signatures(
 
     src = ensure_min_partitions(df.select(id_col, text_col))
     toks = src.select(id_col, F.explode(tokens(text_col)).alias("__tok"))
-    # token hash materialized BEFORE the vote aggregation (r12): the
-    # inlined form copies the md5/conv subtree into all `bits` partial
-    # sums, and the aggregate codegen does not reliably eliminate the
-    # common subexpression — measured 1.85s -> 1.52s at sf0.1 for the
-    # vote pass with the hash computed once per token.
+    # The hash is INLINED into the vote sums (pre-r12 form, restored
+    # r13): r12 materialized it in its own projection on the theory
+    # that the md5/conv subtree was re-evaluated in all `bits` partial
+    # sums, but aggregate codegen's subexpression elimination already
+    # evaluates it once, so the extra Project only cost — the r12
+    # driver measured the materialized form 0.79x, and the r13
+    # same-session interleaved A/B (tools/ab_r13.py, min-of-5)
+    # confirmed the revert faster at every depth: 0.927x at sf0.1,
+    # 0.909x at x10, 0.950x at x100 (VERDICT r12 ask #1).
     h = F.conv(F.substring(F.md5("__tok"), 1, bits // 4), 16, 10).cast("long")
-    toksh = toks.select(id_col, h.alias("__h"))
-    votes = toksh.groupBy(id_col).agg(
+    votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"__v{b}")
             for b in range(bits)
         ]

@@ -178,15 +178,22 @@ def grouped_zscore(
     # sparkContext; shuffle.partitions may be non-numeric, e.g.
     # "auto").
     if pin_width:
+        # Only the WIDTH PROBE may degrade silently (Spark Connect has
+        # no sparkContext; shuffle.partitions may be non-numeric). The
+        # repartition itself runs outside the try so a genuine failure
+        # (e.g. an unresolved key column) surfaces here, not at the
+        # later groupBy (ADVICE r12).
+        width = None
         try:
             spark = df.sparkSession
             width = max(
                 spark.sparkContext.defaultParallelism,
                 int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
             )
-            df = df.repartition(width, *[F.col(k) for k in keys])
         except Exception:
             pass  # environment without the probe — keep the implicit exchange
+        if width is not None:
+            df = df.repartition(width, *[F.col(k) for k in keys])
     return df.groupBy(*[F.col(k) for k in keys]).applyInArrow(fn, schema)
 
 

@@ -126,3 +126,20 @@ def test_normalize_date_separator_gate_equivalence(spark):
     rows = df.select(gated.alias("g"), ungated.alias("u")).collect()
     for i, r in enumerate(rows):
         assert r["g"] == r["u"], (fixtures[i], r["g"], r["u"])
+
+
+def test_format_sep_gates_are_literal_chars_of_their_format():
+    """_FORMAT_SEP desync guard (VERDICT r12 #4): the gate table is
+    sound only while every gated separator is a LITERAL character of
+    its format string (a literal absent from the input can never
+    parse, so skipping is null-identical). A format added to
+    DATE_FORMATS without a gate entry degrades safely to ungated; a
+    WRONG separator would silently skip parseable inputs — this pins
+    the invariant structurally so the table can't drift."""
+    from football_etl_spark.functions.scalars import _FORMAT_SEP, DATE_FORMATS
+
+    # pattern letters are format directives; anything else is literal
+    for fmt, sep in _FORMAT_SEP.items():
+        literals = set(fmt) - set("GyMdEahHmsSVzOXxZQqDFWwuekK")
+        assert sep in literals, f"{fmt!r}: gate separator {sep!r} is not a literal"
+        assert fmt in DATE_FORMATS, f"{fmt!r} gated but not in DATE_FORMATS"

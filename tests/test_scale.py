@@ -205,3 +205,33 @@ def test_staged_results_invariant_to_shuffle_partition_count(spark):
             assert r_low == r_high, f"{name} depends on partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_grouped_map_width_survives_aqe(spark):
+    """AQE-collapse gate (VERDICT r12 ask #7): r12 found AQE's
+    byte-based partition coalescing collapsing the many-tiny-groups
+    grouped-map exchange to ~1 partition — ~15k Python group calls ran
+    SERIALLY (7.0 s vs 1.3 s at sf0.1) because coalescing sees bytes,
+    not per-group Python overhead. grouped_zscore's width pin
+    (explicit repartition on the group keys) prevents it; this gate
+    runs a many-tiny-groups grouped map UNDER ENGINE DEFAULTS (AQE on)
+    and asserts the grouped-map stage actually executed on more than
+    one partition, so the collapse class cannot regress silently."""
+    from football_etl_spark.operators import windows
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        df = spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+        )
+        out = windows.grouped_zscore(df, ["k"], "v")
+        # spark_partition_id() is evaluated in the grouped-map output
+        # stage (narrow), before the distinct's own exchange — it
+        # reads the width the grouped map really ran at.
+        n_parts = out.select(F.spark_partition_id().alias("pid")).distinct().count()
+        assert n_parts > 1, (
+            f"grouped-map stage collapsed to {n_parts} partition(s) under AQE"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

@@ -22,7 +22,7 @@ from bench import HEADLINE, SF_DIR  # noqa: E402
 from football_etl_spark.plans.queries import REGISTRY, STAGED  # noqa: E402
 from football_etl_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLAN_DUMP_ROUND", "r13"))
 
 
 def main() -> None:

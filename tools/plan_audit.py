@@ -34,6 +34,78 @@ from football_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
+# --- duplicated-subtree linter (r13, VERDICT r12 ask #3) -----------------
+# The r12 wins (gopher filter inlining, Generate 4x-split, simhash
+# 56-way hash copy, decontamination double chain) were all the same
+# smell: a NON-CHEAP expression subtree evaluated more than once in a
+# query's physical plan. This linter automates the hunt: extract every
+# expensive-call subexpression from the formatted plan, normalize
+# expression ids, and flag identical subtrees appearing >= 2x.
+
+EXPENSIVE_FNS = (
+    "split",
+    "regexp_replace",
+    "regexp_extract",
+    "regexp_extract_all",
+    "regexp_count",
+    "rlike",
+    "md5",
+    "sha2",
+    "xxhash64",
+    "conv",
+    "from_json",
+    "to_json",
+    "get_json_object",
+    "levenshtein",
+    "transform",
+    "aggregate",
+    "filter",
+    "zip_with",
+    "sequence",
+    "translate",
+)
+_CALL_RE = re.compile(r"\b(" + "|".join(EXPENSIVE_FNS) + r")\(")
+
+
+def _balanced(s: str, start: int) -> str | None:
+    """Extract s[start:] up to the paren that closes the one at
+    s.find('(', start); None when the line truncates first."""
+    i = s.find("(", start)
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start : j + 1]
+    return None
+
+
+def dup_subtrees(formatted: str, min_len: int = 12) -> dict[str, int]:
+    """Identical expensive subexpressions (expr-ids normalized) that
+    appear >= 2x in the formatted physical plan. Whole-line dedup
+    first: `explain formatted` repeats each operator once in the tree
+    header and once in the numbered detail block, which is rendering,
+    not re-evaluation. Partial/final HashAggregate pairs DO both list
+    the aggregate expression while only the partial evaluates the
+    input — callers should read hits >= 2 as 'audit me', not 'bug'."""
+    seen_lines: set[str] = set()
+    counts: dict[str, int] = {}
+    for raw in formatted.splitlines():
+        line = raw.strip()
+        norm_line = re.sub(r"#\d+L?", "#", line)
+        if norm_line in seen_lines:
+            continue
+        seen_lines.add(norm_line)
+        for m in _CALL_RE.finditer(line):
+            sub = _balanced(line, m.start())
+            if sub is None or len(sub) < min_len:
+                continue
+            key = re.sub(r"#\d+L?", "#", sub)
+            counts[key] = counts.get(key, 0) + 1
+    return {k: v for k, v in counts.items() if v >= 2}
+
 
 def plan_of(df) -> tuple[str, str]:
     buf = io.StringIO()
@@ -45,6 +117,44 @@ def plan_of(df) -> tuple[str, str]:
         df.explain("simple")
     simple = buf.getvalue().split("== Initial Plan ==")[0]
     return simple, formatted
+
+
+def main_dups() -> None:
+    """--dups mode: sweep every entry for duplicated expensive
+    subtrees; write PLAN_DUPS.md sorted by (max dup count, name)."""
+    spark = get_spark(app_name="plan-dups", shuffle_partitions=8)
+    entries = {**REGISTRY, **{f"{n} (staged)": q for n, q in STAGED.items()}}
+    report: list[tuple[str, dict[str, int]]] = []
+    for name in sorted(entries):
+        df = entries[name].fn(spark, SF_DIR)
+        _, formatted = plan_of(df)
+        dups = dup_subtrees(formatted)
+        if dups:
+            report.append((name, dups))
+    report.sort(key=lambda r: (-max(r[1].values()), r[0]))
+    out = [
+        "# PLAN_DUPS — duplicated expensive subtrees per registry entry",
+        "",
+        f"Compiled at `{SF_DIR}`. A hit = an identical expensive-call",
+        "subexpression (expr ids normalized) appearing >= 2x in the",
+        "formatted physical plan — the gopher/minhash/simhash r12 smell.",
+        "Hits are 'audit me', not automatically bugs: partial/final agg",
+        "pairs both PRINT the aggregate input while only the partial",
+        "evaluates it.",
+        "",
+    ]
+    for name, dups in report:
+        out.append(f"## {name}")
+        for expr, n in sorted(dups.items(), key=lambda kv: -kv[1]):
+            shown = expr if len(expr) <= 200 else expr[:197] + "..."
+            out.append(f"- {n}x `{shown}`")
+        out.append("")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_DUPS.md"
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLAN_DUPS.md ({len(report)} entries with >=2x subtrees)")
 
 
 def main() -> None:
@@ -116,4 +226,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--dups" in sys.argv:
+        main_dups()
+    else:
+        main()

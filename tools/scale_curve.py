@@ -165,7 +165,25 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", type=int, nargs="*", default=[10, 100])
     ap.add_argument("--queries", nargs="*", default=QUERIES)
+    ap.add_argument(
+        "--headline",
+        action="store_true",
+        help="time bench.py's full 30-query headline set instead of the"
+        " heavy subset (r13: the depth evidence the sf0.1 bench is too"
+        " overhead-bound to provide — VERDICT r12 ask #2)",
+    )
+    ap.add_argument(
+        "--no-duckdb",
+        action="store_true",
+        help="Spark only (the headline set includes streaming entries"
+        " whose oracles model the batch twin, not a comparator target)",
+    )
+    ap.add_argument("--out", default=None, help="also write the JSON to this path")
     args = ap.parse_args()
+    if args.headline:
+        from bench import HEADLINE
+
+        args.queries = list(HEADLINE)
 
     spark = get_spark(
         app_name="scale-curve",
@@ -179,16 +197,22 @@ def main() -> None:
     results["x1"] = {
         "dir": SRC,
         "spark": time_spark(spark, SRC, args.queries),
-        "duckdb": time_duckdb(SRC, args.queries),
     }
+    if not args.no_duckdb:
+        results["x1"]["duckdb"] = time_duckdb(SRC, args.queries)
     for factor in args.factors:
         d = generate(spark, factor)
         results[f"x{factor}"] = {
             "dir": d,
             "spark": time_spark(spark, d, args.queries),
-            "duckdb": time_duckdb(d, args.queries),
         }
-    print(json.dumps(results, indent=2))
+        if not args.no_duckdb:
+            results[f"x{factor}"]["duckdb"] = time_duckdb(d, args.queries)
+    text = json.dumps(results, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    print(text)
 
 
 if __name__ == "__main__":
