@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint, shingles, shingles_from_tokens, tokens
 from .scale import ensure_min_partitions
 
+# One broadcast of the eval-shingle set per (application, hash-list
+# identity) — see contamination_report. Entries for dead applications
+# are evicted on the next miss.
+_EVAL_BC_CACHE: dict = {}
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the content fingerprint, deterministic survivor
@@ -523,9 +528,36 @@ def contamination_report(
         # load it once per Python worker (PySpark caches loaded
         # broadcasts per process across tasks under worker reuse) —
         # at a real suite size (millions of shingles) that is the
-        # difference between MBs-per-task and bytes-per-task.
-        ev_bc = train.sparkSession.sparkContext.broadcast(
-            np.asarray(sorted(int(h) for h in eval_hashes), dtype=np.int64)
+        # difference between MBs-per-task and bytes-per-task. The
+        # broadcast is cached per (application, hash-list identity) so
+        # repeated calls over a session-cached suite (the bench's
+        # min-of-N runs) reuse ONE broadcast instead of leaking a copy
+        # per invocation; under Spark Connect (no sparkContext) it
+        # degrades to shipping the array in the UDF closure — the
+        # pre-r13 behavior.
+        ev_bc = None
+        try:
+            sc = train.sparkSession.sparkContext
+            # the cache VALUE pins the keyed list object, so its id()
+            # cannot be recycled by a different list while the entry
+            # lives — the identity key stays sound
+            key = (sc.applicationId, id(eval_hashes))
+            hit = _EVAL_BC_CACHE.get(key)
+            if hit is not None and hit[0] is eval_hashes:
+                ev_bc = hit[1]
+            else:
+                for k in [k for k in _EVAL_BC_CACHE if k[0] != sc.applicationId]:
+                    del _EVAL_BC_CACHE[k]
+                ev_bc = sc.broadcast(
+                    np.asarray(sorted(int(h) for h in eval_hashes), dtype=np.int64)
+                )
+                _EVAL_BC_CACHE[key] = (eval_hashes, ev_bc)
+        except Exception:
+            ev_bc = None  # Connect session — fall back to the closure array
+        ev_arr = (
+            None
+            if ev_bc is not None
+            else np.asarray(sorted(int(h) for h in eval_hashes), dtype=np.int64)
         )
 
         @F.pandas_udf("long")
@@ -536,7 +568,7 @@ def contamination_report(
             import numpy as np
             import pandas as pd
 
-            ev = ev_bc.value  # once per worker, not per batch
+            ev = ev_arr if ev_bc is None else ev_bc.value  # once per worker
             for arrs in batches:
                 lens = np.fromiter(
                     (0 if a is None else len(a) for a in arrs),

@@ -119,15 +119,22 @@ def plan_of(df) -> tuple[str, str]:
     return simple, formatted
 
 
+def iter_entry_plans(spark):
+    """(name, simple, formatted) for every registry + staged entry —
+    the one compile loop both audit modes share."""
+    entries = {**REGISTRY, **{f"{n} (staged)": q for n, q in STAGED.items()}}
+    for name in sorted(entries):
+        df = entries[name].fn(spark, SF_DIR)
+        simple, formatted = plan_of(df)
+        yield name, simple, formatted
+
+
 def main_dups() -> None:
     """--dups mode: sweep every entry for duplicated expensive
     subtrees; write PLAN_DUPS.md sorted by (max dup count, name)."""
     spark = get_spark(app_name="plan-dups", shuffle_partitions=8)
-    entries = {**REGISTRY, **{f"{n} (staged)": q for n, q in STAGED.items()}}
     report: list[tuple[str, dict[str, int]]] = []
-    for name in sorted(entries):
-        df = entries[name].fn(spark, SF_DIR)
-        _, formatted = plan_of(df)
+    for name, _, formatted in iter_entry_plans(spark):
         dups = dup_subtrees(formatted)
         if dups:
             report.append((name, dups))
@@ -160,10 +167,7 @@ def main_dups() -> None:
 def main() -> None:
     spark = get_spark(app_name="plan-audit", shuffle_partitions=8)
     rows = []
-    entries = {**REGISTRY, **{f"{n} (staged)": q for n, q in STAGED.items()}}
-    for name in sorted(entries):
-        df = entries[name].fn(spark, SF_DIR)
-        simple, formatted = plan_of(df)
+    for name, simple, formatted in iter_entry_plans(spark):
         shuffles = simple.count("Exchange hashpartitioning")
         bhj = simple.count("BroadcastHashJoin")
         smj = simple.count("SortMergeJoin")

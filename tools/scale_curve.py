@@ -184,6 +184,11 @@ def main() -> None:
         from bench import HEADLINE
 
         args.queries = list(HEADLINE)
+        # the headline set includes streaming entries whose oracles
+        # model the batch twin, not a comparator target — a DuckDB
+        # column over them would be meaningless, so --headline is
+        # Spark-only by construction
+        args.no_duckdb = True
 
     spark = get_spark(
         app_name="scale-curve",
