@@ -41,6 +41,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 # query's physical plan. This linter automates the hunt: extract every
 # expensive-call subexpression from the formatted plan, normalize
 # expression ids, and flag identical subtrees appearing >= 2x.
+#
+# CALIBRATION (r13 sweep, every >=4x hit A/B'd — OPTIMIZATION_r13.md):
+# a subtree PRINTED n times is usually NOT evaluated n times. Codegen
+# subexpression elimination already covers duplicates that sit within
+# one Project (even HOFs whose lambda-ids differ — they canonicalize),
+# in partial/final aggregate pairs, under count_distinct Expand, and
+# across coalesce/CASE arms — materializing those measured flat or
+# SLOWER. The REAL duplicate-evaluation classes to act on are:
+#   1. expressions inlined into a Generate's ARGUMENT (interpreted
+#      eval, no CSE) — the minhash/ngram r12 class;
+#   2. filter pushdown re-inlining an aliased chain into every
+#      conjunct — the gopher r12 class (fix: observe() pin);
+#   3. the same chain evaluated in two DIFFERENT operators (e.g.
+#      Python-UDF input + re-derived projection) — the
+#      decontamination r12 class.
+# Triage a hit by WHERE it sits before writing any fix, and A/B the
+# fix before keeping it.
 
 EXPENSIVE_FNS = (
     "split",
